@@ -1,0 +1,125 @@
+"""Device mesh / resource management.
+
+TPU-native analog of HugeCTR's ResourceManager (reference:
+HugeCTR/src/resource_managers/resource_manager_core.cpp): instead of per-GPU
+NCCL communicators and stream pools, we build a ``jax.sharding.Mesh`` and let
+XLA own scheduling and collectives.
+
+The canonical mesh for CTR training is 1-D ``("data",)``: dense layers are
+data-parallel over it and model-parallel embedding shards ride the same axis
+(HugeCTR likewise shards embeddings over all GPUs of the data-parallel group).
+A 2-D ``("data", "ev")`` mesh is supported for column-wise embedding sharding
+(reference: split_column_wise_sharding_config,
+HugeCTR/src/embeddings/embedding_collection.cpp:25-130).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+EV_AXIS = "ev"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """Declarative mesh request."""
+
+    num_devices: int = 0  # 0 = all visible devices
+    ev_parallelism: int = 1  # column-wise embedding sharding factor
+
+
+class ResourceManager:
+    """Owns the device mesh and canonical shardings.
+
+    HugeCTR's ResourceManager creates NCCL comms, stream pools and device maps
+    per GPU; on TPU the mesh + NamedShardings carry all of that information and
+    XLA inserts the collectives.
+    """
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    @classmethod
+    def create(
+        cls,
+        num_devices: int = 0,
+        ev_parallelism: int = 1,
+        devices: Optional[Sequence[jax.Device]] = None,
+    ) -> "ResourceManager":
+        if devices is None:
+            devices = jax.devices()
+        if num_devices <= 0:
+            num_devices = len(devices)
+        devices = list(devices)[:num_devices]
+        if ev_parallelism > 1:
+            if num_devices % ev_parallelism:
+                raise ValueError(
+                    f"num_devices={num_devices} not divisible by "
+                    f"ev_parallelism={ev_parallelism}"
+                )
+            dev_array = np.asarray(devices).reshape(
+                num_devices // ev_parallelism, ev_parallelism
+            )
+            mesh = Mesh(dev_array, (DATA_AXIS, EV_AXIS))
+        else:
+            mesh = Mesh(np.asarray(devices), (DATA_AXIS,))
+        return cls(mesh)
+
+    # ---- mesh facts -------------------------------------------------------
+    @property
+    def num_devices(self) -> int:
+        return self.mesh.size
+
+    @property
+    def data_parallel_size(self) -> int:
+        return self.mesh.shape[DATA_AXIS]
+
+    @property
+    def ev_parallel_size(self) -> int:
+        return self.mesh.shape.get(EV_AXIS, 1)
+
+    @property
+    def num_processes(self) -> int:
+        return jax.process_count()
+
+    @property
+    def process_index(self) -> int:
+        return jax.process_index()
+
+    def is_master_process(self) -> bool:
+        return self.process_index == 0
+
+    # ---- canonical shardings ---------------------------------------------
+    def sharding(self, spec: P) -> NamedSharding:
+        return NamedSharding(self.mesh, spec)
+
+    def batch_sharding(self) -> NamedSharding:
+        """Batch-dim sharded over the data axis (activations, inputs)."""
+        return self.sharding(P(DATA_AXIS))
+
+    def replicated_sharding(self) -> NamedSharding:
+        return self.sharding(P())
+
+    def row_sharding(self) -> NamedSharding:
+        """Row-sharded over the data axis (MP embedding shards)."""
+        return self.sharding(P(DATA_AXIS, None))
+
+
+_default_rm: Optional[ResourceManager] = None
+
+
+def default_resource_manager() -> ResourceManager:
+    global _default_rm
+    if _default_rm is None:
+        _default_rm = ResourceManager.create()
+    return _default_rm
+
+
+def set_default_resource_manager(rm: ResourceManager) -> None:
+    global _default_rm
+    _default_rm = rm

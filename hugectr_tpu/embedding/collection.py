@@ -1,0 +1,469 @@
+"""TPU-native embedding collection.
+
+This is the analog of the reference's modern embedding engine
+(HugeCTR/embedding/embedding_collection.*, model_parallel_embedding.cpp,
+data_parallel_embedding.cpp, data_distributor/*), redesigned for XLA SPMD:
+
+  Model-parallel groups (row-sharded tables over the ``data`` mesh axis):
+    forward  = all_gather(keys) -> masked local gather + per-lookup pooling
+               of partial sums -> psum_scatter(partials)
+    backward = all_gather(d_out) -> per-slot gradient expansion -> masked
+               row-gradient list -> sort/segment dedup -> per-row sparse
+               optimizer update of the local shard.
+
+  This replaces the reference's ragged NCCL all-to-all pipeline
+  (filter_before_all2all -> all2all keys -> lookup -> all2all vectors ->
+  combiner) with fixed-shape ICI collectives of identical asymptotic volume
+  for fully-sharded tables: psum_scatter of pooled partials moves the same
+  bytes the reference's vector all2all + local reduce does, and XLA overlaps
+  it with the dense network automatically.
+
+  Data-parallel groups (replicated small tables):
+    forward  = local gather + pooling (no collective)
+    backward = all_gather(row grads) -> identical sparse update on every
+               device (keeps replicas bit-identical; analog of the
+               reference's DP-wgrad allreduce, Stage::DPAllreduce).
+
+Keys arrive in fixed-hotness layout [batch, hotness] padded with INVALID_KEY
+(-1); this is the XLA-friendly equivalent of the reference's bucket-range CSR.
+Dynamic tables (max_vocabulary_size == -1) use a fixed-capacity hashing-trick
+placement (murmur-style mix), the compiled-world analog of the reference's
+DynamicEmbeddingTable.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..core.mesh import DATA_AXIS, ResourceManager
+from ..core.types import Combiner_t, INVALID_KEY
+from ..optim.params import OptParams
+from ..parallel.plan import CompiledEmbeddingPlan, GroupPlan
+from . import sparse_optimizer
+
+Array = jax.Array
+
+
+def _hash_mix(k: Array) -> Array:
+    """Murmur3-finalizer integer mix for dynamic-table key placement."""
+    k = k.astype(jnp.uint32)
+    k = k ^ (k >> 16)
+    k = k * jnp.uint32(0x85EBCA6B)
+    k = k ^ (k >> 13)
+    k = k * jnp.uint32(0xC2B2AE35)
+    k = k ^ (k >> 16)
+    return k
+
+
+class _GroupMeta:
+    """Device-side constants for one group (captured into jit)."""
+
+    def __init__(self, g: GroupPlan):
+        self.plan = g
+        self.slot_local_offset = jnp.asarray(g.slot_local_offset, dtype=jnp.int32)
+        # int32 key math; i64 keys fold through the hash path. Vocab sizes
+        # beyond 2^31 rows/table require jax_enable_x64 (future knob).
+        self.slot_vocab = jnp.asarray(g.slot_vocab, dtype=jnp.int32)
+        self.slot_rows = jnp.asarray(
+            g.rows_per_shard[g.slot_table], dtype=jnp.int32
+        )
+        self.slot_dynamic = jnp.asarray(g.slot_is_dynamic)
+        self.any_dynamic = bool(g.slot_is_dynamic.any())
+        self.any_static = bool((~g.slot_is_dynamic).any())
+
+
+class EmbeddingCollection:
+    """Owns compiled plan + mesh and builds the jittable fwd/bwd functions."""
+
+    def __init__(
+        self,
+        plan: CompiledEmbeddingPlan,
+        rm: ResourceManager,
+        opt: OptParams,
+        dtype=jnp.float32,
+    ):
+        self.plan = plan
+        self.rm = rm
+        self.opt = opt
+        self.dtype = dtype
+        self._meta = {g.name: _GroupMeta(g) for g in plan.groups}
+        # per-group optimizer (table-level override must be group-uniform)
+        self.group_opt: Dict[str, OptParams] = {}
+        for g in plan.groups:
+            opts = {id(t.opt_params): t.opt_params for t in g.tables if t.opt_params}
+            if len(opts) > 1:
+                raise ValueError(
+                    f"group {g.name}: tables with different opt_params must "
+                    "not share a (placement, ev_size) group"
+                )
+            self.group_opt[g.name] = next(iter(opts.values())) if opts else opt
+
+    # ------------------------------------------------------------------ init
+    def init(self, key: Array) -> Dict[str, Array]:
+        """Initialize sharded table storage. Returns {group_name: [rows, ev]}."""
+        tables = {}
+        for g in self.plan.groups:
+            key, sub = jax.random.split(key)
+            sharding = (
+                self.rm.row_sharding()
+                if g.is_model_parallel
+                else self.rm.replicated_sharding()
+            )
+            rows = g.total_storage_rows
+            scales = self._row_init_scales(g)
+
+            def make(sub=sub, rows=rows, g=g, scales=scales):
+                t = jax.random.uniform(
+                    sub, (rows, g.ev_size), dtype=self.dtype, minval=-1.0, maxval=1.0
+                )
+                return t * jnp.asarray(scales, dtype=self.dtype)[:, None]
+
+            tables[g.name] = jax.jit(make, out_shardings=sharding)()
+        return tables
+
+    def _row_init_scales(self, g: GroupPlan) -> np.ndarray:
+        """Per-row uniform init scale; default 1/sqrt(ev_size) per table."""
+        scales = np.zeros(g.total_storage_rows, dtype=np.float32)
+        n_rep = g.num_shards if g.is_model_parallel else 1
+        for ti, t in enumerate(g.tables):
+            s = t.init_scale if t.init_scale is not None else 1.0 / np.sqrt(t.ev_size)
+            for shard in range(n_rep):
+                base = shard * g.total_local_rows + int(g.local_offsets[ti])
+                scales[base : base + int(g.rows_per_shard[ti])] = s
+        return scales
+
+    def init_optimizer(self, tables: Dict[str, Array]) -> Dict[str, Dict[str, Array]]:
+        state = {}
+        for g in self.plan.groups:
+            sharding = (
+                self.rm.row_sharding()
+                if g.is_model_parallel
+                else self.rm.replicated_sharding()
+            )
+            opt = self.group_opt[g.name]
+            rows = g.total_storage_rows
+
+            def make(rows=rows, g=g, opt=opt):
+                return sparse_optimizer.init_state(opt, rows, g.ev_size, self.dtype)
+
+            st = jax.jit(make, out_shardings=None)()
+            state[g.name] = jax.tree.map(
+                lambda x: jax.device_put(x, sharding), st
+            )
+        return state
+
+    # ------------------------------------------------------------- slot math
+    def _slot_placement(
+        self, meta: _GroupMeta, keys: Array, num_shards: int
+    ) -> Tuple[Array, Array, Array]:
+        """Compute (valid, owner_shard, local_row) for [B, H] keys."""
+        g = meta.plan
+        valid = keys != INVALID_KEY
+        k32 = keys.astype(jnp.int32)
+        # static tables: wrap out-of-range keys (documented; keys should be
+        # table-local already)
+        k_static = jnp.where(valid, k32 % meta.slot_vocab[None, :], 0)
+        owner_s = (k_static % num_shards).astype(jnp.int32)
+        row_s = (k_static // num_shards).astype(jnp.int32)
+        if meta.any_dynamic:
+            h = _hash_mix(keys)
+            owner_d = (h % jnp.uint32(num_shards)).astype(jnp.int32)
+            row_d = (
+                (h // jnp.uint32(num_shards))
+                % meta.slot_rows[None, :].astype(jnp.uint32)
+            ).astype(jnp.int32)
+            dyn = meta.slot_dynamic[None, :]
+            owner = jnp.where(dyn, owner_d, owner_s)
+            row = jnp.where(dyn, row_d, row_s)
+        else:
+            owner, row = owner_s, row_s
+        local_row = row + meta.slot_local_offset[None, :]
+        return valid, owner, local_row
+
+    # ------------------------------------------------------------ pooling
+    def _pool(self, g: GroupPlan, rows: Array, valid: Array) -> Array:
+        """[B, H, E] masked rows -> [B, W] per-lookup pooled output."""
+        b = rows.shape[0]
+        outs: List[Array] = []
+        for lm in g.lookups:
+            w = rows[:, lm.slot_begin : lm.slot_end, :]
+            if lm.combiner == Combiner_t.Concat:
+                outs.append(w.reshape(b, -1))
+            else:
+                s = jnp.sum(w, axis=1)
+                if lm.combiner == Combiner_t.Mean:
+                    cnt = jnp.sum(
+                        valid[:, lm.slot_begin : lm.slot_end].astype(s.dtype),
+                        axis=1,
+                        keepdims=True,
+                    )
+                    s = s / jnp.maximum(cnt, 1.0)
+                outs.append(s)
+        return jnp.concatenate(outs, axis=1)
+
+    def _unpool(self, g: GroupPlan, d_out: Array, valid: Array) -> Array:
+        """[B, W] output grads -> [B, H, E] per-slot row gradients."""
+        b = d_out.shape[0]
+        parts: List[Array] = []
+        for lm in g.lookups:
+            d = d_out[:, lm.out_begin : lm.out_end]
+            h = lm.slot_end - lm.slot_begin
+            if lm.combiner == Combiner_t.Concat:
+                parts.append(d.reshape(b, h, g.ev_size))
+            else:
+                d = d.reshape(b, 1, g.ev_size)
+                if lm.combiner == Combiner_t.Mean:
+                    cnt = jnp.sum(
+                        valid[:, lm.slot_begin : lm.slot_end].astype(d.dtype),
+                        axis=1,
+                        keepdims=True,
+                    )[..., None]
+                    d = d / jnp.maximum(cnt, 1.0)
+                parts.append(jnp.broadcast_to(d, (b, h, g.ev_size)))
+        return jnp.concatenate(parts, axis=1)
+
+    # ------------------------------------------------------------- forward
+    def forward(
+        self, tables: Dict[str, Array], feature_keys: Dict[str, Array]
+    ) -> Dict[str, Array]:
+        """Embedding forward.
+
+        Args:
+          tables: {group_name: storage array} from `init`.
+          feature_keys: {bottom_name: [B, hotness] int keys, -1 padded},
+            batch-sharded over the data axis.
+
+        Returns:
+          {top_name: [B, out_width]} per-lookup outputs, batch-sharded.
+        """
+        group_outs: Dict[str, Array] = {}
+        for g in self.plan.groups:
+            keys = self._group_keys(g, feature_keys)
+            if g.is_model_parallel and self.rm.data_parallel_size > 1:
+                fn = shard_map(
+                    functools.partial(self._mp_fwd_local, g.name),
+                    mesh=self.rm.mesh,
+                    in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+                    out_specs=P(DATA_AXIS, None),
+                    check_vma=False,
+                )
+                group_outs[g.name] = fn(tables[g.name], keys)
+            else:
+                # single shard or data-parallel: purely local
+                group_outs[g.name] = self._dp_fwd(g.name, tables[g.name], keys)
+        # slice per-lookup tops
+        outs: Dict[str, Array] = {}
+        for g in self.plan.groups:
+            go = group_outs[g.name]
+            for lm in g.lookups:
+                outs[lm.top_name] = go[:, lm.out_begin : lm.out_end]
+        return outs
+
+    def _group_keys(self, g: GroupPlan, feature_keys: Dict[str, Array]) -> Array:
+        cols = []
+        for lm in g.lookups:
+            k = feature_keys[lm.bottom_name]
+            if k.ndim == 1:
+                k = k[:, None]
+            if k.shape[1] != lm.hotness:
+                raise ValueError(
+                    f"feature {lm.bottom_name}: hotness {k.shape[1]} != "
+                    f"lookup max_hotness {lm.hotness}"
+                )
+            cols.append(k)
+        return jnp.concatenate(cols, axis=1)
+
+    def _mp_fwd_local(self, gname: str, table_shard: Array, keys_loc: Array) -> Array:
+        g = self._meta[gname].plan
+        meta = self._meta[gname]
+        n = self.rm.data_parallel_size
+        my = jax.lax.axis_index(DATA_AXIS)
+        keys = jax.lax.all_gather(keys_loc, DATA_AXIS, axis=0, tiled=True)
+        valid, owner, local_row = self._slot_placement(meta, keys, n)
+        mine = valid & (owner == my)
+        safe = jnp.where(mine, local_row, 0)
+        rows = table_shard[safe] * mine[..., None].astype(table_shard.dtype)
+        partial = self._pool(g, rows, valid)
+        return jax.lax.psum_scatter(
+            partial, DATA_AXIS, scatter_dimension=0, tiled=True
+        )
+
+    def _dp_fwd(self, gname: str, table: Array, keys: Array) -> Array:
+        g = self._meta[gname].plan
+        meta = self._meta[gname]
+        valid, _owner, local_row = self._slot_placement(meta, keys, 1)
+        safe = jnp.where(valid, local_row, 0)
+        rows = table[safe] * valid[..., None].astype(table.dtype)
+        return self._pool(g, rows, valid)
+
+    # ------------------------------------------------- backward + update
+    def backward_and_update(
+        self,
+        tables: Dict[str, Array],
+        opt_state: Dict[str, Dict[str, Array]],
+        feature_keys: Dict[str, Array],
+        d_outs: Dict[str, Array],
+        lr: Array,
+        step: Array,
+    ) -> Tuple[Dict[str, Array], Dict[str, Dict[str, Array]]]:
+        """Fused embedding backward + sparse optimizer update.
+
+        d_outs: {top_name: [B, out_width]} cotangents from the dense network.
+        """
+        new_tables = dict(tables)
+        new_state = dict(opt_state)
+        lr = jnp.asarray(lr, dtype=self.dtype)
+        step = jnp.asarray(step)
+        for g in self.plan.groups:
+            keys = self._group_keys(g, feature_keys)
+            d_group = jnp.concatenate(
+                [d_outs[lm.top_name].astype(self.dtype) for lm in g.lookups], axis=1
+            )
+            if g.is_model_parallel and self.rm.data_parallel_size > 1:
+                fn = shard_map(
+                    functools.partial(self._mp_bwd_local, g.name),
+                    mesh=self.rm.mesh,
+                    in_specs=(
+                        P(DATA_AXIS, None),
+                        jax.tree.map(lambda _: P(DATA_AXIS, None), opt_state[g.name]),
+                        P(DATA_AXIS, None),
+                        P(DATA_AXIS, None),
+                        P(),
+                        P(),
+                    ),
+                    out_specs=(
+                        P(DATA_AXIS, None),
+                        jax.tree.map(lambda _: P(DATA_AXIS, None), opt_state[g.name]),
+                    ),
+                    check_vma=False,
+                )
+                new_tables[g.name], new_state[g.name] = fn(
+                    tables[g.name], opt_state[g.name], keys, d_group, lr, step
+                )
+            elif self.rm.data_parallel_size > 1:
+                fn = shard_map(
+                    functools.partial(self._dp_bwd_local, g.name),
+                    mesh=self.rm.mesh,
+                    in_specs=(
+                        P(),
+                        jax.tree.map(lambda _: P(), opt_state[g.name]),
+                        P(DATA_AXIS, None),
+                        P(DATA_AXIS, None),
+                        P(),
+                        P(),
+                    ),
+                    out_specs=(
+                        P(),
+                        jax.tree.map(lambda _: P(), opt_state[g.name]),
+                    ),
+                    check_vma=False,
+                )
+                new_tables[g.name], new_state[g.name] = fn(
+                    tables[g.name], opt_state[g.name], keys, d_group, lr, step
+                )
+            else:
+                new_tables[g.name], new_state[g.name] = self._bwd_single(
+                    g.name, tables[g.name], opt_state[g.name], keys, d_group, lr, step
+                )
+        return new_tables, new_state
+
+    def _row_grads(
+        self, gname: str, keys: Array, d_group: Array, num_shards: int, my
+    ) -> Tuple[Array, Array]:
+        """Shared bwd math: (flat row idx with sentinel, flat [K, E] grads)."""
+        meta = self._meta[gname]
+        g = meta.plan
+        valid, owner, local_row = self._slot_placement(meta, keys, num_shards)
+        mine = valid if my is None else (valid & (owner == my))
+        d_rows = self._unpool(g, d_group, valid)
+        idx = jnp.where(mine, local_row, g.total_local_rows).reshape(-1)
+        grads = (d_rows * mine[..., None].astype(d_rows.dtype)).reshape(
+            -1, g.ev_size
+        )
+        return idx, grads
+
+    def _mp_bwd_local(self, gname, table_shard, state, keys_loc, d_loc, lr, step):
+        my = jax.lax.axis_index(DATA_AXIS)
+        keys = jax.lax.all_gather(keys_loc, DATA_AXIS, axis=0, tiled=True)
+        d_group = jax.lax.all_gather(d_loc, DATA_AXIS, axis=0, tiled=True)
+        idx, grads = self._row_grads(
+            gname, keys, d_group, self.rm.data_parallel_size, my
+        )
+        opt = self.group_opt[gname]
+        return sparse_optimizer.apply_sparse(
+            opt, table_shard, state, idx, grads, lr, step
+        )
+
+    def _dp_bwd_local(self, gname, table, state, keys_loc, d_loc, lr, step):
+        # Replicated tables: every device applies the update for the GLOBAL
+        # batch so replicas stay bit-identical (analog of DP wgrad allreduce).
+        keys = jax.lax.all_gather(keys_loc, DATA_AXIS, axis=0, tiled=True)
+        d_group = jax.lax.all_gather(d_loc, DATA_AXIS, axis=0, tiled=True)
+        idx, grads = self._row_grads(gname, keys, d_group, 1, None)
+        opt = self.group_opt[gname]
+        return sparse_optimizer.apply_sparse(opt, table, state, idx, grads, lr, step)
+
+    def _bwd_single(self, gname, table, state, keys, d_group, lr, step):
+        idx, grads = self._row_grads(gname, keys, d_group, 1, None)
+        opt = self.group_opt[gname]
+        return sparse_optimizer.apply_sparse(opt, table, state, idx, grads, lr, step)
+
+    # ------------------------------------------------------------- IO paths
+    def export_table(
+        self, tables: Dict[str, Array], table_name: str
+    ) -> np.ndarray:
+        """Gather one logical table to a dense [vocab, ev] host array.
+
+        Analog of EmbeddingParameterIO dump
+        (embedding_storage/weight_io/parameter_IO.cpp).
+        """
+        g, ti = self._find_table(table_name)
+        vocab = int(g.table_vocab[ti])
+        idx = self._table_storage_rows(g, ti, vocab)
+        return np.asarray(jnp.take(tables[g.name], jnp.asarray(idx), axis=0))
+
+    def import_table(
+        self, tables: Dict[str, Array], table_name: str, values: np.ndarray
+    ) -> Dict[str, Array]:
+        g, ti = self._find_table(table_name)
+        vocab = int(g.table_vocab[ti])
+        if values.shape != (vocab, g.ev_size):
+            raise ValueError(
+                f"table {table_name}: expected {(vocab, g.ev_size)}, "
+                f"got {values.shape}"
+            )
+        idx = self._table_storage_rows(g, ti, vocab)
+        sharding = (
+            self.rm.row_sharding()
+            if g.is_model_parallel
+            else self.rm.replicated_sharding()
+        )
+        updated = tables[g.name].at[jnp.asarray(idx)].set(
+            jnp.asarray(values, dtype=self.dtype)
+        )
+        new = dict(tables)
+        new[g.name] = jax.device_put(updated, sharding)
+        return new
+
+    def _find_table(self, table_name: str) -> Tuple[GroupPlan, int]:
+        for g in self.plan.groups:
+            for ti, t in enumerate(g.tables):
+                if t.name == table_name:
+                    return g, ti
+        raise KeyError(table_name)
+
+    def _table_storage_rows(self, g: GroupPlan, ti: int, vocab: int) -> np.ndarray:
+        keys = np.arange(vocab, dtype=np.int32)
+        if g.is_model_parallel:
+            shard = keys % g.num_shards
+            row = keys // g.num_shards
+            return (shard * g.total_local_rows + int(g.local_offsets[ti]) + row).astype(
+                np.int32
+            )
+        return (int(g.local_offsets[ti]) + keys).astype(np.int32)

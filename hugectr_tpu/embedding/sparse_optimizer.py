@@ -1,0 +1,168 @@
+"""Sparse (per-unique-row) embedding optimizers.
+
+TPU-native analog of the reference's fused per-row update kernels
+(HugeCTR/embedding_storage/optimizers.cuh:29-230). Duplicate row indices are
+combined by sort + segment-sum ("local reduce", reference:
+embedding/operators/index_calculation.cu) so stateful optimizers see exactly
+one summed gradient per touched row; rows carrying the sentinel index (>= R)
+are dropped by out-of-bounds scatter semantics.
+
+Everything here is shape-static and jit-friendly: the dedup works on the
+fixed-capacity [K] gradient list, not on a dynamic number of unique rows.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Optimizer_t
+from ..optim.params import OptParams
+
+Array = jax.Array
+State = Dict[str, Array]
+
+
+def init_state(opt: OptParams, rows: int, ev: int, dtype=jnp.float32) -> State:
+    """Allocate per-row optimizer state for a [rows, ev] table shard."""
+    kind = opt.optimizer
+    z = lambda: jnp.zeros((rows, ev), dtype=dtype)
+    if kind == Optimizer_t.SGD:
+        return {}
+    if kind in (Optimizer_t.MomentumSGD, Optimizer_t.Nesterov):
+        return {"m": z()}
+    if kind == Optimizer_t.AdaGrad:
+        return {"accum": jnp.full((rows, ev), opt.initial_accu_value, dtype=dtype)}
+    if kind == Optimizer_t.RMSProp:
+        return {"v": z()}
+    if kind == Optimizer_t.Adam:
+        return {"m": z(), "v": z()}
+    if kind == Optimizer_t.FTRL:
+        return {"z": z(), "n": z()}
+    raise ValueError(f"unsupported sparse optimizer {kind}")
+
+
+def dedup_rows(idx: Array, grads: Array, sentinel: int) -> Tuple[Array, Array]:
+    """Combine gradients of duplicate rows.
+
+    Args:
+      idx: [K] int32/int64 row indices; invalid entries == sentinel.
+      grads: [K, E] row gradients.
+      sentinel: out-of-range row id marking invalid entries.
+
+    Returns:
+      (unique_idx [K], summed_grads [K, E]) where each segment's summed
+      gradient sits at the segment's slot and all non-head slots carry the
+      sentinel index (so downstream scatters drop them).
+    """
+    k = idx.shape[0]
+    order = jnp.argsort(idx)
+    sidx = idx[order]
+    sgrads = grads[order]
+    head = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sidx[1:] != sidx[:-1]]
+    )
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1  # [K] segment ids in [0, K)
+    summed = jax.ops.segment_sum(sgrads, seg, num_segments=k)
+    # Representative row id per segment; empty segments get int-max -> clamp
+    # to sentinel so their (zero) gradients are dropped.
+    urow = jax.ops.segment_min(sidx, seg, num_segments=k)
+    urow = jnp.minimum(urow, jnp.asarray(sentinel, dtype=urow.dtype))
+    return urow, summed
+
+
+def apply_sparse(
+    opt: OptParams,
+    table: Array,
+    state: State,
+    idx: Array,
+    grads: Array,
+    lr: Array,
+    step: Array,
+) -> Tuple[Array, State]:
+    """Apply one sparse update for (possibly duplicated) row gradients.
+
+    Args:
+      table: [R, E] local table shard.
+      state: per-row optimizer state dict of [R, E] arrays.
+      idx: [K] row indices into table; invalid entries must be >= R.
+      grads: [K, E] gradients (already scaled by any loss scaler).
+      lr: scalar learning rate.
+      step: scalar global step (1-based) for Adam bias correction.
+    """
+    rows = table.shape[0]
+    idx = idx.astype(jnp.int32) if rows < 2**31 else idx
+    uidx, g = dedup_rows(idx, grads.astype(table.dtype), sentinel=rows)
+    kind = opt.optimizer
+
+    def gather(a: Array) -> Array:
+        return a.at[uidx].get(mode="fill", fill_value=0)
+
+    def scatter_set(a: Array, vals: Array) -> Array:
+        return a.at[uidx].set(vals, mode="drop")
+
+    def scatter_add(a: Array, vals: Array) -> Array:
+        return a.at[uidx].add(vals, mode="drop")
+
+    if kind == Optimizer_t.SGD:
+        return scatter_add(table, -lr * g), state
+
+    if kind == Optimizer_t.MomentumSGD:
+        m_rows = opt.momentum_factor * gather(state["m"]) - lr * g
+        return scatter_add(table, m_rows), {"m": scatter_set(state["m"], m_rows)}
+
+    if kind == Optimizer_t.Nesterov:
+        m_old = gather(state["m"])
+        m_new = opt.momentum_factor * m_old - lr * g
+        delta = opt.momentum_factor * m_new - lr * g
+        return scatter_add(table, delta), {"m": scatter_set(state["m"], m_new)}
+
+    if kind == Optimizer_t.AdaGrad:
+        accum = gather(state["accum"]) + g * g
+        delta = -lr * g / (jnp.sqrt(accum) + opt.epsilon)
+        return (
+            scatter_add(table, delta),
+            {"accum": scatter_set(state["accum"], accum)},
+        )
+
+    if kind == Optimizer_t.RMSProp:
+        v = opt.beta * gather(state["v"]) + (1.0 - opt.beta) * g * g
+        delta = -lr * g / (jnp.sqrt(v) + opt.epsilon)
+        return scatter_add(table, delta), {"v": scatter_set(state["v"], v)}
+
+    if kind == Optimizer_t.Adam:
+        # Lazy per-row moments with global-step bias correction
+        # (Update_t::LazyGlobal semantics; untouched rows keep stale moments).
+        t = step.astype(table.dtype)
+        m = opt.beta1 * gather(state["m"]) + (1.0 - opt.beta1) * g
+        v = opt.beta2 * gather(state["v"]) + (1.0 - opt.beta2) * g * g
+        mhat = m / (1.0 - opt.beta1**t)
+        vhat = v / (1.0 - opt.beta2**t)
+        delta = -lr * mhat / (jnp.sqrt(vhat) + opt.epsilon)
+        return scatter_add(table, delta), {
+            "m": scatter_set(state["m"], m),
+            "v": scatter_set(state["v"], v),
+        }
+
+    if kind == Optimizer_t.FTRL:
+        # FTRL-proximal (reference semantics: optimizers.cuh:205
+        # ftrl_update_grad_kernel).
+        w = gather(table)
+        n_old = gather(state["n"])
+        z_old = gather(state["z"])
+        n_new = n_old + g * g
+        sigma = (jnp.sqrt(n_new) - jnp.sqrt(n_old)) / lr
+        z_new = z_old + g - sigma * w
+        denom = (opt.ftrl_beta + jnp.sqrt(n_new)) / lr + opt.lambda2
+        w_new = jnp.where(
+            jnp.abs(z_new) > opt.lambda1,
+            -(z_new - jnp.sign(z_new) * opt.lambda1) / denom,
+            jnp.zeros_like(z_new),
+        )
+        return scatter_set(table, w_new), {
+            "z": scatter_set(state["z"], z_new),
+            "n": scatter_set(state["n"], n_new),
+        }
+
+    raise ValueError(f"unsupported sparse optimizer {kind}")

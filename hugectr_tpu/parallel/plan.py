@@ -1,0 +1,281 @@
+"""Embedding sharding-plan compiler.
+
+Turns user-level table/lookup configs plus a shard strategy into static,
+jit-friendly metadata consumed by the embedding collection.
+
+Semantics mirrored from the reference (not the implementation):
+  - `shard_strategy = [("mp"|"dp", [table names...])]` — reference:
+    docs/source/api/hugectr_layer_book.md:1212-1231 and
+    HugeCTR/embedding/common.hpp:206-268 (EmbeddingCollectionParam).
+  - MP tables are row-sharded round-robin over devices: key `k` is owned by
+    device `k % num_shards` at local row `k // num_shards` — reference:
+    HugeCTR/embedding/data_distributor/data_compression_operators.cu
+    (shard partitioner) and embedding/common.hpp:253-267.
+  - DP tables are replicated on every device with dense-allreduced gradients —
+    reference: HugeCTR/embedding/data_parallel_embedding.cpp.
+  - Lookups into tables with heterogeneous ev_size are bucketed into grouped
+    lookups — reference: grouped_lookup_params in embedding/common.hpp.
+
+TPU-first design decisions (not in the reference):
+  - Within a group, all table shards are concatenated into ONE [rows, ev]
+    array so every lookup in the group is a single gather (XLA/MXU friendly).
+  - The ragged all-to-all of the reference is replaced by fixed-shape
+    all_gather(keys) -> local masked gather/pool -> psum_scatter(partials),
+    which is bandwidth-equivalent for fully-sharded tables and compiles to
+    ICI-optimal collectives.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.types import Combiner_t, TablePlacementStrategy
+
+INVALID_KEY = -1
+
+
+@dataclasses.dataclass
+class EmbeddingTableConfig:
+    """User-facing table config (reference:
+    include/embeddings/embedding_collection.hpp:33-95)."""
+
+    name: str
+    max_vocabulary_size: int  # -1 => dynamic (hash-capacity) table
+    ev_size: int
+    min_key: int = 0
+    max_key: int = -1
+    opt_params: Optional[object] = None  # per-table optimizer override
+    init_scale: Optional[float] = None  # default: 1/sqrt(ev_size)
+    # capacity used for dynamic tables (max_vocabulary_size == -1)
+    dynamic_capacity: int = 2 ** 22
+
+    @property
+    def is_dynamic(self) -> bool:
+        return self.max_vocabulary_size is None or self.max_vocabulary_size < 0
+
+    @property
+    def vocabulary_size(self) -> int:
+        if self.is_dynamic:
+            return self.dynamic_capacity
+        return self.max_vocabulary_size
+
+
+@dataclasses.dataclass
+class LookupConfig:
+    """One embedding lookup (reference: LookupParam,
+    embedding/common.hpp:155-168)."""
+
+    lookup_id: int
+    table: EmbeddingTableConfig
+    bottom_name: str  # sparse input feature name
+    top_name: str  # output tensor name
+    combiner: Combiner_t
+    max_hotness: int
+
+    @property
+    def out_width(self) -> int:
+        """Output feature width (columns * ev_size)."""
+        if self.combiner == Combiner_t.Concat:
+            return self.max_hotness * self.table.ev_size
+        return self.table.ev_size
+
+
+@dataclasses.dataclass
+class ShardingPlan:
+    """Strategy declaration: which tables are model-parallel vs data-parallel.
+
+    `column_factors` (table -> factor) column-shards a table's embedding
+    vector across an `ev` mesh axis (reference:
+    split_column_wise_sharding_config,
+    src/embeddings/embedding_collection.cpp:25-130).
+    """
+
+    strategy: List[Tuple[str, List[str]]]
+    column_factors: Dict[str, int] = dataclasses.field(default_factory=dict)
+
+    def placement_of(self, table_name: str) -> TablePlacementStrategy:
+        for kind, names in self.strategy:
+            if table_name in names:
+                return TablePlacementStrategy(kind)
+        # default: model parallel (safe for any size)
+        return TablePlacementStrategy.ModelParallel
+
+
+@dataclasses.dataclass
+class LookupMeta:
+    """Per-lookup static metadata inside a group."""
+
+    lookup_id: int
+    table_index: int  # index into group's table list
+    combiner: Combiner_t
+    hotness: int
+    slot_begin: int  # window in the group's concatenated hotness axis
+    slot_end: int
+    out_begin: int  # window in the group's output feature axis
+    out_end: int
+    top_name: str
+    bottom_name: str
+
+
+@dataclasses.dataclass
+class GroupPlan:
+    """Compiled static plan for one (placement, ev_size) group."""
+
+    name: str
+    placement: TablePlacementStrategy
+    ev_size: int
+    tables: List[EmbeddingTableConfig]
+    lookups: List[LookupMeta]
+    num_shards: int
+    # static numpy metadata
+    table_vocab: np.ndarray  # [T] global vocab per table
+    rows_per_shard: np.ndarray  # [T] local rows per table per shard
+    local_offsets: np.ndarray  # [T] row offset of each table in local storage
+    total_local_rows: int  # R: rows in the per-device storage
+    slot_table: np.ndarray  # [H] table index per slot
+    slot_local_offset: np.ndarray  # [H] local row offset per slot
+    slot_vocab: np.ndarray  # [H] vocab of the slot's table (for bound checks)
+    slot_is_dynamic: np.ndarray  # [H] bool, dynamic (hashed) table slot
+    hotness_total: int  # H
+    out_width: int  # W: group output feature width
+
+    @property
+    def is_model_parallel(self) -> bool:
+        return self.placement == TablePlacementStrategy.ModelParallel
+
+    @property
+    def total_storage_rows(self) -> int:
+        """Global rows of the concatenated storage array."""
+        if self.is_model_parallel:
+            return self.total_local_rows * self.num_shards
+        return self.total_local_rows
+
+
+@dataclasses.dataclass
+class CompiledEmbeddingPlan:
+    groups: List[GroupPlan]
+    lookups: List[LookupConfig]  # in lookup_id order
+    num_shards: int
+
+    def group_of_lookup(self, lookup_id: int) -> Tuple[GroupPlan, LookupMeta]:
+        for g in self.groups:
+            for lm in g.lookups:
+                if lm.lookup_id == lookup_id:
+                    return g, lm
+        raise KeyError(lookup_id)
+
+    @property
+    def top_names(self) -> List[str]:
+        return [lk.top_name for lk in self.lookups]
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def compile_plan(
+    lookups: Sequence[LookupConfig],
+    plan: ShardingPlan,
+    num_shards: int,
+) -> CompiledEmbeddingPlan:
+    """Compile lookup configs + strategy into grouped static metadata.
+
+    Groups are keyed by (placement, ev_size): all lookups whose tables share a
+    placement and embedding-vector size are fused into a single storage array
+    and a single gather (analog of grouped_lookup_params/grouped table groups,
+    embedding/common.hpp:206-268).
+    """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    # Group keys in deterministic order of first appearance.
+    group_keys: List[Tuple[TablePlacementStrategy, int]] = []
+    group_lookups: Dict[Tuple[TablePlacementStrategy, int], List[LookupConfig]] = {}
+    for lk in lookups:
+        placement = plan.placement_of(lk.table.name)
+        if placement == TablePlacementStrategy.DataParallel and lk.table.is_dynamic:
+            raise ValueError(
+                f"dynamic table {lk.table.name} cannot be data-parallel"
+            )
+        key = (placement, lk.table.ev_size)
+        if key not in group_lookups:
+            group_lookups[key] = []
+            group_keys.append(key)
+        group_lookups[key].append(lk)
+
+    groups: List[GroupPlan] = []
+    for placement, ev_size in group_keys:
+        lks = group_lookups[(placement, ev_size)]
+        # Unique tables in first-appearance order (multiple lookups may share
+        # a table — reference: hugectr_layer_book.md:1138).
+        tables: List[EmbeddingTableConfig] = []
+        table_index: Dict[str, int] = {}
+        for lk in lks:
+            if lk.table.name not in table_index:
+                table_index[lk.table.name] = len(tables)
+                tables.append(lk.table)
+
+        shards = num_shards if placement == TablePlacementStrategy.ModelParallel else 1
+        table_vocab = np.array([t.vocabulary_size for t in tables], dtype=np.int64)
+        rows_per_shard = np.array(
+            [_ceil_div(int(v), shards) for v in table_vocab], dtype=np.int64
+        )
+        local_offsets = np.zeros(len(tables), dtype=np.int64)
+        if len(tables) > 1:
+            local_offsets[1:] = np.cumsum(rows_per_shard[:-1])
+        total_local_rows = int(rows_per_shard.sum())
+
+        lookup_metas: List[LookupMeta] = []
+        slot_table: List[int] = []
+        slot_cursor = 0
+        out_cursor = 0
+        for lk in lks:
+            ti = table_index[lk.table.name]
+            lm = LookupMeta(
+                lookup_id=lk.lookup_id,
+                table_index=ti,
+                combiner=lk.combiner,
+                hotness=lk.max_hotness,
+                slot_begin=slot_cursor,
+                slot_end=slot_cursor + lk.max_hotness,
+                out_begin=out_cursor,
+                out_end=out_cursor + lk.out_width,
+                top_name=lk.top_name,
+                bottom_name=lk.bottom_name,
+            )
+            lookup_metas.append(lm)
+            slot_table.extend([ti] * lk.max_hotness)
+            slot_cursor += lk.max_hotness
+            out_cursor += lk.out_width
+
+        slot_table_arr = np.array(slot_table, dtype=np.int32)
+        slot_local_offset = local_offsets[slot_table_arr].astype(np.int64)
+        slot_vocab = table_vocab[slot_table_arr]
+        slot_is_dynamic = np.array(
+            [tables[ti].is_dynamic for ti in slot_table_arr], dtype=bool
+        )
+
+        groups.append(
+            GroupPlan(
+                name=f"{placement.value}_ev{ev_size}",
+                placement=placement,
+                ev_size=ev_size,
+                tables=tables,
+                lookups=lookup_metas,
+                num_shards=num_shards,
+                table_vocab=table_vocab,
+                rows_per_shard=rows_per_shard,
+                local_offsets=local_offsets,
+                total_local_rows=total_local_rows,
+                slot_table=slot_table_arr,
+                slot_local_offset=slot_local_offset,
+                slot_vocab=slot_vocab,
+                slot_is_dynamic=slot_is_dynamic,
+                hotness_total=slot_cursor,
+                out_width=out_cursor,
+            )
+        )
+    return CompiledEmbeddingPlan(
+        groups=groups, lookups=list(lookups), num_shards=num_shards
+    )

@@ -1,0 +1,30 @@
+"""Test config: force a virtual 8-device CPU mesh for sharding tests.
+
+Must run before JAX backend initialization; the axon sitecustomize registers a
+TPU platform, so we override jax_platforms programmatically as well.
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    from hugectr_tpu.core.mesh import ResourceManager
+
+    return ResourceManager.create(num_devices=8)
+
+
+@pytest.fixture(scope="session")
+def mesh1():
+    from hugectr_tpu.core.mesh import ResourceManager
+
+    return ResourceManager.create(num_devices=1)

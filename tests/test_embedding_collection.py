@@ -1,0 +1,239 @@
+"""Embedding collection vs a dense NumPy reference.
+
+Mirrors the reference test strategy: GPU embedding collection checked against
+EmbeddingReferenceCPU (test/utest/embedding_collection/reference_embedding.hpp)
+— here, the sharded shard_map engine vs a plain dense-gather NumPy oracle.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hugectr_tpu.core.types import Combiner_t, Optimizer_t, INVALID_KEY
+from hugectr_tpu.optim.params import OptParams
+from hugectr_tpu.parallel.plan import (
+    EmbeddingTableConfig,
+    LookupConfig,
+    ShardingPlan,
+    compile_plan,
+)
+from hugectr_tpu.embedding.collection import EmbeddingCollection
+
+
+def make_lookups():
+    t0 = EmbeddingTableConfig(name="t0", max_vocabulary_size=100, ev_size=8)
+    t1 = EmbeddingTableConfig(name="t1", max_vocabulary_size=57, ev_size=8)
+    t2 = EmbeddingTableConfig(name="t2", max_vocabulary_size=31, ev_size=8)
+    return [
+        LookupConfig(0, t0, "f0", "e0", Combiner_t.Sum, 4),
+        LookupConfig(1, t1, "f1", "e1", Combiner_t.Mean, 3),
+        LookupConfig(2, t2, "f2", "e2", Combiner_t.Concat, 2),
+        # second lookup into t0 (shared table)
+        LookupConfig(3, t0, "f3", "e3", Combiner_t.Sum, 1),
+    ]
+
+
+def random_keys(rng, batch, hotness, vocab, pad_prob=0.3):
+    keys = rng.integers(0, vocab, size=(batch, hotness)).astype(np.int32)
+    mask = rng.random((batch, hotness)) < pad_prob
+    # keep at least one valid key per row
+    mask[:, 0] = False
+    keys[mask] = INVALID_KEY
+    return keys
+
+
+class NumpyEBC:
+    """Dense-gather oracle."""
+
+    def __init__(self, lookups, tables):
+        self.lookups = lookups
+        self.tables = {n: v.copy() for n, v in tables.items()}
+
+    def forward(self, feats):
+        outs = {}
+        for lk in self.lookups:
+            keys = feats[lk.bottom_name]
+            tab = self.tables[lk.table.name]
+            valid = keys != INVALID_KEY
+            safe = np.where(valid, keys, 0)
+            rows = tab[safe] * valid[..., None]
+            if lk.combiner == Combiner_t.Concat:
+                outs[lk.top_name] = rows.reshape(keys.shape[0], -1)
+            elif lk.combiner == Combiner_t.Mean:
+                cnt = np.maximum(valid.sum(1, keepdims=True), 1)
+                outs[lk.top_name] = rows.sum(1) / cnt
+            else:
+                outs[lk.top_name] = rows.sum(1)
+        return outs
+
+    def sgd_update(self, feats, d_outs, lr):
+        for lk in self.lookups:
+            keys = feats[lk.bottom_name]
+            d = d_outs[lk.top_name]
+            tab = self.tables[lk.table.name]
+            valid = keys != INVALID_KEY
+            b, h = keys.shape
+            e = tab.shape[1]
+            if lk.combiner == Combiner_t.Concat:
+                d_rows = d.reshape(b, h, e)
+            elif lk.combiner == Combiner_t.Mean:
+                cnt = np.maximum(valid.sum(1, keepdims=True), 1)[..., None]
+                d_rows = np.broadcast_to((d[:, None, :] / cnt), (b, h, e))
+            else:
+                d_rows = np.broadcast_to(d[:, None, :], (b, h, e))
+            for bi in range(b):
+                for hi in range(h):
+                    if valid[bi, hi]:
+                        tab[keys[bi, hi]] -= lr * d_rows[bi, hi]
+
+
+@pytest.mark.parametrize("strategy", ["all_mp", "all_dp", "mixed"])
+def test_forward_matches_oracle(mesh8, strategy):
+    lookups = make_lookups()
+    names = ["t0", "t1", "t2"]
+    if strategy == "all_mp":
+        plan = ShardingPlan(strategy=[("mp", names)])
+    elif strategy == "all_dp":
+        plan = ShardingPlan(strategy=[("dp", names)])
+    else:
+        plan = ShardingPlan(strategy=[("mp", ["t0"]), ("dp", ["t1", "t2"])])
+    compiled = compile_plan(lookups, plan, num_shards=mesh8.data_parallel_size)
+    ebc = EmbeddingCollection(compiled, mesh8, OptParams(Optimizer_t.SGD, lr=0.1))
+    tables = ebc.init(jax.random.key(0))
+
+    rng = np.random.default_rng(1)
+    batch = 32
+    feats = {
+        "f0": random_keys(rng, batch, 4, 100),
+        "f1": random_keys(rng, batch, 3, 57),
+        "f2": random_keys(rng, batch, 2, 31, pad_prob=0.0),
+        "f3": random_keys(rng, batch, 1, 100, pad_prob=0.0),
+    }
+    feats_dev = {
+        k: jax.device_put(v, mesh8.batch_sharding()) for k, v in feats.items()
+    }
+    outs = jax.jit(ebc.forward)(tables, feats_dev)
+
+    dense_tables = {n: ebc.export_table(tables, n) for n in names}
+    oracle = NumpyEBC(lookups, dense_tables)
+    ref = oracle.forward(feats)
+    for lk in lookups:
+        np.testing.assert_allclose(
+            np.asarray(outs[lk.top_name]), ref[lk.top_name], rtol=1e-5, atol=1e-5
+        )
+
+
+@pytest.mark.parametrize("strategy", ["all_mp", "mixed"])
+def test_sgd_backward_matches_oracle(mesh8, strategy):
+    lookups = make_lookups()
+    names = ["t0", "t1", "t2"]
+    if strategy == "all_mp":
+        plan = ShardingPlan(strategy=[("mp", names)])
+    else:
+        plan = ShardingPlan(strategy=[("mp", ["t0", "t1"]), ("dp", ["t2"])])
+    compiled = compile_plan(lookups, plan, num_shards=mesh8.data_parallel_size)
+    lr = 0.1
+    ebc = EmbeddingCollection(compiled, mesh8, OptParams(Optimizer_t.SGD, lr=lr))
+    tables = ebc.init(jax.random.key(0))
+    opt_state = ebc.init_optimizer(tables)
+
+    rng = np.random.default_rng(2)
+    batch = 32
+    feats = {
+        "f0": random_keys(rng, batch, 4, 100),
+        "f1": random_keys(rng, batch, 3, 57),
+        "f2": random_keys(rng, batch, 2, 31, pad_prob=0.0),
+        "f3": random_keys(rng, batch, 1, 100, pad_prob=0.0),
+    }
+    d_outs = {
+        "e0": rng.normal(size=(batch, 8)).astype(np.float32),
+        "e1": rng.normal(size=(batch, 8)).astype(np.float32),
+        "e2": rng.normal(size=(batch, 16)).astype(np.float32),
+        "e3": rng.normal(size=(batch, 8)).astype(np.float32),
+    }
+    dense_tables = {n: ebc.export_table(tables, n) for n in names}
+    oracle = NumpyEBC(lookups, dense_tables)
+    oracle.sgd_update(feats, d_outs, lr)
+
+    feats_dev = {
+        k: jax.device_put(v, mesh8.batch_sharding()) for k, v in feats.items()
+    }
+    d_dev = {k: jax.device_put(v, mesh8.batch_sharding()) for k, v in d_outs.items()}
+    step = jnp.asarray(1)
+    tables, opt_state = jax.jit(ebc.backward_and_update)(
+        tables, opt_state, feats_dev, d_dev, jnp.asarray(lr), step
+    )
+    for n in names:
+        np.testing.assert_allclose(
+            ebc.export_table(tables, n), oracle.tables[n], rtol=1e-4, atol=1e-5
+        )
+
+
+def test_matches_single_device(mesh8, mesh1):
+    """8-way sharded result == single-device result (numerics modulo order)."""
+    lookups = make_lookups()
+    plan = ShardingPlan(strategy=[("mp", ["t0", "t1"]), ("dp", ["t2"])])
+    rng = np.random.default_rng(3)
+    batch = 16
+    feats = {
+        "f0": random_keys(rng, batch, 4, 100),
+        "f1": random_keys(rng, batch, 3, 57),
+        "f2": random_keys(rng, batch, 2, 31, pad_prob=0.0),
+        "f3": random_keys(rng, batch, 1, 100, pad_prob=0.0),
+    }
+    outs = {}
+    for rm in (mesh8, mesh1):
+        compiled = compile_plan(lookups, plan, num_shards=rm.data_parallel_size)
+        ebc = EmbeddingCollection(compiled, rm, OptParams(Optimizer_t.SGD, lr=0.1))
+        tables = ebc.init(jax.random.key(0))
+        # force identical dense table contents across mesh sizes
+        dense = {
+            n: np.random.default_rng(7).normal(
+                size=(t.max_vocabulary_size, t.ev_size)
+            ).astype(np.float32)
+            for n, t in {
+                "t0": lookups[0].table,
+                "t1": lookups[1].table,
+                "t2": lookups[2].table,
+            }.items()
+        }
+        for n, v in dense.items():
+            tables = ebc.import_table(tables, n, v)
+        feats_dev = {
+            k: jax.device_put(v, rm.batch_sharding()) for k, v in feats.items()
+        }
+        outs[rm] = jax.jit(ebc.forward)(tables, feats_dev)
+    for top in ("e0", "e1", "e2", "e3"):
+        np.testing.assert_allclose(
+            np.asarray(outs[mesh8][top]),
+            np.asarray(outs[mesh1][top]),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+
+
+def test_adagrad_sparse_update_dedup(mesh1):
+    """Duplicate keys in one batch must see ONE summed-gradient update."""
+    t = EmbeddingTableConfig(name="t", max_vocabulary_size=10, ev_size=8)
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 4)]
+    plan = ShardingPlan(strategy=[("mp", ["t"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    opt = OptParams(Optimizer_t.AdaGrad, lr=0.5, initial_accu_value=0.0, epsilon=1e-7)
+    ebc = EmbeddingCollection(compiled, mesh1, opt)
+    tables = ebc.init(jax.random.key(0))
+    state = ebc.init_optimizer(tables)
+
+    # row 3 appears twice in one sample, row 5 once
+    keys = np.array([[3, 3, 5, INVALID_KEY]], dtype=np.int32)
+    d = np.ones((1, 8), dtype=np.float32)
+    before = ebc.export_table(tables, "t")
+    tables, state = jax.jit(ebc.backward_and_update)(
+        tables, state, {"f": keys}, {"e": d}, jnp.asarray(0.5), jnp.asarray(1)
+    )
+    after = ebc.export_table(tables, "t")
+    # grad for row 3 = 2.0 summed; adagrad: accum=(2)^2=4 -> delta=-0.5*2/2=-0.5
+    np.testing.assert_allclose(after[3] - before[3], -0.5, rtol=1e-5)
+    # row 5: accum=1 -> delta=-0.5
+    np.testing.assert_allclose(after[5] - before[5], -0.5, rtol=1e-5)
+    # untouched rows unchanged
+    np.testing.assert_allclose(after[0], before[0])
