@@ -1,0 +1,266 @@
+"""User-facing configuration objects.
+
+These mirror the reference's Python API surface (reference:
+HugeCTR/include/pybind/*.hpp, include/parser.hpp:62-100 for Solver,
+docs/source/api/python_interface.md) so a HugeCTR user can move over with
+minimal changes. They are plain dataclasses consumed by `hugectr_tpu.Model`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from .types import (
+    Activation_t,
+    Check_t,
+    Combiner_t,
+    DataReaderType_t,
+    Initializer_t,
+    Metric_t,
+    Regularizer_t,
+)
+
+
+@dataclasses.dataclass
+class Solver:
+    """Global training knobs (reference: include/parser.hpp:62-100)."""
+
+    model_name: str = ""
+    seed: int = 0
+    lr_policy: str = "fixed"
+    lr: float = 0.001
+    warmup_steps: int = 1
+    decay_start: int = 0
+    decay_steps: int = 1
+    decay_power: float = 2.0
+    end_lr: float = 0.0
+    max_eval_batches: int = 100
+    batchsize_eval: int = 2048
+    batchsize: int = 2048
+    vvgpu: List[List[int]] = dataclasses.field(default_factory=lambda: [[0]])
+    use_mixed_precision: bool = False
+    enable_tf32_compute: bool = False  # accepted for parity; XLA governs this
+    scaler: float = 1.0
+    metrics_spec: Dict[Metric_t, float] = dataclasses.field(
+        default_factory=lambda: {Metric_t.AUC: 1.0}
+    )
+    i64_input_key: bool = False
+    use_cuda_graph: bool = True  # parity no-op: jit tracing subsumes graphs
+    repeat_dataset: bool = True
+    perf_logging: bool = False
+    drop_incomplete_batch: bool = True
+    use_embedding_collection: bool = True
+    # TPU-specific
+    num_devices: int = 0  # 0 = all
+    ev_parallelism: int = 1
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.use_mixed_precision else jnp.float32
+
+
+@dataclasses.dataclass
+class DataReaderParams:
+    """Dataset declaration (reference: DataReaderParams pybind wrapper)."""
+
+    data_reader_type: DataReaderType_t = DataReaderType_t.Parquet
+    source: List[str] = dataclasses.field(default_factory=list)
+    eval_source: str = ""
+    check_type: Check_t = Check_t.Non
+    cache_eval_data: int = 0
+    num_samples: int = 0
+    eval_num_samples: int = 0
+    float_label_dense: bool = False
+    num_workers: int = 4
+    slot_size_array: List[int] = dataclasses.field(default_factory=list)
+    # RawAsync/multi-hot extras
+    async_param: Optional[Any] = None
+    # synthetic reader extras
+    synthetic_num_batches: int = 64
+
+    def __post_init__(self):
+        self.data_reader_type = DataReaderType_t(self.data_reader_type)
+        if isinstance(self.source, str):
+            self.source = [self.source]
+
+
+@dataclasses.dataclass
+class DataReaderSparseParam:
+    """One sparse input feature (reference: include/pybind/model.hpp Input).
+
+    `nnz_per_slot` may be an int (same hotness for each slot) or a list of
+    per-slot hotness. Each slot becomes an independent keyed feature named
+    `{top_name}.{i}` internally; `top_name` refers to the whole set.
+    """
+
+    top_name: str
+    nnz_per_slot: Any = 1
+    is_fixed_length: bool = True
+    slot_num: int = 1
+
+    def per_slot_nnz(self) -> List[int]:
+        if isinstance(self.nnz_per_slot, int):
+            return [self.nnz_per_slot] * self.slot_num
+        if len(self.nnz_per_slot) != self.slot_num:
+            raise ValueError(
+                f"{self.top_name}: len(nnz_per_slot) != slot_num"
+            )
+        return list(self.nnz_per_slot)
+
+
+@dataclasses.dataclass
+class Input:
+    """Input layer declaration (reference: add_input.cpp semantics)."""
+
+    label_dim: Any = 1  # int or List[int] for multi-label
+    label_name: Any = "label"  # str or List[str]
+    dense_dim: int = 13
+    dense_name: str = "dense"
+    data_reader_sparse_param_array: List[DataReaderSparseParam] = dataclasses.field(
+        default_factory=list
+    )
+    # multi-task label weights (reference: Model::compile(label_names, weights))
+    label_weights: Optional[Dict[str, float]] = None
+
+    def label_dims(self) -> List[int]:
+        return self.label_dim if isinstance(self.label_dim, list) else [self.label_dim]
+
+    def label_names(self) -> List[str]:
+        return (
+            self.label_name if isinstance(self.label_name, list) else [self.label_name]
+        )
+
+
+@dataclasses.dataclass
+class DenseLayerComputeConfig:
+    """Parity object; on TPU XLA owns wgrad scheduling so these are no-ops."""
+
+    async_wgrad: bool = False
+    fuse_wb: bool = False
+
+
+@dataclasses.dataclass
+class DenseLayer:
+    """Dense layer declaration — superset of the reference DenseLayer kwargs
+    (reference: src/pybind/add_dense_layer.cpp layer factory)."""
+
+    layer_type: str
+    bottom_names: List[str]
+    top_names: List[str]
+    # InnerProduct / MLP
+    num_output: int = 1
+    num_outputs: List[int] = dataclasses.field(default_factory=list)
+    use_bias: bool = True
+    biases: List[bool] = dataclasses.field(default_factory=list)
+    act_type: Activation_t = Activation_t.Relu
+    activations: List[Activation_t] = dataclasses.field(default_factory=list)
+    compute_config: DenseLayerComputeConfig = dataclasses.field(
+        default_factory=DenseLayerComputeConfig
+    )
+    # init
+    weight_init_type: Initializer_t = Initializer_t.Default
+    bias_init_type: Initializer_t = Initializer_t.Default
+    gamma_init_type: Initializer_t = Initializer_t.Default
+    beta_init_type: Initializer_t = Initializer_t.Default
+    # MultiCross
+    num_layers: int = 0
+    projection_dim: int = 0
+    # FmOrder2
+    out_dim: int = 0
+    # WeightMultiply
+    weight_dims: List[int] = dataclasses.field(default_factory=list)
+    # BatchNorm / LayerNorm / PReLU_Dice
+    factor: float = 1.0
+    eps: float = 1e-5
+    # Dropout
+    dropout_rate: float = 0.5
+    # ELU / PReLU_Dice
+    elu_alpha: float = 1.0
+    # Reshape
+    leading_dim: int = 0
+    time_step: int = 0
+    selected: bool = False
+    selected_slots: List[int] = dataclasses.field(default_factory=list)
+    shape: List[int] = dataclasses.field(default_factory=list)
+    # Select
+    dim: int = 1
+    index: List[int] = dataclasses.field(default_factory=list)
+    # Slice
+    ranges: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
+    # Concat / ReduceSum / ReduceMean / Scale / Softmax
+    axis: int = 1
+    # Gather
+    indices: List[int] = dataclasses.field(default_factory=list)
+    # GRU
+    batchsize: int = 0
+    SeqLength: int = 0
+    vector_size: int = 0
+    # MultiHeadAttention
+    num_attention_heads: int = 1
+    transpose_b: bool = False
+    # SequenceMask
+    max_sequence_len_from: int = 1
+    max_sequence_len_to: int = 1
+    # Losses
+    use_regularizer: bool = False
+    regularizer_type: Regularizer_t = Regularizer_t.L1
+    lambda_: float = 0.0
+    target_weight_vec: List[float] = dataclasses.field(default_factory=list)
+    # misc
+    pos_type: Optional[str] = None
+
+    def __post_init__(self):
+        # accept hugectr-style `lambda` kwarg via dict expansion
+        if isinstance(self.act_type, str):
+            self.act_type = Activation_t(self.act_type)
+        self.activations = [Activation_t(a) for a in self.activations]
+
+
+# Layer_t "enum" namespace mirroring `hugectr.Layer_t.*` usage.
+class Layer_t:
+    InnerProduct = "InnerProduct"
+    FusedInnerProduct = "FusedInnerProduct"
+    MLP = "MLP"
+    MatrixMultiply = "MatrixMultiply"
+    Interaction = "Interaction"
+    MultiCross = "MultiCross"
+    FmOrder2 = "FmOrder2"
+    WeightMultiply = "WeightMultiply"
+    ElementwiseMultiply = "ElementwiseMultiply"
+    BatchNorm = "BatchNorm"
+    LayerNorm = "LayerNorm"
+    Concat = "Concat"
+    Reshape = "Reshape"
+    Select = "Select"
+    Slice = "Slice"
+    Dropout = "Dropout"
+    ELU = "ELU"
+    ReLU = "ReLU"
+    Sigmoid = "Sigmoid"
+    Softmax = "Softmax"
+    PReLU_Dice = "PReLU_Dice"
+    Scale = "Scale"
+    Sub = "Sub"
+    Add = "Add"
+    ReduceSum = "ReduceSum"
+    ReduceMean = "ReduceMean"
+    Gather = "Gather"
+    GRU = "GRU"
+    FusedReshapeConcat = "FusedReshapeConcat"
+    FusedReshapeConcatGeneral = "FusedReshapeConcatGeneral"
+    MultiHeadAttention = "MultiHeadAttention"
+    SequenceMask = "SequenceMask"
+    MaskedSoftmax = "MaskedSoftmax"
+    Cast = "Cast"
+    BinaryCrossEntropyLoss = "BinaryCrossEntropyLoss"
+    CrossEntropyLoss = "CrossEntropyLoss"
+    MultiCrossEntropyLoss = "MultiCrossEntropyLoss"
+
+
+LOSS_LAYER_TYPES = {
+    Layer_t.BinaryCrossEntropyLoss,
+    Layer_t.CrossEntropyLoss,
+    Layer_t.MultiCrossEntropyLoss,
+}
