@@ -1,0 +1,66 @@
+"""Benchmark harness: DLRM-DCNv2 (MLPerf v3.1 shape) training throughput.
+
+Runs the flagship model on the available accelerator (1 TPU chip under the
+driver), measures steady-state training examples/sec, and prints ONE JSON
+line. `vs_baseline` is examples/sec relative to the reference's MLPerf v3.1
+DLRM-DCNv2 per-GPU operating point (~2.5M examples/s/H100, derived from the
+published 8×H100 submissions; the repo itself stores no absolute text figure —
+see BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+BASELINE_EXAMPLES_PER_SEC_PER_CHIP = 2.5e6
+
+
+def main():
+    # honor driver environment; default to whatever platform JAX picks
+    import jax
+
+    from hugectr_tpu.core.mesh import ResourceManager
+    from hugectr_tpu.tools.flagship import build_dlrm_dcnv2
+
+    n_dev = len(jax.devices())
+    on_tpu = jax.devices()[0].platform == "tpu"
+    batch = 8192 if on_tpu else 256
+    vocab_cap = 2_000_000 if on_tpu else 2000
+    rm = ResourceManager.create(num_devices=n_dev)
+    model = build_dlrm_dcnv2(
+        rm,
+        batchsize=batch,
+        vocab_cap=vocab_cap,
+        synthetic_batches=32,
+        use_mixed_precision=on_tpu,
+        ev_size=128 if on_tpu else 32,
+    )
+
+    warmup = 5
+    iters = 20 if on_tpu else 5
+    for _ in range(warmup):
+        model.train()
+    import jax as _jax
+
+    _jax.block_until_ready(model.state["dense_params"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        model.train()  # train() blocks on loss read each step
+    dt = time.perf_counter() - t0
+    ex_per_sec = iters * batch / dt
+    out = {
+        "metric": "dlrm_dcnv2_train_examples_per_sec",
+        "value": round(ex_per_sec, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(ex_per_sec / BASELINE_EXAMPLES_PER_SEC_PER_CHIP, 4),
+        "batch": batch,
+        "devices": n_dev,
+        "platform": jax.devices()[0].platform,
+        "iters": iters,
+        "sec_per_iter": round(dt / iters, 5),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

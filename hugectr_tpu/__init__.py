@@ -1,0 +1,85 @@
+"""hugectr_tpu — TPU-native CTR/recommender training framework.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of
+NVIDIA-Merlin/HugeCTR (see SURVEY.md): hybrid-parallel training where
+terabyte-scale embedding tables are model-parallel over the TPU mesh and the
+dense network is data-parallel, with a HugeCTR-style Python Model API so
+reference user scripts translate nearly 1:1.
+"""
+from .core.config import (
+    DataReaderParams,
+    DataReaderSparseParam,
+    DenseLayer,
+    DenseLayerComputeConfig,
+    Input,
+    Layer_t,
+    Solver,
+)
+from .core.mesh import ResourceManager
+from .core.types import (
+    Activation_t,
+    Check_t,
+    Combiner_t,
+    CommunicationStrategy,
+    DataReaderType_t,
+    Initializer_t,
+    Metric_t,
+    Optimizer_t,
+    PowerLaw_t,
+    Regularizer_t,
+    TablePlacementStrategy,
+    Update_t,
+)
+from .data.generator import DataGenerator, DataGeneratorParams
+from .embedding.config import (
+    Embedding_t,
+    EmbeddingCollectionConfig,
+    EmbeddingTableConfig,
+    SparseEmbedding,
+)
+from .model.model import Model, TrainingCallback
+from .optim.lr_schedule import LearningRateScheduler
+from .optim.params import OptParams
+
+# Activation_t.Non alias used by reference scripts (hugectr.Activation_t.Non)
+Activation_t.Non = Activation_t.NonE
+
+
+def CreateSolver(**kwargs) -> Solver:
+    """Reference-parity factory (hugectr.CreateSolver)."""
+    return Solver(**kwargs)
+
+
+def CreateOptimizer(optimizer_type=None, **kwargs) -> OptParams:
+    """Reference-parity factory (hugectr.CreateOptimizer)."""
+    if optimizer_type is not None:
+        kwargs["optimizer"] = optimizer_type
+    # accept reference kwarg spellings
+    if "beta" in kwargs and kwargs.get("optimizer") == Optimizer_t.RMSProp:
+        pass
+    return OptParams(**kwargs)
+
+
+__version__ = "0.1.0"
+__all__ = [
+    "Model",
+    "Solver",
+    "CreateSolver",
+    "CreateOptimizer",
+    "DataReaderParams",
+    "DataReaderSparseParam",
+    "Input",
+    "DenseLayer",
+    "DenseLayerComputeConfig",
+    "Layer_t",
+    "EmbeddingCollectionConfig",
+    "EmbeddingTableConfig",
+    "SparseEmbedding",
+    "Embedding_t",
+    "OptParams",
+    "TrainingCallback",
+    "DataGenerator",
+    "DataGeneratorParams",
+    "LearningRateScheduler",
+    "ResourceManager",
+]

@@ -1,0 +1,11 @@
+from .generator import DataGenerator, DataGeneratorParams, power_law_keys
+from .reader import (
+    BaseReader,
+    Batch,
+    BatchSpec,
+    DeviceFeeder,
+    ParquetReader,
+    RawReader,
+    SparseFeatureSpec,
+    SyntheticReader,
+)

@@ -1,0 +1,7 @@
+from .collection import EmbeddingCollection
+from .config import (
+    Embedding_t,
+    EmbeddingCollectionConfig,
+    EmbeddingTableConfig,
+    SparseEmbedding,
+)

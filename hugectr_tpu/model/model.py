@@ -1,0 +1,689 @@
+"""High-level Model API: graph building, compile, fit/eval, checkpointing.
+
+TPU-native analog of the reference's `Model` god-object
+(HugeCTR/src/pybind/model.cpp, model_compile.cpp, model_pipeline.cpp).
+The reference hand-builds per-GPU stream pipelines with event edges and CUDA
+graphs; here the WHOLE training iteration — embedding forward, dense
+forward/backward, wgrad exchange, dense + sparse optimizer updates — is one
+jitted SPMD program over the mesh, and XLA owns scheduling/overlap
+(SURVEY.md §7 mapping).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import DenseLayer, Input, Solver
+from ..core.logger import get_logger
+from ..core.mesh import ResourceManager, set_default_resource_manager
+from ..core.types import (
+    Combiner_t,
+    DataReaderType_t,
+    Metric_t,
+)
+from ..data.reader import (
+    BaseReader,
+    BatchSpec,
+    DeviceFeeder,
+    ParquetReader,
+    RawReader,
+    SparseFeatureSpec,
+    SyntheticReader,
+)
+from ..embedding.collection import EmbeddingCollection
+from ..embedding.config import EmbeddingCollectionConfig, SparseEmbedding
+from ..layers.base import LayerCtx
+from ..layers.network import Network
+from ..metrics.metrics import MetricAccumulator
+from ..optim.dense import DenseOptimizer
+from ..optim.lr_schedule import LearningRateScheduler
+from ..optim.params import OptParams
+from ..parallel.plan import LookupConfig, compile_plan
+
+logger = get_logger()
+
+
+@dataclasses.dataclass
+class _KeySource:
+    """Where a lookup's keys come from in the batch dict."""
+
+    param_name: str  # sparse feature (DataReaderSparseParam top) name
+    col_begin: int
+    col_end: int
+    key_offset: int = 0  # slot_size_array offset (legacy fused tables)
+
+
+class TrainingCallback:
+    """Reference parity hooks (include/pybind/training_callback.hpp)."""
+
+    def on_training_start(self, model: "Model"):
+        pass
+
+    def on_eval_start(self, model: "Model", iteration: int):
+        pass
+
+    def on_eval_end(self, model: "Model", iteration: int, metrics: Dict) -> bool:
+        return False  # True => early stop
+
+    def on_training_end(self, model: "Model", iteration: int):
+        pass
+
+
+class Model:
+    """add()/compile()/fit() orchestrator (reference: pybind Model)."""
+
+    def __init__(
+        self,
+        solver: Solver,
+        reader_params,
+        optimizer: OptParams,
+        resource_manager: Optional[ResourceManager] = None,
+    ):
+        self.solver = solver
+        self.reader_params = reader_params
+        self.opt_params = optimizer
+        self.rm = resource_manager or ResourceManager.create(
+            num_devices=solver.num_devices, ev_parallelism=solver.ev_parallelism
+        )
+        set_default_resource_manager(self.rm)
+        self.input: Optional[Input] = None
+        self.dense_layers: List[DenseLayer] = []
+        self.ebc_configs: List[EmbeddingCollectionConfig] = []
+        self.sparse_embeddings: List[SparseEmbedding] = []
+        self.callbacks: List[TrainingCallback] = []
+        self._compiled = False
+        self._iter = 0
+        self.lr_sch = LearningRateScheduler(
+            base_lr=solver.lr,
+            warmup_steps=solver.warmup_steps,
+            decay_start=solver.decay_start,
+            decay_steps=solver.decay_steps,
+            decay_power=solver.decay_power,
+            end_lr=solver.end_lr,
+        )
+
+    # ------------------------------------------------------------------ add
+    def add(self, obj: Any) -> None:
+        if isinstance(obj, Input):
+            if self.input is not None:
+                raise ValueError("only one Input supported")
+            self.input = obj
+        elif isinstance(obj, EmbeddingCollectionConfig):
+            self.ebc_configs.append(obj)
+        elif isinstance(obj, SparseEmbedding):
+            self.sparse_embeddings.append(obj)
+        elif isinstance(obj, DenseLayer):
+            self.dense_layers.append(obj)
+        else:
+            raise TypeError(f"cannot add {type(obj)}")
+
+    # -------------------------------------------------------------- compile
+    def compile(self, loss_names=None, loss_weights=None) -> None:
+        if self.input is None:
+            raise ValueError("model needs an Input")
+        s = self.solver
+        inp = self.input
+        if loss_names and loss_weights:
+            inp.label_weights = dict(zip(loss_names, loss_weights))
+
+        # ---- batch spec -------------------------------------------------
+        sparse_specs = tuple(
+            SparseFeatureSpec(name=p.top_name, slot_nnz=tuple(p.per_slot_nnz()))
+            for p in inp.data_reader_sparse_param_array
+        )
+        self.batch_spec = BatchSpec(
+            batch_size=s.batchsize,
+            label_dims=tuple(inp.label_dims()),
+            label_names=tuple(inp.label_names()),
+            dense_dim=inp.dense_dim,
+            dense_name=inp.dense_name,
+            sparse=sparse_specs,
+        )
+        self.eval_batch_spec = dataclasses.replace(
+            self.batch_spec, batch_size=s.batchsize_eval
+        )
+        self._sparse_by_name = {f.name: f for f in sparse_specs}
+
+        # ---- embedding plan ----------------------------------------------
+        lookup_cfgs: List[LookupConfig] = []
+        self._key_sources: Dict[str, _KeySource] = {}
+        self._user_tops: Dict[str, List[str]] = {}  # user top -> internal tops
+        self._top3d: Dict[str, Tuple[int, int]] = {}  # user top -> (slots, ev)
+        strategy: List[Tuple[str, List[str]]] = []
+        column_factors: Dict[str, int] = {}
+
+        for ebc in self.ebc_configs:
+            cfgs = ebc.build_lookup_configs()
+            for lc, decl in zip(cfgs, ebc.lookup_decls):
+                feat = self._sparse_by_name.get(decl.bottom_name)
+                if feat is None:
+                    raise ValueError(
+                        f"EBC lookup bottom {decl.bottom_name!r} has no sparse input"
+                    )
+                lc.lookup_id = len(lookup_cfgs)
+                lc.max_hotness = feat.total_nnz
+                lc.top_name = f"{decl.top_name}:{lc.lookup_id}"
+                self._key_sources[lc.top_name] = _KeySource(
+                    param_name=feat.name, col_begin=0, col_end=feat.total_nnz
+                )
+                self._user_tops.setdefault(decl.top_name, []).append(lc.top_name)
+                lc.bottom_name = lc.top_name  # unique internal feature key
+                lookup_cfgs.append(lc)
+            plan = ebc.sharding_plan()
+            strategy.extend(plan.strategy)
+            column_factors.update(plan.column_factors)
+
+        for se in self.sparse_embeddings:
+            feat = self._sparse_by_name.get(se.bottom_name)
+            if feat is None:
+                raise ValueError(
+                    f"SparseEmbedding bottom {se.bottom_name!r} has no sparse input"
+                )
+            from ..parallel.plan import EmbeddingTableConfig
+
+            vocab = se.vocabulary_for(self.rm.num_devices)
+            table = EmbeddingTableConfig(
+                name=f"sparse_table_{se.sparse_embedding_name}",
+                max_vocabulary_size=vocab,
+                ev_size=se.embedding_vec_size,
+                opt_params=se.optimizer,
+            )
+            offsets = (
+                np.concatenate([[0], np.cumsum(se.slot_size_array)[:-1]]).astype(int)
+                if se.slot_size_array
+                else np.zeros(feat.slot_num, dtype=int)
+            )
+            col = 0
+            tops = []
+            for si, nnz in enumerate(feat.slot_nnz):
+                lid = len(lookup_cfgs)
+                top = f"{se.sparse_embedding_name}:{lid}"
+                lookup_cfgs.append(
+                    LookupConfig(
+                        lookup_id=lid,
+                        table=table,
+                        bottom_name=top,
+                        top_name=top,
+                        combiner=Combiner_t(se.combiner),
+                        max_hotness=nnz,
+                    )
+                )
+                self._key_sources[top] = _KeySource(
+                    param_name=feat.name,
+                    col_begin=col,
+                    col_end=col + nnz,
+                    key_offset=int(offsets[si]) if si < len(offsets) else 0,
+                )
+                tops.append(top)
+                col += nnz
+            self._user_tops[se.sparse_embedding_name] = tops
+            self._top3d[se.sparse_embedding_name] = (
+                feat.slot_num,
+                se.embedding_vec_size,
+            )
+            strategy.append(("mp", [table.name]))
+
+        self.ec: Optional[EmbeddingCollection] = None
+        if lookup_cfgs:
+            from ..parallel.plan import ShardingPlan
+
+            plan = compile_plan(
+                lookup_cfgs,
+                ShardingPlan(strategy=strategy, column_factors=column_factors),
+                num_shards=self.rm.data_parallel_size,
+            )
+            self.ec = EmbeddingCollection(
+                plan, self.rm, self.opt_params, dtype=jnp.float32
+            )
+
+        # ---- dense network -------------------------------------------------
+        input_shapes: Dict[str, Tuple[int, ...]] = {}
+        b = s.batchsize
+        for name, dim in zip(self.batch_spec.label_names, self.batch_spec.label_dims):
+            input_shapes[name] = (b, dim)
+        input_shapes[inp.dense_name] = (b, inp.dense_dim)
+        if self.ec is not None:
+            for user_top, tops in self._user_tops.items():
+                width = 0
+                for t in tops:
+                    _, lm = self.ec.plan.group_of_lookup(int(t.rsplit(":", 1)[1]))
+                    width += lm.out_end - lm.out_begin
+                if user_top in self._top3d:
+                    slots, ev = self._top3d[user_top]
+                    input_shapes[user_top] = (b, slots, ev)
+                else:
+                    input_shapes[user_top] = (b, width)
+        self.network = Network(
+            self.dense_layers,
+            input_shapes,
+            label_weights=inp.label_weights,
+            batch_size=b,
+        )
+
+        # ---- init state -----------------------------------------------------
+        rng = jax.random.PRNGKey(s.seed or 0)
+        rng, net_rng, emb_rng = jax.random.split(rng, 3)
+        dense_params, net_state = self.network.init(net_rng)
+        rep = self.rm.replicated_sharding()
+        dense_params = jax.device_put(dense_params, rep)
+        net_state = jax.device_put(net_state, rep)
+        self.dense_opt = DenseOptimizer(self.opt_params)
+        dopt_state = jax.device_put(self.dense_opt.init(dense_params), rep)
+        state = {
+            "step": jnp.zeros((), jnp.int32),
+            "dense_params": dense_params,
+            "net_state": net_state,
+            "dopt": dopt_state,
+        }
+        if self.ec is not None:
+            tables = self.ec.init(emb_rng)
+            state["emb_tables"] = tables
+            state["eopt"] = self.ec.init_optimizer(tables)
+        self.state = state
+        self._rng = rng
+
+        # ---- readers --------------------------------------------------------
+        self.train_reader = self._make_reader(train=True)
+        self.eval_reader = self._make_reader(train=False)
+        self._train_iter = None
+        self._build_steps()
+        self.metrics = MetricAccumulator(
+            s.metrics_spec,
+            batch_size=s.batchsize_eval,
+            max_batches=s.max_eval_batches,
+            sharding=self.rm.batch_sharding(),
+        )
+        self._compiled = True
+
+    # ------------------------------------------------------------- readers
+    def _make_reader(self, train: bool) -> Optional[BaseReader]:
+        rp = self.reader_params
+        if rp is None:
+            return None
+        spec = self.batch_spec if train else self.eval_batch_spec
+        kind = DataReaderType_t(rp.data_reader_type)
+        src = rp.source[0] if train and rp.source else rp.eval_source
+        if kind == DataReaderType_t.Synthetic or not src:
+            vocabs = self._slot_vocabs()
+            return SyntheticReader(
+                spec,
+                vocabs,
+                num_batches=getattr(rp, "synthetic_num_batches", 64),
+                seed=self.solver.seed or 1234,
+            )
+        if kind in (DataReaderType_t.Raw, DataReaderType_t.RawAsync):
+            return RawReader(
+                src,
+                spec,
+                num_samples=rp.num_samples if train else rp.eval_num_samples,
+                float_label_dense=rp.float_label_dense,
+                drop_incomplete=self.solver.drop_incomplete_batch,
+                repeat=self.solver.repeat_dataset if train else False,
+            )
+        if kind == DataReaderType_t.Parquet:
+            return ParquetReader(
+                src,
+                spec,
+                repeat=self.solver.repeat_dataset if train else False,
+                drop_incomplete=self.solver.drop_incomplete_batch,
+            )
+        raise NotImplementedError(f"reader {kind}")
+
+    def _slot_vocabs(self) -> Dict[str, List[int]]:
+        """Per-slot vocab bounds for synthetic key generation."""
+        vocabs: Dict[str, List[int]] = {}
+        for f in self.batch_spec.sparse:
+            vocabs[f.name] = [1000] * f.slot_num
+        if self.ec is not None:
+            for top, ks in self._key_sources.items():
+                g, lm = self.ec.plan.group_of_lookup(int(top.rsplit(":", 1)[1]))
+                t = g.tables[lm.table_index]
+                vocab = int(t.vocabulary_size)
+                f = self._sparse_by_name[ks.param_name]
+                # locate slot index by column range
+                col = 0
+                for si, nnz in enumerate(f.slot_nnz):
+                    if col == ks.col_begin:
+                        vocabs[f.name][si] = max(vocab - ks.key_offset, 2)
+                        break
+                    col += nnz
+        return vocabs
+
+    # ------------------------------------------------------------ step fns
+    def _feature_keys(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        """Build per-lookup key arrays from the raw batch (jit-traceable)."""
+        out = {}
+        for top, ks in self._key_sources.items():
+            k = batch[ks.param_name][:, ks.col_begin : ks.col_end]
+            if ks.key_offset:
+                k = jnp.where(k >= 0, k + ks.key_offset, k)
+            out[top] = k
+        return out
+
+    def _user_tensors(self, emb_outs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        """Per-lookup outputs -> user-level top tensors (2D concat, or 3D
+        for legacy SparseEmbedding tops)."""
+        tensors = {}
+        for user_top, tops in self._user_tops.items():
+            if len(tops) == 1:
+                t = emb_outs[tops[0]]
+            else:
+                t = jnp.concatenate([emb_outs[tp] for tp in tops], axis=1)
+            if user_top in self._top3d:
+                slots, ev = self._top3d[user_top]
+                t = t.reshape(t.shape[0], slots, ev)
+            tensors[user_top] = t
+        return tensors
+
+    def _build_steps(self):
+        net = self.network
+        ec = self.ec
+        s = self.solver
+        compute_dtype = s.compute_dtype
+        lr_sch = self.lr_sch
+        dense_opt = self.dense_opt
+
+        def train_step(state, batch, rng):
+            step = state["step"] + 1
+            lr = lr_sch(step)
+            feature_keys = self._feature_keys(batch) if ec is not None else {}
+            emb_outs = (
+                ec.forward(state["emb_tables"], feature_keys)
+                if ec is not None
+                else {}
+            )
+
+            def loss_fn(dense_params, emb_outs_in):
+                tensors = {
+                    n: batch[n]
+                    for n in (*self.batch_spec.label_names, self.batch_spec.dense_name)
+                }
+                tensors.update(self._user_tensors(emb_outs_in))
+                ctx = LayerCtx(
+                    training=True, compute_dtype=compute_dtype, rng=rng
+                )
+                loss, (out, new_net_state) = net.forward_with_loss(
+                    dense_params, state["net_state"], tensors, ctx
+                )
+                return loss, new_net_state
+
+            if ec is not None:
+                (loss, new_net_state), (dgrads, egrads) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(state["dense_params"], emb_outs)
+            else:
+                (loss, new_net_state), dgrads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state["dense_params"])
+                egrads = {}
+            new_dense, new_dopt = dense_opt.update(
+                state["dense_params"], state["dopt"], dgrads, lr, step
+            )
+            new_state = {
+                "step": step,
+                "dense_params": new_dense,
+                "net_state": new_net_state,
+                "dopt": new_dopt,
+            }
+            if ec is not None:
+                new_tables, new_eopt = ec.backward_and_update(
+                    state["emb_tables"],
+                    state["eopt"],
+                    feature_keys,
+                    egrads,
+                    lr,
+                    step,
+                )
+                new_state["emb_tables"] = new_tables
+                new_state["eopt"] = new_eopt
+            return new_state, loss
+
+        def eval_step(state, batch):
+            feature_keys = self._feature_keys(batch) if ec is not None else {}
+            emb_outs = (
+                ec.forward(state["emb_tables"], feature_keys)
+                if ec is not None
+                else {}
+            )
+            tensors = {
+                n: batch[n]
+                for n in (*self.batch_spec.label_names, self.batch_spec.dense_name)
+            }
+            tensors.update(self._user_tensors(emb_outs))
+            ctx = LayerCtx(training=False, compute_dtype=compute_dtype, rng=None)
+            loss, (out, _) = net.forward_with_loss(
+                state["dense_params"], state["net_state"], tensors, ctx
+            )
+            preds = net.predictions(out)
+            labels = {
+                spec.label_name: tensors[spec.label_name] for spec in net.loss_specs
+            }
+            return loss, preds, labels
+
+        self._train_step = jax.jit(train_step, donate_argnums=0)
+        self._eval_step = jax.jit(eval_step)
+
+    def _put_batch(self, batch) -> Dict[str, jax.Array]:
+        sh = self.rm.batch_sharding()
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+    # ------------------------------------------------------------ training
+    def start_data_reading(self):
+        if self._train_iter is None:
+            feeder = DeviceFeeder(self.train_reader, self._put_batch, depth=3)
+            self._train_iter = iter(feeder)
+            self._train_feeder = feeder
+
+    def train(self) -> float:
+        """One training iteration; returns loss (blocking read)."""
+        self.start_data_reading()
+        batch = next(self._train_iter)
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, loss = self._train_step(self.state, batch, sub)
+        self._iter += 1
+        return float(loss)
+
+    def eval(self) -> Dict[str, float]:
+        """Full evaluation pass over max_eval_batches; returns metric dict."""
+        self.metrics.reset()
+        feeder = DeviceFeeder(self.eval_reader, self._put_batch, depth=3)
+        n = 0
+        for batch in feeder:
+            if n >= self.solver.max_eval_batches:
+                feeder.stop()
+                break
+            loss, preds, labels = self._eval_step(self.state, batch)
+            # single-task: first loss spec drives AUC (reference: raw metrics)
+            spec = self.network.loss_specs[0]
+            self.metrics.update(
+                preds[spec.label_name], labels[spec.label_name], loss=float(loss)
+            )
+            n += 1
+        return self.metrics.finalize()
+
+    def fit(
+        self,
+        num_epochs: int = 0,
+        max_iter: int = 1000,
+        display: int = 200,
+        eval_interval: int = 1000,
+        snapshot: int = 0,
+        snapshot_prefix: str = "./snapshot",
+    ) -> None:
+        """Iteration-mode training loop (reference: Model::fit,
+        src/pybind/model.cpp:862-1009). Epoch mode: num_epochs>0 runs
+        epochs over the train reader instead of max_iter."""
+        if not self._compiled:
+            raise RuntimeError("call compile() first")
+        for cb in self.callbacks:
+            cb.on_training_start(self)
+        self.start_data_reading()
+        t0 = time.time()
+        window_t0, window_iter = t0, 0
+        if num_epochs > 0:
+            max_iter = num_epochs * max(self.train_reader.num_batches, 1)
+        stop = False
+        for it in range(1, max_iter + 1):
+            loss = self.train()
+            if display and it % display == 0:
+                dt = time.time() - window_t0
+                ips = (it - window_iter) * self.solver.batchsize / max(dt, 1e-9)
+                logger.info(
+                    f"Iter: {it} Time: {dt:.3f}s Loss: {loss:.6f} "
+                    f"lr: {self.lr_sch.get_next(it):.6f} ({ips:,.0f} ex/s)"
+                )
+                window_t0, window_iter = time.time(), it
+            if eval_interval and it % eval_interval == 0:
+                for cb in self.callbacks:
+                    cb.on_eval_start(self, it)
+                vals = self.eval()
+                logger.info(f"Evaluation at iter {it}: {vals}")
+                for cb in self.callbacks:
+                    stop = cb.on_eval_end(self, it, vals) or stop
+                if self.metrics.check_earlystop(vals):
+                    logger.info(
+                        f"Hit target metric at iter {it}: {vals} — early stop"
+                    )
+                    stop = True
+            if snapshot and it % snapshot == 0:
+                self.download_params_to_files(snapshot_prefix, it)
+            if stop:
+                break
+        for cb in self.callbacks:
+            cb.on_training_end(self, self._iter)
+        total = time.time() - t0
+        logger.info(
+            f"fit done: {self._iter} iters in {total:.1f}s "
+            f"({self._iter * self.solver.batchsize / max(total, 1e-9):,.0f} ex/s)"
+        )
+
+    # ----------------------------------------------------------- persistence
+    def download_params_to_files(self, prefix: str, iteration: int) -> None:
+        """Dump dense weights + opt states + per-table sparse models
+        (reference: Model::download_params_to_files, model.cpp:1236-1328)."""
+        out_dir = f"{prefix}_iter{iteration}"
+        os.makedirs(out_dir, exist_ok=True)
+        flat = {}
+
+        def _flatten(tree, prefix=""):
+            if isinstance(tree, dict):
+                for k, v in tree.items():
+                    _flatten(v, f"{prefix}{k}/")
+            else:
+                flat[prefix[:-1]] = np.asarray(tree)
+
+        _flatten(self.state["dense_params"], "dense/")
+        _flatten(self.state["dopt"], "dopt/")
+        _flatten(self.state["net_state"], "net_state/")
+        np.savez(os.path.join(out_dir, "dense_model.npz"), **flat)
+        if self.ec is not None:
+            for g in self.ec.plan.groups:
+                for t in g.tables:
+                    tdir = os.path.join(out_dir, f"sparse_{t.name}")
+                    os.makedirs(tdir, exist_ok=True)
+                    arr = self.ec.export_table(self.state["emb_tables"], t.name)
+                    np.save(os.path.join(tdir, "emb_vector.npy"), arr)
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump({"iteration": iteration, "step": int(self.state["step"])}, f)
+        logger.info(f"snapshot written to {out_dir}")
+
+    def load_params_from_files(self, out_dir: str) -> None:
+        data = np.load(os.path.join(out_dir, "dense_model.npz"))
+
+        def _restore(tree, prefix=""):
+            if isinstance(tree, dict):
+                return {k: _restore(v, f"{prefix}{k}/") for k, v in tree.items()}
+            return jnp.asarray(data[prefix[:-1]])
+
+        self.state["dense_params"] = jax.device_put(
+            _restore(self.state["dense_params"], "dense/"),
+            self.rm.replicated_sharding(),
+        )
+        self.state["dopt"] = jax.device_put(
+            _restore(self.state["dopt"], "dopt/"), self.rm.replicated_sharding()
+        )
+        if self.ec is not None:
+            for g in self.ec.plan.groups:
+                for t in g.tables:
+                    path = os.path.join(out_dir, f"sparse_{t.name}", "emb_vector.npy")
+                    if os.path.exists(path):
+                        self.state["emb_tables"] = self.ec.import_table(
+                            self.state["emb_tables"], t.name, np.load(path)
+                        )
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            meta = json.load(f)
+        self.state["step"] = jnp.asarray(meta.get("step", 0), jnp.int32)
+        self._iter = meta.get("iteration", 0)
+
+    # -------------------------------------------------------------- utility
+    def summary(self) -> str:
+        lines = [
+            "=" * 80,
+            f"{'Layer Type':<28}{'Input':<26}{'Output':<26}",
+            "=" * 80,
+        ]
+        if self.ec is not None:
+            for user_top, tops in self._user_tops.items():
+                lines.append(
+                    f"{'EmbeddingCollection':<28}{'(sparse keys)':<26}{user_top:<26}"
+                )
+        for row in self.network.summary_rows():
+            lines.append(f"{row[0]:<28}{row[1]:<26}{row[2]:<26}")
+        lines.append("=" * 80)
+        out = "\n".join(lines)
+        logger.info("\n" + out)
+        return out
+
+    def graph_to_json(self, path: str) -> None:
+        """Serialize the model graph (reference: Model::graph_to_json,
+        model.cpp:382-437)."""
+
+        def enc(o):
+            if dataclasses.is_dataclass(o) and not isinstance(o, type):
+                return dataclasses.asdict(o)
+            if isinstance(o, (np.integer, np.floating)):
+                return o.item()
+            return str(o)
+
+        graph = {
+            "solver": dataclasses.asdict(self.solver),
+            "input": dataclasses.asdict(self.input),
+            "dense_layers": [dataclasses.asdict(d) for d in self.dense_layers],
+            "sparse_embeddings": [
+                dataclasses.asdict(se) for se in self.sparse_embeddings
+            ],
+        }
+        with open(path, "w") as f:
+            json.dump(graph, f, default=enc, indent=2)
+
+    def check_out_tensor(self, tensor_name: str, batch=None) -> np.ndarray:
+        """Fetch an intermediate activation for one batch (reference:
+        Model::check_out_tensor, model.cpp:1461-1505)."""
+        if batch is None:
+            self.start_data_reading()
+            batch = next(self._train_iter)
+        feature_keys = self._feature_keys(batch) if self.ec is not None else {}
+        emb_outs = (
+            self.ec.forward(self.state["emb_tables"], feature_keys)
+            if self.ec is not None
+            else {}
+        )
+        tensors = {
+            n: batch[n]
+            for n in (*self.batch_spec.label_names, self.batch_spec.dense_name)
+        }
+        tensors.update(self._user_tensors(emb_outs))
+        ctx = LayerCtx(
+            training=False, compute_dtype=self.solver.compute_dtype, rng=None
+        )
+        out, _ = self.network.apply(
+            self.state["dense_params"], self.state["net_state"], tensors, ctx
+        )
+        return np.asarray(out[tensor_name])

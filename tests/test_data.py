@@ -1,0 +1,120 @@
+"""Data generator + reader tests (analog of reference
+test/utest/data_reader/: generate synthetic files on disk, read back, check
+shapes/values)."""
+import numpy as np
+import pytest
+
+from hugectr_tpu.core.types import Check_t, DataReaderType_t, PowerLaw_t
+from hugectr_tpu.data import (
+    BatchSpec,
+    DataGenerator,
+    DataGeneratorParams,
+    DeviceFeeder,
+    ParquetReader,
+    RawReader,
+    SparseFeatureSpec,
+    SyntheticReader,
+    power_law_keys,
+)
+
+
+def _spec(batch=32, slots=3, nnz=2, label_dim=1, dense_dim=4):
+    return BatchSpec(
+        batch_size=batch,
+        label_dims=(label_dim,),
+        label_names=("label",),
+        dense_dim=dense_dim,
+        dense_name="dense",
+        sparse=tuple(
+            SparseFeatureSpec(name=f"data{i}", slot_nnz=(nnz,)) for i in range(slots)
+        ),
+    )
+
+
+def test_power_law_keys_bounds_and_skew():
+    rng = np.random.default_rng(0)
+    k = power_law_keys(rng, 10000, 100000, alpha=1.2)
+    assert k.min() >= 0 and k.max() < 10000
+    # power law: low keys dominate
+    assert (k < 100).mean() > 0.5
+
+
+def test_raw_generator_and_reader(tmp_path):
+    p = DataGeneratorParams(
+        format=DataReaderType_t.Raw,
+        label_dim=1,
+        dense_dim=4,
+        num_slot=3,
+        source=str(tmp_path / "train.bin"),
+        eval_source=str(tmp_path / "eval.bin"),
+        slot_size_array=[100, 200, 300],
+        nnz_array=[2, 2, 2],
+        num_samples=500,
+        eval_num_samples=100,
+        float_label_dense=True,
+    )
+    DataGenerator(p).generate()
+    spec = _spec(batch=64)
+    r = RawReader(
+        str(tmp_path / "train.bin"),
+        spec,
+        float_label_dense=True,
+        repeat=False,
+    )
+    assert r.num_batches == 500 // 64
+    batches = list(r)
+    assert len(batches) == r.num_batches
+    b = batches[0]
+    assert b["label"].shape == (64, 1)
+    assert b["dense"].shape == (64, 4)
+    assert b["data0"].shape == (64, 2)
+    assert b["data0"].min() >= 0 and b["data0"].max() < 100
+    assert b["data2"].max() < 300
+    assert set(np.unique(b["label"])) <= {0.0, 1.0}
+
+
+def test_parquet_generator_and_reader(tmp_path):
+    p = DataGeneratorParams(
+        format=DataReaderType_t.Parquet,
+        label_dim=1,
+        dense_dim=4,
+        num_slot=3,
+        source=str(tmp_path / "train.txt"),
+        eval_source=str(tmp_path / "eval.txt"),
+        slot_size_array=[50, 60, 70],
+        nnz_array=[1, 2, 1],
+        num_files=2,
+        eval_num_files=1,
+        num_samples_per_file=100,
+    )
+    DataGenerator(p).generate()
+    spec = BatchSpec(
+        batch_size=32,
+        label_dims=(1,),
+        label_names=("label",),
+        dense_dim=4,
+        dense_name="dense",
+        sparse=(
+            SparseFeatureSpec("data0", (1,)),
+            SparseFeatureSpec("data1", (2,)),
+            SparseFeatureSpec("data2", (1,)),
+        ),
+    )
+    r = ParquetReader(str(tmp_path / "train.txt"), spec, repeat=False)
+    assert r.num_batches == 200 // 32
+    batches = list(r)
+    assert len(batches) == r.num_batches
+    b = batches[0]
+    assert b["data1"].shape == (32, 2)
+    assert b["data1"].max() < 60
+    assert b["dense"].shape == (32, 4)
+
+
+def test_device_feeder():
+    spec = _spec(batch=16, slots=2)
+    reader = SyntheticReader(
+        spec, {"data0": [100], "data1": [200]}, num_batches=5, repeat=False
+    )
+    got = list(DeviceFeeder(reader, put_fn=lambda b: b, depth=2))
+    assert len(got) == 5
+    assert got[0]["data1"].max() < 200

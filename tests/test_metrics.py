@@ -1,0 +1,96 @@
+"""Metric correctness vs sklearn (analog of reference test/utest/metrics/
+auc_test.cpp + python_sklearn.py oracle)."""
+import numpy as np
+import pytest
+
+from hugectr_tpu.metrics import (
+    MetricAccumulator,
+    auc_score,
+    hitrate_score,
+    ndcg_score,
+    smape_score,
+)
+from hugectr_tpu.core.types import Metric_t
+
+
+@pytest.mark.parametrize("n", [100, 4097])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_auc_matches_sklearn(n, seed):
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 2, n).astype(np.float32)
+    preds = np.clip(labels * 0.3 + rng.random(n), 0, 1).astype(np.float32)
+    got = float(auc_score(preds, labels))
+    want = roc_auc_score(labels, preds)
+    assert abs(got - want) < 1e-5
+
+
+def test_auc_with_ties_and_mask():
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(7)
+    n = 1000
+    labels = rng.integers(0, 2, n).astype(np.float32)
+    preds = rng.integers(0, 5, n).astype(np.float32) / 4.0  # heavy ties
+    valid = np.ones(n, bool)
+    valid[800:] = False
+    got = float(auc_score(preds, labels, valid))
+    want = roc_auc_score(labels[:800], preds[:800])
+    assert abs(got - want) < 1e-5
+
+
+def test_ndcg_matches_reference_formula():
+    rng = np.random.default_rng(3)
+    n = 256
+    labels = rng.integers(0, 2, n).astype(np.float32)
+    preds = rng.random(n).astype(np.float32)
+    order = np.argsort(-preds)
+    disc = 1.0 / np.log2(np.arange(n) + 2.0)
+    dcg = float((labels[order] * disc).sum())
+    idcg = float((np.sort(labels)[::-1] * disc).sum())
+    got = float(ndcg_score(preds, labels))
+    assert abs(got - dcg / idcg) < 1e-5
+
+
+def test_hitrate_and_smape():
+    preds = np.array([0.9, 0.85, 0.5, 0.95], np.float32)
+    labels = np.array([1.0, 0.0, 1.0, 1.0], np.float32)
+    # checked = 3 (preds>0.8), hits = 2
+    assert abs(float(hitrate_score(preds, labels)) - 2.0 / 3.0) < 1e-6
+    avg = (preds + labels) / 2
+    want = float((np.abs(preds - labels) / avg).mean())
+    assert abs(float(smape_score(preds, labels)) - want) < 1e-5
+
+
+def test_accumulator_streaming(mesh8):
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(11)
+    bs, nb = 64, 4
+    acc = MetricAccumulator(
+        {Metric_t.AUC: 1.0, Metric_t.AverageLoss: 1.0},
+        batch_size=bs,
+        max_batches=nb,
+        sharding=mesh8.batch_sharding(),
+    )
+    all_p, all_l = [], []
+    for i in range(nb):
+        labels = rng.integers(0, 2, bs).astype(np.float32)
+        preds = np.clip(labels * 0.4 + rng.random(bs), 0, 1).astype(np.float32)
+        acc.update(preds, labels, loss=0.5 + i)
+        all_p.append(preds)
+        all_l.append(labels)
+    vals = acc.finalize()
+    want = roc_auc_score(np.concatenate(all_l), np.concatenate(all_p))
+    assert abs(vals["auc"] - want) < 1e-5
+    assert abs(vals["average_loss"] - (0.5 + 1.5 + 2.5 + 3.5) / 4) < 1e-6
+    # partial fill: only 2 of 4 batches -> mask works
+    acc.reset()
+    acc.update(all_p[0], all_l[0])
+    acc.update(all_p[1], all_l[1])
+    vals2 = acc.finalize()
+    want2 = roc_auc_score(
+        np.concatenate(all_l[:2]), np.concatenate(all_p[:2])
+    )
+    assert abs(vals2["auc"] - want2) < 1e-5

@@ -1,0 +1,177 @@
+"""End-to-end Model API tests (analog of reference test/pybind_test/model_test.py).
+
+Builds small models through the public API, trains on synthetic data on the
+8-device CPU mesh, and checks loss decrease, eval metrics, and checkpoint
+round-trip.
+"""
+import numpy as np
+import pytest
+
+import hugectr_tpu as hugectr
+from hugectr_tpu.core.types import DataReaderType_t, Metric_t
+
+
+def _build_dcn_model(rm, batchsize=256, use_ebc=True):
+    solver = hugectr.CreateSolver(
+        max_eval_batches=4,
+        batchsize_eval=batchsize,
+        batchsize=batchsize,
+        lr=0.01,
+        metrics_spec={Metric_t.AUC: 1.0},
+        repeat_dataset=True,
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic,
+        synthetic_num_batches=32,
+    )
+    optimizer = hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.Adam)
+    model = hugectr.Model(solver, reader, optimizer, resource_manager=rm)
+    num_tables = 4
+    model.add(
+        hugectr.Input(
+            label_dim=1,
+            label_name="label",
+            dense_dim=13,
+            dense_name="dense",
+            data_reader_sparse_param_array=[
+                hugectr.DataReaderSparseParam(f"data{i}", 2, True, 1)
+                for i in range(num_tables)
+            ],
+        )
+    )
+    if use_ebc:
+        tables = [
+            hugectr.EmbeddingTableConfig(
+                name=f"t{i}", max_vocabulary_size=1000 + i * 37, ev_size=16
+            )
+            for i in range(num_tables)
+        ]
+        ebc = hugectr.EmbeddingCollectionConfig()
+        ebc.embedding_lookup(
+            table_config=tables,
+            bottom_name=[f"data{i}" for i in range(num_tables)],
+            top_name="sparse_embedding",
+            combiner=["sum"] * num_tables,
+        )
+        ebc.shard(
+            shard_matrix=[[f"t{i}" for i in range(num_tables)]] * rm.num_devices,
+            shard_strategy=[
+                ("mp", [f"t{i}" for i in range(num_tables - 1)]),
+                ("dp", [f"t{num_tables-1}"]),
+            ],
+        )
+        model.add(ebc)
+    else:
+        model.add(
+            hugectr.SparseEmbedding(
+                embedding_type=hugectr.Embedding_t.DistributedSlotSparseEmbeddingHash,
+                workspace_size_per_gpu_in_mb=1,
+                embedding_vec_size=16,
+                combiner="sum",
+                sparse_embedding_name="sparse_embedding",
+                bottom_name="data0",
+            )
+        )
+    emb_width = num_tables * 16 if use_ebc else None
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.MLP,
+            bottom_names=["dense"],
+            top_names=["mlp1"],
+            num_outputs=[32, 16],
+        )
+    )
+    concat_bottoms = (
+        ["sparse_embedding", "mlp1"] if use_ebc else ["mlp1"]
+    )
+    if not use_ebc:
+        # legacy path: 3D [B, 1, 16] -> reshape to 2D
+        model.add(
+            hugectr.DenseLayer(
+                layer_type=hugectr.Layer_t.Reshape,
+                bottom_names=["sparse_embedding"],
+                top_names=["emb2d"],
+                leading_dim=16,
+            )
+        )
+        concat_bottoms = ["emb2d", "mlp1"]
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Concat,
+            bottom_names=concat_bottoms,
+            top_names=["concat1"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.MultiCross,
+            bottom_names=["concat1"],
+            top_names=["cross1"],
+            num_layers=2,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=["cross1"],
+            top_names=["logit"],
+            num_output=1,
+            act_type=hugectr.Activation_t.Non,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+            bottom_names=["logit", "label"],
+            top_names=["loss"],
+        )
+    )
+    model.compile()
+    return model
+
+
+def test_dcn_ebc_trains_and_evals(mesh8):
+    model = _build_dcn_model(mesh8, use_ebc=True)
+    model.summary()
+    losses = [model.train() for _ in range(30)]
+    first = np.mean(losses[:5])
+    last = np.mean(losses[-5:])
+    assert np.isfinite(losses).all()
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+    vals = model.eval()
+    assert "auc" in vals and 0.0 <= vals["auc"] <= 1.0
+
+
+def test_legacy_sparse_embedding_path(mesh8):
+    model = _build_dcn_model(mesh8, use_ebc=False)
+    losses = [model.train() for _ in range(15)]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_checkpoint_roundtrip(mesh8, tmp_path):
+    model = _build_dcn_model(mesh8, use_ebc=True)
+    for _ in range(5):
+        model.train()
+    prefix = str(tmp_path / "snap")
+    model.download_params_to_files(prefix, 5)
+    ref = model.ec.export_table(model.state["emb_tables"], "t0").copy()
+    # train further, then restore
+    for _ in range(5):
+        model.train()
+    changed = model.ec.export_table(model.state["emb_tables"], "t0")
+    assert not np.allclose(ref, changed)
+    model.load_params_from_files(f"{prefix}_iter5")
+    back = model.ec.export_table(model.state["emb_tables"], "t0")
+    np.testing.assert_allclose(ref, back, rtol=1e-6)
+
+
+def test_graph_to_json(mesh8, tmp_path):
+    model = _build_dcn_model(mesh8, use_ebc=True)
+    path = str(tmp_path / "graph.json")
+    model.graph_to_json(path)
+    import json
+
+    with open(path) as f:
+        g = json.load(f)
+    assert len(g["dense_layers"]) >= 5
