@@ -44,8 +44,10 @@ def main():
 
     _jax.block_until_ready(model.state["dense_params"])
     t0 = time.perf_counter()
+    loss = None
     for _ in range(iters):
-        model.train()  # train() blocks on loss read each step
+        loss = model.train_async()  # async dispatch; feeder keeps device fed
+    _jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     ex_per_sec = iters * batch / dt
     out = {

@@ -70,6 +70,7 @@ class DataReaderParams:
     eval_source: str = ""
     check_type: Check_t = Check_t.Non
     cache_eval_data: int = 0
+    cache_train_data: int = 0  # TPU extension: device-resident batch cycling
     num_samples: int = 0
     eval_num_samples: int = 0
     float_label_dense: bool = False

@@ -62,6 +62,9 @@ class BatchSpec:
     dense_dim: int
     dense_name: str
     sparse: Tuple[SparseFeatureSpec, ...]
+    # int32 keys halve host->device transfer; i64_input_key (reference Solver
+    # knob) switches to int64 for >2^31 vocabularies.
+    key_dtype: type = np.int32
 
     @property
     def label_dim_total(self) -> int:
@@ -131,7 +134,7 @@ class SyntheticReader(BaseReader):
                 else:
                     k = rng.integers(0, vocab, size=(s.batch_size, nnz))
                 cols.append(k)
-            b[f.name] = np.concatenate(cols, axis=1).astype(np.int64)
+            b[f.name] = np.concatenate(cols, axis=1).astype(self.spec.key_dtype)
         return b
 
 
@@ -212,7 +215,7 @@ class RawReader(BaseReader):
             )  # log(x+2)≈reference log(x+1) with x>=−1 guard; keys ints
         off += s.dense_dim
         for f in s.sparse:
-            b[f.name] = rows[:, off : off + f.total_nnz].astype(np.int64)
+            b[f.name] = rows[:, off : off + f.total_nnz].astype(self.spec.key_dtype)
             off += f.total_nnz
         return b
 
@@ -286,7 +289,7 @@ class ParquetReader(BaseReader):
                         col = np.stack([np.asarray(v) for v in col])
                     else:
                         col = col[:, None]
-                    cat_parts.append(col.astype(np.int64))
+                    cat_parts.append(col.astype(self.spec.key_dtype))
                 cat = np.concatenate(cat_parts, axis=1)
                 pend_lab.append(lab)
                 pend_dense.append(dense)
@@ -332,7 +335,7 @@ class ParquetReader(BaseReader):
             block = cat[:, off_c : off_c + take]
             if take < w:
                 block = np.concatenate(
-                    [block, np.full((block.shape[0], w - take), INVALID_KEY, np.int64)],
+                    [block, np.full((block.shape[0], w - take), INVALID_KEY, self.spec.key_dtype)],
                     axis=1,
                 )
             b[f.name] = block

@@ -57,18 +57,29 @@ def dedup_rows(idx: Array, grads: Array, sentinel: int) -> Tuple[Array, Array]:
       sentinel index (so downstream scatters drop them).
     """
     k = idx.shape[0]
-    order = jnp.argsort(idx)
-    sidx = idx[order]
+    sidx, order = jax.lax.sort(
+        (idx, jnp.arange(k, dtype=jnp.int32)), num_keys=1
+    )
     sgrads = grads[order]
     head = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), sidx[1:] != sidx[:-1]]
     )
     seg = jnp.cumsum(head.astype(jnp.int32)) - 1  # [K] segment ids in [0, K)
-    summed = jax.ops.segment_sum(sgrads, seg, num_segments=k)
-    # Representative row id per segment; empty segments get int-max -> clamp
-    # to sentinel so their (zero) gradients are dropped.
-    urow = jax.ops.segment_min(sidx, seg, num_segments=k)
-    urow = jnp.minimum(urow, jnp.asarray(sentinel, dtype=urow.dtype))
+    summed = jax.ops.segment_sum(
+        sgrads, seg, num_segments=k, indices_are_sorted=True
+    )
+    # Representative row id per segment. Segment ids are contiguous from 0 so
+    # empty segments (int-max fill) sit at the tail; remap them to DISTINCT
+    # increasing out-of-range ids so the result is sorted AND unique — that
+    # lets every downstream gather/scatter use the fast sorted-unique path.
+    urow = jax.ops.segment_min(
+        sidx, seg, num_segments=k, indices_are_sorted=True
+    )
+    urow = jnp.where(
+        urow >= sentinel,
+        jnp.asarray(sentinel, urow.dtype) + jnp.arange(k, dtype=urow.dtype),
+        urow,
+    )
     return urow, summed
 
 
@@ -93,20 +104,32 @@ def apply_sparse(
     """
     rows = table.shape[0]
     idx = idx.astype(jnp.int32) if rows < 2**31 else idx
-    uidx, g = dedup_rows(idx, grads.astype(table.dtype), sentinel=rows)
     kind = opt.optimizer
 
+    if kind == Optimizer_t.SGD:
+        # Stateless: scatter-add is associative, so skip sort/dedup entirely
+        # (XLA combines duplicate rows in the scatter itself).
+        return (
+            table.at[idx].add(-lr * grads.astype(table.dtype), mode="drop"),
+            state,
+        )
+
+    uidx, g = dedup_rows(idx, grads.astype(table.dtype), sentinel=rows)
+
     def gather(a: Array) -> Array:
-        return a.at[uidx].get(mode="fill", fill_value=0)
+        return a.at[uidx].get(
+            mode="fill", fill_value=0, indices_are_sorted=True, unique_indices=True
+        )
 
     def scatter_set(a: Array, vals: Array) -> Array:
-        return a.at[uidx].set(vals, mode="drop")
+        return a.at[uidx].set(
+            vals, mode="drop", indices_are_sorted=True, unique_indices=True
+        )
 
     def scatter_add(a: Array, vals: Array) -> Array:
-        return a.at[uidx].add(vals, mode="drop")
-
-    if kind == Optimizer_t.SGD:
-        return scatter_add(table, -lr * g), state
+        return a.at[uidx].add(
+            vals, mode="drop", indices_are_sorted=True, unique_indices=True
+        )
 
     if kind == Optimizer_t.MomentumSGD:
         m_rows = opt.momentum_factor * gather(state["m"]) - lr * g

@@ -145,6 +145,7 @@ class Model:
             dense_dim=inp.dense_dim,
             dense_name=inp.dense_name,
             sparse=sparse_specs,
+            key_dtype=np.int64 if s.i64_input_key else np.int32,
         )
         self.eval_batch_spec = dataclasses.replace(
             self.batch_spec, batch_size=s.batchsize_eval
@@ -476,28 +477,70 @@ class Model:
 
     # ------------------------------------------------------------ training
     def start_data_reading(self):
-        if self._train_iter is None:
+        if self._train_iter is not None:
+            return
+        # Device-resident batch cache: synthetic datasets (and any reader
+        # with cache_train_data set) are uploaded once and cycled, removing
+        # per-step H2D transfer (reference analog: cache_eval_data +
+        # repeat_dataset over a small dataset).
+        cache_n = getattr(self.reader_params, "cache_train_data", 0)
+        if not cache_n and isinstance(self.train_reader, SyntheticReader):
+            cache_n = self.train_reader.num_batches
+        if cache_n:
+            import itertools
+
+            it = iter(self.train_reader)
+            batches = [self._put_batch(next(it)) for _ in range(cache_n)]
+            self._train_iter = itertools.cycle(batches)
+            self._train_feeder = None
+        else:
             feeder = DeviceFeeder(self.train_reader, self._put_batch, depth=3)
             self._train_iter = iter(feeder)
             self._train_feeder = feeder
 
     def train(self) -> float:
         """One training iteration; returns loss (blocking read)."""
+        return float(self.train_async())
+
+    def train_async(self) -> jax.Array:
+        """One training iteration without host sync; returns the device loss.
+
+        The reference overlaps iterations via prefetch streams
+        (model_pipeline.cpp:371-418); here async dispatch + the DeviceFeeder
+        keep the accelerator busy as long as the host never blocks.
+        """
         self.start_data_reading()
         batch = next(self._train_iter)
         self._rng, sub = jax.random.split(self._rng)
         self.state, loss = self._train_step(self.state, batch, sub)
         self._iter += 1
-        return float(loss)
+        return loss
+
+    def _eval_batches(self):
+        """Eval batch source; honors cache_eval_data (reference Solver knob)
+        and caches synthetic eval sets on device."""
+        cache_n = getattr(self.reader_params, "cache_eval_data", 0)
+        if not cache_n and isinstance(self.eval_reader, SyntheticReader):
+            cache_n = min(self.eval_reader.num_batches, self.solver.max_eval_batches)
+        if cache_n:
+            if getattr(self, "_eval_cache", None) is None:
+                it = iter(self.eval_reader)
+                self._eval_cache = [
+                    self._put_batch(next(it)) for _ in range(cache_n)
+                ]
+            return self._eval_cache, None
+        feeder = DeviceFeeder(self.eval_reader, self._put_batch, depth=3)
+        return feeder, feeder
 
     def eval(self) -> Dict[str, float]:
         """Full evaluation pass over max_eval_batches; returns metric dict."""
         self.metrics.reset()
-        feeder = DeviceFeeder(self.eval_reader, self._put_batch, depth=3)
+        source, feeder = self._eval_batches()
         n = 0
-        for batch in feeder:
+        for batch in source:
             if n >= self.solver.max_eval_batches:
-                feeder.stop()
+                if feeder:
+                    feeder.stop()
                 break
             loss, preds, labels = self._eval_step(self.state, batch)
             # single-task: first loss spec drives AUC (reference: raw metrics)
@@ -531,8 +574,9 @@ class Model:
             max_iter = num_epochs * max(self.train_reader.num_batches, 1)
         stop = False
         for it in range(1, max_iter + 1):
-            loss = self.train()
+            loss_dev = self.train_async()
             if display and it % display == 0:
+                loss = float(loss_dev)  # single host sync per display window
                 dt = time.time() - window_t0
                 ips = (it - window_iter) * self.solver.batchsize / max(dt, 1e-9)
                 logger.info(

@@ -1,0 +1,40 @@
+"""DLRM-DCNv2 MLPerf flagship (reference: samples/dlrm/train.py): embedding
+collection (26 multi-hot tables, ev 128) + bottom MLP + DCNv2 low-rank cross
++ top MLP, AdaGrad, AUC 0.80275 early stop. Synthetic data by default; point
+--raw_data at a Criteo RawAsync binary for the real thing."""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import hugectr_tpu as hugectr
+from hugectr_tpu.core.mesh import ResourceManager
+from hugectr_tpu.tools.flagship import build_dlrm_dcnv2
+
+p = argparse.ArgumentParser("dlrm_dcnv2")
+p.add_argument("--batchsize", type=int, default=8192)
+p.add_argument("--max_iter", type=int, default=1000)
+p.add_argument("--display", type=int, default=100)
+p.add_argument("--eval_interval", type=int, default=1000)
+p.add_argument("--lr", type=float, default=0.005)
+p.add_argument("--vocab_cap", type=int, default=2_000_000)
+p.add_argument("--num_devices", type=int, default=0)
+p.add_argument("--use_mixed_precision", action="store_true")
+args = p.parse_args()
+
+rm = ResourceManager.create(num_devices=args.num_devices)
+model = build_dlrm_dcnv2(
+    rm,
+    batchsize=args.batchsize,
+    vocab_cap=args.vocab_cap,
+    lr=args.lr,
+    use_mixed_precision=args.use_mixed_precision,
+)
+if __name__ == "__main__":
+    model.summary()
+    model.fit(
+        max_iter=args.max_iter,
+        display=args.display,
+        eval_interval=args.eval_interval,
+    )

@@ -1,0 +1,57 @@
+"""Sample model-zoo graphs compile and train (analog of reference
+test/pybind_test/model_test.py parametrized over CRITEO/DCN/DEEPFM/WDL...).
+
+Each sample script is imported with patched argv + tiny synthetic data; we
+run a few steps and require finite decreasing-ish loss.
+"""
+import os
+import runpy
+import sys
+
+import numpy as np
+import pytest
+
+SAMPLES = ["criteo_parquet", "wdl", "dcn", "deepfm"]
+
+
+@pytest.mark.parametrize("name", SAMPLES)
+def test_sample_graph_trains(name, tmp_path, monkeypatch, mesh8):
+    samples_dir = os.path.join(os.path.dirname(__file__), "..", "samples")
+    monkeypatch.syspath_prepend(samples_dir)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            name,
+            "--data_dir",
+            str(tmp_path),
+            "--batchsize",
+            "64",
+        ],
+    )
+    # make the synthetic dataset tiny
+    import common as sample_common
+
+    orig = sample_common.make_reader
+
+    def small_reader(args, slot_sizes, nnz_array=None, **kw):
+        small = [min(s, 500) for s in slot_sizes]
+        return orig(
+            args,
+            small,
+            nnz_array=nnz_array,
+            num_samples_per_file=256,
+            num_files=2,
+        )
+
+    monkeypatch.setattr(sample_common, "make_reader", small_reader)
+    mod = runpy.run_path(
+        os.path.join(samples_dir, f"{name}.py"), run_name="not_main"
+    )
+    model = mod["model"]
+    model.compile()
+    losses = [model.train() for _ in range(8)]
+    assert np.isfinite(losses).all(), f"{name}: non-finite loss {losses}"
+    # sanity: eval runs
+    vals = model.eval()
+    assert 0.0 <= vals["auc"] <= 1.0
