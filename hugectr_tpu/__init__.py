@@ -45,19 +45,36 @@ from .optim.params import OptParams
 Activation_t.Non = Activation_t.NonE
 
 
+def _filter_kwargs(cls, kwargs, label):
+    import dataclasses as _dc
+
+    fields = {f.name for f in _dc.fields(cls)}
+    known = {k: v for k, v in kwargs.items() if k in fields}
+    unknown = sorted(set(kwargs) - fields)
+    if unknown:
+        from .core.logger import get_logger
+
+        get_logger().warning(
+            f"{label}: ignoring GPU-specific/unknown args {unknown}"
+        )
+    return known
+
+
 def CreateSolver(**kwargs) -> Solver:
-    """Reference-parity factory (hugectr.CreateSolver)."""
-    return Solver(**kwargs)
+    """Reference-parity factory (hugectr.CreateSolver). Unknown reference
+    kwargs (CUDA-graph/NCCL knobs with no TPU meaning) are ignored with a
+    warning so reference scripts run unmodified."""
+    return Solver(**_filter_kwargs(Solver, kwargs, "CreateSolver"))
 
 
 def CreateOptimizer(optimizer_type=None, **kwargs) -> OptParams:
     """Reference-parity factory (hugectr.CreateOptimizer)."""
     if optimizer_type is not None:
         kwargs["optimizer"] = optimizer_type
-    # accept reference kwarg spellings
-    if "beta" in kwargs and kwargs.get("optimizer") == Optimizer_t.RMSProp:
-        pass
-    return OptParams(**kwargs)
+    # reference kwarg spellings -> OptParams fields
+    if "atomic_update" in kwargs:
+        kwargs.pop("atomic_update")  # SGD atomics: implicit in XLA scatter
+    return OptParams(**_filter_kwargs(OptParams, kwargs, "CreateOptimizer"))
 
 
 __version__ = "0.1.0"

@@ -262,6 +262,16 @@ class ParquetReader(BaseReader):
             raise ValueError(
                 f"dataset has {len(self.cat_cols)} cat columns, model wants {n_slots}"
             )
+        if len(self.label_cols) < spec.label_dim_total:
+            raise ValueError(
+                f"dataset has {len(self.label_cols)} label columns, model "
+                f"wants {spec.label_dim_total}"
+            )
+        if len(self.cont_cols) < spec.dense_dim:
+            raise ValueError(
+                f"dataset has {len(self.cont_cols)} dense columns, model "
+                f"wants {spec.dense_dim}"
+            )
 
     def __iter__(self) -> Iterator[Batch]:
         import pyarrow.parquet as pq

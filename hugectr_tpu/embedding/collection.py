@@ -207,15 +207,27 @@ class EmbeddingCollection:
                 outs.append(s)
         return jnp.concatenate(outs, axis=1)
 
-    def _unpool(self, g: GroupPlan, d_out: Array, valid: Array) -> Array:
-        """[B, W] output grads -> [B, H, E] per-slot row gradients."""
+    def _grad_source(
+        self, g: GroupPlan, d_out: Array, valid: Array
+    ) -> Tuple[Array, np.ndarray]:
+        """[B, W] output grads -> compact gradient source.
+
+        Returns (dsrc [B*S, E], gsrc [H]): the grad of the key in slot h of
+        sample b is row ``b*S + gsrc[h]`` of dsrc. Sum/mean lookups share ONE
+        source row per sample (never broadcast to [B, H, E] — the sort works
+        on int pairs and gradient rows are gathered once, post-sort).
+        """
         b = d_out.shape[0]
         parts: List[Array] = []
+        gsrc = np.zeros(g.hotness_total, dtype=np.int32)
+        s_cursor = 0
         for lm in g.lookups:
             d = d_out[:, lm.out_begin : lm.out_end]
             h = lm.slot_end - lm.slot_begin
             if lm.combiner == Combiner_t.Concat:
                 parts.append(d.reshape(b, h, g.ev_size))
+                gsrc[lm.slot_begin : lm.slot_end] = s_cursor + np.arange(h)
+                s_cursor += h
             else:
                 d = d.reshape(b, 1, g.ev_size)
                 if lm.combiner == Combiner_t.Mean:
@@ -225,8 +237,11 @@ class EmbeddingCollection:
                         keepdims=True,
                     )[..., None]
                     d = d / jnp.maximum(cnt, 1.0)
-                parts.append(jnp.broadcast_to(d, (b, h, g.ev_size)))
-        return jnp.concatenate(parts, axis=1)
+                parts.append(d)
+                gsrc[lm.slot_begin : lm.slot_end] = s_cursor
+                s_cursor += 1
+        dsrc = jnp.concatenate(parts, axis=1).reshape(-1, g.ev_size)
+        return dsrc, gsrc
 
     # ------------------------------------------------------------- forward
     def forward(
@@ -375,29 +390,34 @@ class EmbeddingCollection:
 
     def _row_grads(
         self, gname: str, keys: Array, d_group: Array, num_shards: int, my
-    ) -> Tuple[Array, Array]:
-        """Shared bwd math: (flat row idx with sentinel, flat [K, E] grads)."""
+    ) -> Tuple[Array, Array, Array]:
+        """Shared bwd math: (flat row idx with sentinel, grad source row ids,
+        compact grad source). Foreign/invalid keys carry the sentinel row and
+        are dropped as whole segments downstream (no [K, E] mask multiply)."""
         meta = self._meta[gname]
         g = meta.plan
         valid, owner, local_row = self._slot_placement(meta, keys, num_shards)
         mine = valid if my is None else (valid & (owner == my))
-        d_rows = self._unpool(g, d_group, valid)
-        idx = jnp.where(mine, local_row, g.total_local_rows).reshape(-1)
-        grads = (d_rows * mine[..., None].astype(d_rows.dtype)).reshape(
-            -1, g.ev_size
+        dsrc, gsrc = self._grad_source(g, d_group, valid)
+        n_src = g.grad_src_slots
+        b = keys.shape[0]
+        src = (
+            jnp.arange(b, dtype=jnp.int32)[:, None] * n_src
+            + jnp.asarray(gsrc)[None, :]
         )
-        return idx, grads
+        idx = jnp.where(mine, local_row, g.total_local_rows).reshape(-1)
+        return idx, src.reshape(-1), dsrc
 
     def _mp_bwd_local(self, gname, table_shard, state, keys_loc, d_loc, lr, step):
         my = jax.lax.axis_index(DATA_AXIS)
         keys = jax.lax.all_gather(keys_loc, DATA_AXIS, axis=0, tiled=True)
         d_group = jax.lax.all_gather(d_loc, DATA_AXIS, axis=0, tiled=True)
-        idx, grads = self._row_grads(
+        idx, src, dsrc = self._row_grads(
             gname, keys, d_group, self.rm.data_parallel_size, my
         )
         opt = self.group_opt[gname]
         return sparse_optimizer.apply_sparse(
-            opt, table_shard, state, idx, grads, lr, step
+            opt, table_shard, state, idx, src, dsrc, lr, step
         )
 
     def _dp_bwd_local(self, gname, table, state, keys_loc, d_loc, lr, step):
@@ -405,14 +425,18 @@ class EmbeddingCollection:
         # batch so replicas stay bit-identical (analog of DP wgrad allreduce).
         keys = jax.lax.all_gather(keys_loc, DATA_AXIS, axis=0, tiled=True)
         d_group = jax.lax.all_gather(d_loc, DATA_AXIS, axis=0, tiled=True)
-        idx, grads = self._row_grads(gname, keys, d_group, 1, None)
+        idx, src, dsrc = self._row_grads(gname, keys, d_group, 1, None)
         opt = self.group_opt[gname]
-        return sparse_optimizer.apply_sparse(opt, table, state, idx, grads, lr, step)
+        return sparse_optimizer.apply_sparse(
+            opt, table, state, idx, src, dsrc, lr, step
+        )
 
     def _bwd_single(self, gname, table, state, keys, d_group, lr, step):
-        idx, grads = self._row_grads(gname, keys, d_group, 1, None)
+        idx, src, dsrc = self._row_grads(gname, keys, d_group, 1, None)
         opt = self.group_opt[gname]
-        return sparse_optimizer.apply_sparse(opt, table, state, idx, grads, lr, step)
+        return sparse_optimizer.apply_sparse(
+            opt, table, state, idx, src, dsrc, lr, step
+        )
 
     # ------------------------------------------------------------- IO paths
     def export_table(

@@ -43,24 +43,31 @@ def init_state(opt: OptParams, rows: int, ev: int, dtype=jnp.float32) -> State:
     raise ValueError(f"unsupported sparse optimizer {kind}")
 
 
-def dedup_rows(idx: Array, grads: Array, sentinel: int) -> Tuple[Array, Array]:
+def dedup_rows(
+    idx: Array, src: Array, dsrc: Array, sentinel: int
+) -> Tuple[Array, Array]:
     """Combine gradients of duplicate rows.
 
+    The gradient of the key at flat position i is ROW ``src[i]`` OF ``dsrc``
+    (the compact per-(sample, grad-slot) cotangent array) — never
+    materialized at [K, E] before sorting. Only int32 pairs go through the
+    sort; gradient rows are gathered once, post-sort (analog of the
+    reference's local-reduce: IndicesSort + segmented sum,
+    embedding/operators/index_calculation.cu).
+
     Args:
-      idx: [K] int32/int64 row indices; invalid entries == sentinel.
-      grads: [K, E] row gradients.
+      idx: [K] row indices; invalid/foreign entries == sentinel (their whole
+        segment is dropped by out-of-bounds scatter semantics downstream).
+      src: [K] int32 row index into dsrc giving each key's gradient row.
+      dsrc: [S, E] gradient source rows.
       sentinel: out-of-range row id marking invalid entries.
 
     Returns:
-      (unique_idx [K], summed_grads [K, E]) where each segment's summed
-      gradient sits at the segment's slot and all non-head slots carry the
-      sentinel index (so downstream scatters drop them).
+      (unique_idx [K] sorted+unique, summed_grads [K, E]).
     """
     k = idx.shape[0]
-    sidx, order = jax.lax.sort(
-        (idx, jnp.arange(k, dtype=jnp.int32)), num_keys=1
-    )
-    sgrads = grads[order]
+    sidx, ssrc = jax.lax.sort((idx, src), num_keys=1)
+    sgrads = dsrc.at[ssrc].get(mode="fill", fill_value=0)
     head = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), sidx[1:] != sidx[:-1]]
     )
@@ -88,7 +95,8 @@ def apply_sparse(
     table: Array,
     state: State,
     idx: Array,
-    grads: Array,
+    src: Array,
+    dsrc: Array,
     lr: Array,
     step: Array,
 ) -> Tuple[Array, State]:
@@ -98,23 +106,26 @@ def apply_sparse(
       table: [R, E] local table shard.
       state: per-row optimizer state dict of [R, E] arrays.
       idx: [K] row indices into table; invalid entries must be >= R.
-      grads: [K, E] gradients (already scaled by any loss scaler).
+      src: [K] row index into dsrc giving each key's gradient row.
+      dsrc: [S, E] compact gradient source (already loss-scaled).
       lr: scalar learning rate.
       step: scalar global step (1-based) for Adam bias correction.
     """
     rows = table.shape[0]
     idx = idx.astype(jnp.int32) if rows < 2**31 else idx
     kind = opt.optimizer
+    dsrc = dsrc.astype(table.dtype)
 
     if kind == Optimizer_t.SGD:
         # Stateless: scatter-add is associative, so skip sort/dedup entirely
         # (XLA combines duplicate rows in the scatter itself).
+        grads = dsrc.at[src].get(mode="fill", fill_value=0)
         return (
-            table.at[idx].add(-lr * grads.astype(table.dtype), mode="drop"),
+            table.at[idx].add(-lr * grads, mode="drop"),
             state,
         )
 
-    uidx, g = dedup_rows(idx, grads.astype(table.dtype), sentinel=rows)
+    uidx, g = dedup_rows(idx, src, dsrc, sentinel=rows)
 
     def gather(a: Array) -> Array:
         return a.at[uidx].get(

@@ -230,9 +230,11 @@ def _scale_apply(params, state, ins, cfg, ctx):
     x = ins[0]
     f = int(cfg.factor)
     if cfg.axis == 0:
-        return [jnp.tile(x, (1, f))], state
-    # axis == 1: each sample repeated f times contiguously (matches the
-    # batch-major flattening of FusedReshapeConcat outputs).
+        # each element repeated f times consecutively (reference:
+        # upscale_kernel axis==0, src/layers/scale_layer.cu:36-41)
+        return [jnp.repeat(x, f, axis=1)], state
+    # axis == 1: each sample's row repeated f times contiguously (reference:
+    # upscale_kernel axis!=0, scale_layer.cu:42-48)
     return [jnp.repeat(x, f, axis=0)], state
 
 

@@ -44,7 +44,10 @@ def _dense(x, w, b, dtype):
 
 # ----------------------------------------------------------------- inner product
 def _ip_init(rng, cfg: DenseLayer, in_shapes):
-    fan_in = feature_size(in_shapes[0])
+    shape = in_shapes[0]
+    # 3D input [B, S, I] -> per-step FC [B, S, O] (reference:
+    # fully_connected_layer supports 3D for BST/DIN attention projections)
+    fan_in = shape[-1] if len(shape) == 3 else feature_size(shape)
     fan_out = cfg.num_output
     r1, r2 = jax.random.split(rng)
     w_init = make_initializer(cfg.weight_init_type, fan_in, fan_out)
@@ -52,11 +55,16 @@ def _ip_init(rng, cfg: DenseLayer, in_shapes):
     params = {"weight": w_init(r1, (fan_in, fan_out))}
     if cfg.use_bias:
         params["bias"] = b_init(r2, (fan_out,))
-    return params, {}, [(in_shapes[0][0], fan_out)]
+    out_shape = (
+        (shape[0], shape[1], fan_out) if len(shape) == 3 else (shape[0], fan_out)
+    )
+    return params, {}, [out_shape]
 
 
 def _ip_apply(params, state, ins, cfg, ctx: LayerCtx):
-    x = ins[0].reshape(ins[0].shape[0], -1)
+    x = ins[0]
+    if x.ndim != 3:
+        x = x.reshape(x.shape[0], -1)
     y = _dense(x, params["weight"], params.get("bias"), ctx.compute_dtype)
     return [y.astype(ctx.compute_dtype)], state
 

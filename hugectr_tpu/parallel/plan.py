@@ -152,6 +152,19 @@ class GroupPlan:
             return self.total_local_rows * self.num_shards
         return self.total_local_rows
 
+    @property
+    def grad_src_slots(self) -> int:
+        """Rows per sample in the compact backward gradient source: one per
+        sum/mean lookup, hotness per concat lookup."""
+        from ..core.types import Combiner_t
+
+        return sum(
+            (lm.slot_end - lm.slot_begin)
+            if lm.combiner == Combiner_t.Concat
+            else 1
+            for lm in self.lookups
+        )
+
 
 @dataclasses.dataclass
 class CompiledEmbeddingPlan:

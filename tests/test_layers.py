@@ -244,6 +244,7 @@ def test_sparse_dense_optimizer_agreement():
             jnp.asarray(table),
             sp_state,
             jnp.arange(rows),
+            jnp.arange(rows, dtype=jnp.int32),
             jnp.asarray(grads),
             jnp.asarray(0.05),
             jnp.asarray(1),

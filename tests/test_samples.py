@@ -11,7 +11,7 @@ import sys
 import numpy as np
 import pytest
 
-SAMPLES = ["criteo_parquet", "wdl", "dcn", "deepfm"]
+SAMPLES = ["criteo_parquet", "wdl", "dcn", "deepfm", "ncf", "mmoe", "din", "bst"]
 
 
 @pytest.mark.parametrize("name", SAMPLES)
@@ -36,13 +36,8 @@ def test_sample_graph_trains(name, tmp_path, monkeypatch, mesh8):
 
     def small_reader(args, slot_sizes, nnz_array=None, **kw):
         small = [min(s, 500) for s in slot_sizes]
-        return orig(
-            args,
-            small,
-            nnz_array=nnz_array,
-            num_samples_per_file=256,
-            num_files=2,
-        )
+        kw.update(num_samples_per_file=256, num_files=2)
+        return orig(args, small, nnz_array=nnz_array, **kw)
 
     monkeypatch.setattr(sample_common, "make_reader", small_reader)
     mod = runpy.run_path(
