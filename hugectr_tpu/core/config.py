@@ -80,6 +80,7 @@ class DataReaderParams:
     async_param: Optional[Any] = None
     # synthetic reader extras
     synthetic_num_batches: int = 64
+    synthetic_learnable: bool = False  # key-parity labels (convergence gates)
 
     def __post_init__(self):
         self.data_reader_type = DataReaderType_t(self.data_reader_type)

@@ -317,9 +317,26 @@ class Model:
                 spec,
                 vocabs,
                 num_batches=getattr(rp, "synthetic_num_batches", 64),
-                seed=self.solver.seed or 1234,
+                seed=(self.solver.seed or 1234) + (0 if train else 99991),
+                learnable_labels=getattr(rp, "synthetic_learnable", False),
             )
         if kind in (DataReaderType_t.Raw, DataReaderType_t.RawAsync):
+            # prefer the native threaded IO core (AsyncDataReader analog)
+            from .. import data as _data
+            from ..data.native_reader import NativeRawReader, native_available
+
+            if native_available():
+                try:
+                    return NativeRawReader(
+                        src,
+                        spec,
+                        num_samples=rp.num_samples if train else rp.eval_num_samples,
+                        float_label_dense=rp.float_label_dense,
+                        repeat=self.solver.repeat_dataset if train else False,
+                        n_threads=rp.num_workers,
+                    )
+                except RuntimeError as e:
+                    logger.warning(f"native raw reader unavailable: {e}")
             return RawReader(
                 src,
                 spec,
@@ -390,6 +407,8 @@ class Model:
         compute_dtype = s.compute_dtype
         lr_sch = self.lr_sch
         dense_opt = self.dense_opt
+        dense_frozen = getattr(self, "_dense_frozen", False)
+        emb_frozen = getattr(self, "_emb_frozen", False)
 
         def train_step(state, batch, rng):
             step = state["step"] + 1
@@ -424,9 +443,12 @@ class Model:
                     loss_fn, has_aux=True
                 )(state["dense_params"])
                 egrads = {}
-            new_dense, new_dopt = dense_opt.update(
-                state["dense_params"], state["dopt"], dgrads, lr, step
-            )
+            if dense_frozen:
+                new_dense, new_dopt = state["dense_params"], state["dopt"]
+            else:
+                new_dense, new_dopt = dense_opt.update(
+                    state["dense_params"], state["dopt"], dgrads, lr, step
+                )
             new_state = {
                 "step": step,
                 "dense_params": new_dense,
@@ -434,14 +456,17 @@ class Model:
                 "dopt": new_dopt,
             }
             if ec is not None:
-                new_tables, new_eopt = ec.backward_and_update(
-                    state["emb_tables"],
-                    state["eopt"],
-                    feature_keys,
-                    egrads,
-                    lr,
-                    step,
-                )
+                if emb_frozen:
+                    new_tables, new_eopt = state["emb_tables"], state["eopt"]
+                else:
+                    new_tables, new_eopt = ec.backward_and_update(
+                        state["emb_tables"],
+                        state["eopt"],
+                        feature_keys,
+                        egrads,
+                        lr,
+                        step,
+                    )
                 new_state["emb_tables"] = new_tables
                 new_state["eopt"] = new_eopt
             return new_state, loss
@@ -627,6 +652,14 @@ class Model:
         _flatten(self.state["dopt"], "dopt/")
         _flatten(self.state["net_state"], "net_state/")
         np.savez(os.path.join(out_dir, "dense_model.npz"), **flat)
+        if self.ec is not None and "eopt" in self.state:
+            edir = os.path.join(out_dir, "emb_opt_states")
+            os.makedirs(edir, exist_ok=True)
+            for gname, st in self.state["eopt"].items():
+                for slot, arr in st.items():
+                    np.save(
+                        os.path.join(edir, f"{gname}.{slot}.npy"), np.asarray(arr)
+                    )
         if self.ec is not None:
             for g in self.ec.plan.groups:
                 for t in g.tables:
@@ -660,6 +693,16 @@ class Model:
                     if os.path.exists(path):
                         self.state["emb_tables"] = self.ec.import_table(
                             self.state["emb_tables"], t.name, np.load(path)
+                        )
+        edir = os.path.join(out_dir, "emb_opt_states")
+        if self.ec is not None and os.path.isdir(edir):
+            for gname, st in self.state["eopt"].items():
+                for slot in st:
+                    fpath = os.path.join(edir, f"{gname}.{slot}.npy")
+                    if os.path.exists(fpath):
+                        sharding = self.state["eopt"][gname][slot].sharding
+                        self.state["eopt"][gname][slot] = jax.device_put(
+                            jnp.asarray(np.load(fpath)), sharding
                         )
         with open(os.path.join(out_dir, "meta.json")) as f:
             meta = json.load(f)
@@ -696,6 +739,33 @@ class Model:
                 return o.item()
             return str(o)
 
+        ebcs = []
+        for ebc in self.ebc_configs:
+            tables = {}
+            lookups = []
+            for d in ebc.lookup_decls:
+                tables[d.table.name] = {
+                    "name": d.table.name,
+                    "max_vocabulary_size": d.table.max_vocabulary_size,
+                    "ev_size": d.table.ev_size,
+                    "dynamic_capacity": d.table.dynamic_capacity,
+                }
+                lookups.append(
+                    {
+                        "table": d.table.name,
+                        "bottom_name": d.bottom_name,
+                        "top_name": d.top_name,
+                        "combiner": d.combiner.value,
+                    }
+                )
+            ebcs.append(
+                {
+                    "tables": list(tables.values()),
+                    "lookups": lookups,
+                    "shard_matrix": ebc.shard_matrix,
+                    "shard_strategy": ebc.shard_strategy,
+                }
+            )
         graph = {
             "solver": dataclasses.asdict(self.solver),
             "input": dataclasses.asdict(self.input),
@@ -703,9 +773,108 @@ class Model:
             "sparse_embeddings": [
                 dataclasses.asdict(se) for se in self.sparse_embeddings
             ],
+            "embedding_collections": ebcs,
         }
         with open(path, "w") as f:
             json.dump(graph, f, default=enc, indent=2)
+
+    @classmethod
+    def construct_from_json(
+        cls,
+        graph_path: str,
+        reader_params=None,
+        optimizer: Optional[OptParams] = None,
+        resource_manager: Optional[ResourceManager] = None,
+        compile_model: bool = True,
+    ) -> "Model":
+        """Rebuild a Model from a graph_to_json dump (reference:
+        Model::construct_from_json, model.cpp:382-437)."""
+        from ..core.config import DataReaderSparseParam
+        from ..embedding.config import EmbeddingCollectionConfig
+        from ..parallel.plan import EmbeddingTableConfig
+
+        with open(graph_path) as f:
+            graph = json.load(f)
+        sol = graph["solver"]
+        sol["metrics_spec"] = {
+            Metric_t(k): v for k, v in sol.get("metrics_spec", {}).items()
+        }
+        solver = Solver(**sol)
+        model = cls(
+            solver,
+            reader_params,
+            optimizer or OptParams(),
+            resource_manager=resource_manager,
+        )
+        inp = dict(graph["input"])
+        inp["data_reader_sparse_param_array"] = [
+            DataReaderSparseParam(
+                top_name=p["top_name"],
+                nnz_per_slot=p["nnz_per_slot"],
+                is_fixed_length=p.get("is_fixed_length", True),
+                slot_num=p["slot_num"],
+            )
+            for p in inp["data_reader_sparse_param_array"]
+        ]
+        model.add(Input(**inp))
+        for e in graph.get("embedding_collections", []):
+            tbls = {
+                t["name"]: EmbeddingTableConfig(
+                    name=t["name"],
+                    max_vocabulary_size=t["max_vocabulary_size"],
+                    ev_size=t["ev_size"],
+                    dynamic_capacity=t.get("dynamic_capacity", 2**22),
+                )
+                for t in e["tables"]
+            }
+            ebc = EmbeddingCollectionConfig()
+            for lk in e["lookups"]:
+                ebc.embedding_lookup(
+                    tbls[lk["table"]],
+                    lk["bottom_name"],
+                    lk["top_name"],
+                    lk["combiner"],
+                )
+            if e.get("shard_strategy"):
+                ebc.shard(
+                    shard_matrix=e.get("shard_matrix")
+                    or [[t for t in tbls]] * model.rm.num_devices,
+                    shard_strategy=[(k, v) for k, v in e["shard_strategy"]],
+                )
+            model.add(ebc)
+        for se in graph.get("sparse_embeddings", []):
+            model.add(SparseEmbedding(**se))
+        for d in graph["dense_layers"]:
+            d = dict(d)
+            d.pop("compute_config", None)
+            ranges = d.get("ranges")
+            if ranges:
+                d["ranges"] = [tuple(r) for r in ranges]
+            model.add(DenseLayer(**d))
+        if compile_model:
+            model.compile()
+        return model
+
+    # --------------------------------------------------------------- freeze
+    def freeze_dense(self) -> None:
+        """Stop dense-weight updates (reference: Model::freeze_dense,
+        include/pybind/model.hpp:492-517)."""
+        self._dense_frozen = True
+        self._build_steps()
+
+    def unfreeze_dense(self) -> None:
+        self._dense_frozen = False
+        self._build_steps()
+
+    def freeze_embedding(self, embedding_name: Optional[str] = None) -> None:
+        """Stop sparse updates (all tables; per-table granularity follows the
+        reference API shape but freezes the whole collection for now)."""
+        self._emb_frozen = True
+        self._build_steps()
+
+    def unfreeze_embedding(self, embedding_name: Optional[str] = None) -> None:
+        self._emb_frozen = False
+        self._build_steps()
 
     def check_out_tensor(self, tensor_name: str, batch=None) -> np.ndarray:
         """Fetch an intermediate activation for one batch (reference:

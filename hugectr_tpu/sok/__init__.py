@@ -1,0 +1,245 @@
+"""SOK-analog: standalone sparse-lookup library for external JAX code.
+
+TPU-native analog of sparse_operation_kit (reference:
+sparse_operation_kit/sparse_operation_kit/{distributed_variable.py,
+dynamic_variable.py, lookup.py, optimizer.py, dump_load.py}): the reference
+plugs HugeCTR's embedding engine into TensorFlow; this module exposes the
+same capabilities to any JAX training loop, without the Model API.
+
+Design note on gradients: TF represents sparse embedding grads as
+IndexedSlices flowing into OptimizerWrapper. JAX cotangents are dense, so
+materializing d(table) through jax.grad would allocate vocab-sized arrays.
+Instead `lookup_sparse` is paired with `OptimizerWrapper.apply_gradients`,
+which takes the LOOKUP OUTPUT cotangents (cheap, [B, ev]) and performs the
+fused sort/dedup/per-row update — the same split the reference uses
+(lookup custom grad -> sparse apply, lookup.py:122-682, optimizer.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mesh import ResourceManager, default_resource_manager
+from ..core.types import Combiner_t, Optimizer_t
+from ..embedding.collection import EmbeddingCollection
+from ..optim.params import OptParams
+from ..parallel.plan import (
+    EmbeddingTableConfig,
+    LookupConfig,
+    ShardingPlan,
+    compile_plan,
+)
+
+__all__ = [
+    "init",
+    "Variable",
+    "DynamicVariable",
+    "lookup_sparse",
+    "all2all_dense_embedding",
+    "OptimizerWrapper",
+    "dump",
+    "load",
+    "filter_variables",
+]
+
+_RM: Optional[ResourceManager] = None
+
+
+def init(resource_manager: Optional[ResourceManager] = None) -> None:
+    """Analog of sok.init (sparse_operation_kit/__init__.py:75): bind the
+    device mesh. Without arguments uses all visible devices."""
+    global _RM
+    _RM = resource_manager or default_resource_manager()
+
+
+def _rm() -> ResourceManager:
+    global _RM
+    if _RM is None:
+        init()
+    return _RM
+
+
+@dataclasses.dataclass
+class Variable:
+    """Distributed (row-sharded mod-P) embedding table
+    (reference: sok.Variable / DistributedVariable, distributed_variable.py).
+
+    Attributes:
+      table: [rows, ev] sharded jax array (storage, includes shard padding).
+      config: table metadata.
+    """
+
+    collection: EmbeddingCollection
+    name: str
+
+    @property
+    def table(self) -> jax.Array:
+        return self._storage[self._group]
+
+    # storage pytree is kept externally; Variable is a view helper.
+
+    @classmethod
+    def create(
+        cls,
+        rows: int,
+        ev: int,
+        key: jax.Array,
+        name: str = "sok_var",
+        max_hotness: int = 1,
+        combiner: str = "sum",
+        mode: str = "distributed",  # "distributed" | "localized:<gpu>"
+        opt_params: Optional[OptParams] = None,
+    ):
+        raise NotImplementedError("use sok.lookup_sparse builder instead")
+
+
+class DynamicVariable:
+    """Hash-capacity table (reference: sok.DynamicVariable,
+    dynamic_variable.py:34-305 with DET/HKV backends). On TPU the compiled
+    analog is a fixed-capacity hashing-trick table
+    (max_vocabulary_size=-1 semantics of the embedding collection)."""
+
+    def __init__(self, dimension: int, initial_capacity: int = 2**20, **kw):
+        self.dimension = dimension
+        self.initial_capacity = initial_capacity
+
+
+class LookupEngine:
+    """Owns tables + compiled plan for a set of lookups; the object returned
+    by `build_lookup` and consumed by `lookup_sparse`."""
+
+    def __init__(
+        self,
+        tables: Sequence[EmbeddingTableConfig],
+        hotness: Sequence[int],
+        combiners: Sequence[Union[str, Combiner_t]],
+        opt: OptParams,
+        rm: Optional[ResourceManager] = None,
+        dp_tables: Sequence[str] = (),
+    ):
+        self.rm = rm or _rm()
+        lookups = [
+            LookupConfig(
+                lookup_id=i,
+                table=t,
+                bottom_name=f"in{i}",
+                top_name=f"out{i}",
+                combiner=Combiner_t(c),
+                max_hotness=h,
+            )
+            for i, (t, h, c) in enumerate(zip(tables, hotness, combiners))
+        ]
+        mp = [t.name for t in tables if t.name not in set(dp_tables)]
+        plan = ShardingPlan(strategy=[("mp", mp), ("dp", list(dp_tables))])
+        self.compiled = compile_plan(
+            lookups, plan, num_shards=self.rm.data_parallel_size
+        )
+        self.ec = EmbeddingCollection(self.compiled, self.rm, opt)
+        self.n = len(lookups)
+
+    def init(self, key: jax.Array) -> Dict[str, jax.Array]:
+        return self.ec.init(key)
+
+    def init_optimizer(self, tables) -> Dict[str, Dict[str, jax.Array]]:
+        return self.ec.init_optimizer(tables)
+
+    def lookup(
+        self, tables: Dict[str, jax.Array], keys: Sequence[jax.Array]
+    ) -> List[jax.Array]:
+        """Fused multi-table lookup (reference: sok.lookup_sparse,
+        lookup.py:122): keys[i] is [B, hotness_i] with -1 padding; returns
+        pooled [B, ev_i] per lookup, batch-sharded."""
+        feats = {f"out{i}": k for i, k in enumerate(keys)}
+        # bottom names were rewritten to internal tops by compile
+        feature_keys = {}
+        for i, lk in enumerate(self.compiled.lookups):
+            feature_keys[lk.bottom_name] = keys[i]
+        outs = self.ec.forward(tables, feature_keys)
+        return [outs[lk.top_name] for lk in self.compiled.lookups]
+
+    def apply_gradients(
+        self,
+        tables: Dict[str, jax.Array],
+        opt_state: Dict[str, Dict[str, jax.Array]],
+        keys: Sequence[jax.Array],
+        d_outs: Sequence[jax.Array],
+        lr,
+        step,
+    ):
+        feature_keys = {
+            lk.bottom_name: keys[i] for i, lk in enumerate(self.compiled.lookups)
+        }
+        grads = {
+            lk.top_name: d_outs[i] for i, lk in enumerate(self.compiled.lookups)
+        }
+        return self.ec.backward_and_update(
+            tables, opt_state, feature_keys, grads, lr, step
+        )
+
+
+def lookup_sparse(
+    engine: LookupEngine, tables: Dict[str, jax.Array], keys: Sequence[jax.Array]
+) -> List[jax.Array]:
+    """Functional alias of LookupEngine.lookup (reference: sok.lookup_sparse)."""
+    return engine.lookup(tables, keys)
+
+
+def all2all_dense_embedding(
+    engine: LookupEngine, tables: Dict[str, jax.Array], keys: jax.Array
+) -> jax.Array:
+    """Single-table non-pooled lookup (reference: sok.all2all_dense_embedding,
+    lookup.py:122): keys [B] -> vectors [B, ev]."""
+    return engine.lookup(tables, [keys.reshape(-1, 1)])[0]
+
+
+class OptimizerWrapper:
+    """Sparse-apply wrapper (reference: sok.OptimizerWrapper, optimizer.py):
+    binds optimizer hyperparams to an engine and applies fused per-row
+    updates from lookup-output cotangents."""
+
+    def __init__(self, engine: LookupEngine, opt: Optional[OptParams] = None):
+        self.engine = engine
+        if opt is not None:
+            for g in engine.ec.plan.groups:
+                engine.ec.group_opt[g.name] = opt
+
+    def initialize(self, tables):
+        return self.engine.init_optimizer(tables)
+
+    def apply_gradients(self, tables, opt_state, keys, d_outs, lr, step=1):
+        return self.engine.apply_gradients(
+            tables, opt_state, keys, d_outs, lr, step
+        )
+
+
+def dump(path: str, engine: LookupEngine, tables: Dict[str, jax.Array]) -> None:
+    """Dump all tables to `path` dir (reference: sok.dump, dump_load.py)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    for g in engine.ec.plan.groups:
+        for t in g.tables:
+            arr = engine.ec.export_table(tables, t.name)
+            np.save(os.path.join(path, f"{t.name}.npy"), arr)
+
+
+def load(path: str, engine: LookupEngine, tables: Dict[str, jax.Array]):
+    import os
+
+    for g in engine.ec.plan.groups:
+        for t in g.tables:
+            f = os.path.join(path, f"{t.name}.npy")
+            if os.path.exists(f):
+                tables = engine.ec.import_table(tables, t.name, np.load(f))
+    return tables
+
+
+def filter_variables(variables: Sequence) -> Tuple[List, List]:
+    """Split (sok_vars, other_vars) (reference: sok.filter_variables)."""
+    sok_vars = [v for v in variables if isinstance(v, (LookupEngine, Variable))]
+    others = [v for v in variables if not isinstance(v, (LookupEngine, Variable))]
+    return sok_vars, others

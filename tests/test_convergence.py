@@ -1,0 +1,148 @@
+"""Convergence + API-surface tests (analog of reference
+test/pybind_test/model_test.py convergence gates)."""
+import os
+
+import numpy as np
+import pytest
+
+import hugectr_tpu as hugectr
+from hugectr_tpu.core.types import DataReaderType_t, Metric_t
+
+
+def _model(rm, learnable=True, batch=512):
+    solver = hugectr.CreateSolver(
+        max_eval_batches=8,
+        batchsize_eval=batch,
+        batchsize=batch,
+        lr=0.05,
+        metrics_spec={Metric_t.AUC: 1.0, Metric_t.AverageLoss: 1.0},
+        repeat_dataset=True,
+        seed=7,
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic,
+        synthetic_num_batches=24,
+        synthetic_learnable=learnable,
+    )
+    optimizer = hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.Adam)
+    model = hugectr.Model(solver, reader, optimizer, resource_manager=rm)
+    model.add(
+        hugectr.Input(
+            label_dim=1,
+            label_name="label",
+            dense_dim=4,
+            dense_name="dense",
+            data_reader_sparse_param_array=[
+                hugectr.DataReaderSparseParam(f"data{i}", 1, True, 1)
+                for i in range(3)
+            ],
+        )
+    )
+    tables = [
+        hugectr.EmbeddingTableConfig(
+            name=f"t{i}", max_vocabulary_size=200, ev_size=8
+        )
+        for i in range(3)
+    ]
+    ebc = hugectr.EmbeddingCollectionConfig()
+    ebc.embedding_lookup(
+        table_config=tables,
+        bottom_name=[f"data{i}" for i in range(3)],
+        top_name="emb",
+        combiner=["sum"] * 3,
+    )
+    ebc.shard(
+        shard_matrix=[[t.name for t in tables]] * rm.num_devices,
+        shard_strategy=[("mp", [t.name for t in tables])],
+    )
+    model.add(ebc)
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Concat,
+            bottom_names=["emb", "dense"],
+            top_names=["concat1"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.MLP,
+            bottom_names=["concat1"],
+            top_names=["mlp1"],
+            num_outputs=[32, 16],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=["mlp1"],
+            top_names=["logit"],
+            num_output=1,
+            act_type=hugectr.Activation_t.Non,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+            bottom_names=["logit", "label"],
+            top_names=["loss"],
+        )
+    )
+    model.compile()
+    return model
+
+
+def test_learnable_synthetic_converges(mesh8):
+    """Key-parity labels are perfectly learnable by an embedding model: AUC
+    must climb well above chance within a few hundred steps."""
+    model = _model(mesh8)
+    for _ in range(300):
+        model.train_async()
+    vals = model.eval()
+    assert vals["auc"] > 0.72, f"failed to learn: {vals}"
+
+
+def test_freeze_dense_and_embedding(mesh8):
+    model = _model(mesh8, learnable=False, batch=64)
+    import jax
+
+    model.train()
+    d0 = jax.tree.leaves(model.state["dense_params"])[0].copy()
+    e0 = model.ec.export_table(model.state["emb_tables"], "t0").copy()
+    model.freeze_dense()
+    model.freeze_embedding()
+    for _ in range(3):
+        model.train()
+    assert np.allclose(jax.tree.leaves(model.state["dense_params"])[0], d0)
+    assert np.allclose(
+        model.ec.export_table(model.state["emb_tables"], "t0"), e0
+    )
+    model.unfreeze_dense()
+    model.unfreeze_embedding()
+    for _ in range(2):
+        model.train()
+    assert not np.allclose(jax.tree.leaves(model.state["dense_params"])[0], d0)
+    assert not np.allclose(
+        model.ec.export_table(model.state["emb_tables"], "t0"), e0
+    )
+
+
+def test_graph_json_roundtrip_and_retrain(mesh8, tmp_path):
+    model = _model(mesh8, learnable=False, batch=64)
+    path = str(tmp_path / "graph.json")
+    model.graph_to_json(path)
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=8
+    )
+    model2 = hugectr.Model.construct_from_json(
+        path,
+        reader_params=reader,
+        optimizer=hugectr.CreateOptimizer(
+            optimizer_type=hugectr.Optimizer_t.Adam
+        ),
+        resource_manager=mesh8,
+    )
+    losses = [model2.train() for _ in range(3)]
+    assert np.isfinite(losses).all()
+    assert [l.layer_type for l in model2.dense_layers] == [
+        l.layer_type for l in model.dense_layers
+    ]

@@ -1,0 +1,99 @@
+"""SOK-analog standalone lookup library tests (reference:
+sparse_operation_kit function tests)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hugectr_tpu.sok as sok
+from hugectr_tpu.core.types import Optimizer_t
+from hugectr_tpu.optim.params import OptParams
+from hugectr_tpu.parallel.plan import EmbeddingTableConfig
+
+
+def _engine(rm, dp=()):
+    sok.init(rm)
+    tables = [
+        EmbeddingTableConfig(name="a", max_vocabulary_size=100, ev_size=8),
+        EmbeddingTableConfig(name="b", max_vocabulary_size=50, ev_size=8),
+    ]
+    return sok.LookupEngine(
+        tables,
+        hotness=[3, 2],
+        combiners=["sum", "mean"],
+        opt=OptParams(Optimizer_t.SGD, lr=0.1),
+        rm=rm,
+        dp_tables=dp,
+    )
+
+
+def test_lookup_matches_manual(mesh8):
+    eng = _engine(mesh8)
+    tables = eng.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    b = 16
+    k0 = rng.integers(0, 100, (b, 3)).astype(np.int32)
+    k1 = rng.integers(0, 50, (b, 2)).astype(np.int32)
+    k0[0, 2] = -1  # padding
+    outs = jax.jit(lambda t, a, c: eng.lookup(t, [a, c]))(
+        tables,
+        jax.device_put(k0, mesh8.batch_sharding()),
+        jax.device_put(k1, mesh8.batch_sharding()),
+    )
+    ta = eng.ec.export_table(tables, "a")
+    tb = eng.ec.export_table(tables, "b")
+    want0 = np.stack(
+        [ta[[k for k in row if k >= 0]].sum(0) for row in k0]
+    )
+    want1 = np.stack([tb[row].mean(0) for row in k1])
+    np.testing.assert_allclose(np.asarray(outs[0]), want0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs[1]), want1, rtol=1e-5, atol=1e-5)
+
+
+def test_optimizer_wrapper_and_dump_load(mesh8, tmp_path):
+    eng = _engine(mesh8)
+    tables = eng.init(jax.random.key(1))
+    wrapper = sok.OptimizerWrapper(eng)
+    opt_state = wrapper.initialize(tables)
+    rng = np.random.default_rng(1)
+    b = 16
+    keys = [
+        jax.device_put(
+            rng.integers(0, v, (b, h)).astype(np.int32), mesh8.batch_sharding()
+        )
+        for v, h in ((100, 3), (50, 2))
+    ]
+    d_outs = [
+        jax.device_put(
+            rng.normal(size=(b, 8)).astype(np.float32), mesh8.batch_sharding()
+        )
+        for _ in range(2)
+    ]
+    before = eng.ec.export_table(tables, "a").copy()
+    tables, opt_state = jax.jit(wrapper.apply_gradients)(
+        tables, opt_state, keys, d_outs, 0.1, 1
+    )
+    after = eng.ec.export_table(tables, "a")
+    assert not np.allclose(before, after)
+    # dump/load round trip
+    sok.dump(str(tmp_path), eng, tables)
+    tables2 = eng.init(jax.random.key(2))
+    tables2 = sok.load(str(tmp_path), eng, tables2)
+    np.testing.assert_allclose(
+        eng.ec.export_table(tables2, "a"), after, rtol=1e-6
+    )
+
+
+def test_all2all_dense_embedding(mesh8):
+    sok.init(mesh8)
+    t = EmbeddingTableConfig(name="d", max_vocabulary_size=64, ev_size=16)
+    eng = sok.LookupEngine(
+        [t], [1], ["sum"], OptParams(Optimizer_t.SGD, lr=0.1), rm=mesh8
+    )
+    tables = eng.init(jax.random.key(3))
+    keys = jax.device_put(
+        np.arange(16, dtype=np.int32), mesh8.batch_sharding()
+    )
+    out = sok.all2all_dense_embedding(eng, tables, keys)
+    td = eng.ec.export_table(tables, "d")
+    np.testing.assert_allclose(np.asarray(out), td[:16], rtol=1e-6)
