@@ -1,0 +1,494 @@
+"""Checkpoint -> ONNX converter.
+
+Analog of the reference onnx_converter (onnx_converter/hugectr2onnx/
+converter.py:22 `convert`, graph_builder.py:44-1611 per-layer switch): loads
+a graph JSON (Model.graph_to_json) plus a snapshot dir
+(Model.download_params_to_files) and emits an inference ONNX model via the
+dependency-free writer (onnx_writer.py).
+
+Inference semantics follow the reference converter: Dropout becomes
+Identity, the final loss layer becomes a Sigmoid/Softmax output, embedding
+lookups become Gather + pooling over table initializers. Padding keys (-1)
+are clamped to row 0 — exported models expect dense (non-padded) inputs like
+the reference's converted models.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .onnx_writer import FLOAT, INT64, OnnxGraph
+
+__all__ = ["convert"]
+
+
+class _Converter:
+    def __init__(self, graph: dict, snapshot_dir: str, batch: Optional[int]):
+        self.graph = graph
+        self.snap = snapshot_dir
+        self.batch = batch or "N"
+        self.g = OnnxGraph(name=graph.get("solver", {}).get("model_name") or "model")
+        data = np.load(os.path.join(snapshot_dir, "dense_model.npz"))
+        self.dense: Dict[str, np.ndarray] = {k: data[k] for k in data.files}
+        self.shapes: Dict[str, tuple] = {}
+
+    # ------------------------------------------------------------- helpers
+    def w(self, layer_idx: int, pname: str) -> np.ndarray:
+        # dense params saved as dense/<layer_name>/<param>; layer_name is
+        # l{idx}_{type}
+        for k, v in self.dense.items():
+            parts = k.split("/")
+            if (
+                len(parts) == 3
+                and parts[0] == "dense"
+                and parts[1].startswith(f"l{layer_idx}_")
+                and parts[2] == pname
+            ):
+                return v
+        raise KeyError(f"param {pname} of layer {layer_idx}")
+
+    def init_const(self, name: str, arr: np.ndarray) -> str:
+        return self.g.add_initializer(self.g.uname(name), np.asarray(arr))
+
+    # ------------------------------------------------------------ embedding
+    def build_embeddings(self):
+        inp = self.graph["input"]
+        b = self.batch
+        # dense + label inputs
+        self.g.add_input(inp["dense_name"], [b, inp["dense_dim"]])
+        self.shapes[inp["dense_name"]] = (b, inp["dense_dim"])
+        feats = {
+            p["top_name"]: p for p in inp["data_reader_sparse_param_array"]
+        }
+
+        def feat_hotness(p):
+            nnz = p["nnz_per_slot"]
+            per = nnz if isinstance(nnz, list) else [nnz] * p["slot_num"]
+            return per
+
+        key_inputs = {}
+        for name, p in feats.items():
+            tot = sum(feat_hotness(p))
+            self.g.add_input(name, [b, tot], INT64)
+            key_inputs[name] = tot
+
+        # embedding collections
+        for e in self.graph.get("embedding_collections", []):
+            tops: Dict[str, List[str]] = {}
+            for lk in e["lookups"]:
+                tdir = os.path.join(self.snap, f"sparse_{lk['table']}")
+                table = np.load(os.path.join(tdir, "emb_vector.npy"))
+                tname = self.init_const(f"table_{lk['table']}", table)
+                keys = lk["bottom_name"]
+                gath = self.g.uname("emb_gather")
+                self.g.add_node("Gather", [tname, keys], [gath], axis=0)
+                ev = table.shape[1]
+                comb = lk["combiner"]
+                pooled = self.g.uname("emb_pool")
+                if comb == "concat":
+                    hot = key_inputs[keys]
+                    shp = self.init_const(
+                        "shape", np.asarray([0, hot * ev], np.int64)
+                    )
+                    self.g.add_node(
+                        "Reshape", [gath, shp], [pooled], allowzero=0
+                    )
+                    width = hot * ev
+                elif comb == "mean":
+                    self.g.add_node(
+                        "ReduceMean", [gath], [pooled], axes=[1], keepdims=0
+                    )
+                    width = ev
+                else:  # sum
+                    ax = self.init_const("axes", np.asarray([1], np.int64))
+                    self.g.add_node("ReduceSum", [gath, ax], [pooled], keepdims=0)
+                    width = ev
+                tops.setdefault(lk["top_name"], []).append((pooled, width))
+            for top, parts in tops.items():
+                if len(parts) == 1:
+                    self.g.add_node("Identity", [parts[0][0]], [top])
+                    self.shapes[top] = (b, parts[0][1])
+                else:
+                    self.g.add_node(
+                        "Concat", [p[0] for p in parts], [top], axis=1
+                    )
+                    self.shapes[top] = (b, sum(p[1] for p in parts))
+
+        # legacy sparse embeddings: [B, slots, ev] tops
+        for se in self.graph.get("sparse_embeddings", []):
+            tdir = os.path.join(
+                self.snap, f"sparse_sparse_table_{se['sparse_embedding_name']}"
+            )
+            table = np.load(os.path.join(tdir, "emb_vector.npy"))
+            tname = self.init_const("table", table)
+            p = feats[se["bottom_name"]]
+            per = feat_hotness(p)
+            slots = p["slot_num"]
+            ev = table.shape[1]
+            offsets = np.concatenate(
+                [[0], np.cumsum(se.get("slot_size_array") or [])]
+            )[:slots]
+            pooled_slots = []
+            col = 0
+            for si, nnz in enumerate(per):
+                sl = self.g.uname("slot_keys")
+                st = self.init_const("starts", np.asarray([col], np.int64))
+                en = self.init_const("ends", np.asarray([col + nnz], np.int64))
+                ax = self.init_const("sax", np.asarray([1], np.int64))
+                self.g.add_node("Slice", [se["bottom_name"], st, en, ax], [sl])
+                if len(offsets) > si and offsets[si]:
+                    off = self.init_const(
+                        "koff", np.asarray(offsets[si], np.int64)
+                    )
+                    sl2 = self.g.uname("keys_off")
+                    self.g.add_node("Add", [sl, off], [sl2])
+                    sl = sl2
+                gath = self.g.uname("gather")
+                self.g.add_node("Gather", [tname, sl], [gath], axis=0)
+                pool = self.g.uname("pool")
+                rax = self.init_const("rax", np.asarray([1], np.int64))
+                self.g.add_node("ReduceSum", [gath, rax], [pool], keepdims=1)
+                pooled_slots.append(pool)
+                col += nnz
+            top = se["sparse_embedding_name"]
+            self.g.add_node("Concat", pooled_slots, [top], axis=1)
+            self.shapes[top] = (self.batch, slots, ev)
+
+    # ---------------------------------------------------------- dense layers
+    def build_dense(self):
+        outputs = []
+        for li, cfg in enumerate(self.graph["dense_layers"]):
+            t = cfg["layer_type"]
+            bots: List[str] = cfg["bottom_names"]
+            tops: List[str] = cfg["top_names"]
+            fn = getattr(self, f"_op_{t}", None)
+            if fn is None:
+                raise NotImplementedError(f"ONNX export: layer {t}")
+            out = fn(li, cfg, bots, tops)
+            if out:
+                outputs.extend(out)
+        for o in outputs:
+            self.g.add_output(o, [self.batch, 1])
+
+    def _gemm(self, li, x, pname_w, pname_b, top, act=None, relu=False):
+        w = self.w(li, pname_w)
+        b = None
+        try:
+            b = self.w(li, pname_b)
+        except KeyError:
+            pass
+        wn = self.init_const("W", w)
+        ins = [x, wn]
+        if b is not None:
+            ins.append(self.init_const("B", b))
+        pre = self.g.uname("gemm") if (act or relu) else top
+        self.g.add_node("Gemm", ins, [pre])
+        if relu or act == "relu":
+            self.g.add_node("Relu", [pre], [top])
+        elif act == "sigmoid":
+            self.g.add_node("Sigmoid", [pre], [top])
+        elif act == "tanh":
+            self.g.add_node("Tanh", [pre], [top])
+        elif act:
+            self.g.add_node("Identity", [pre], [top])
+        return w.shape[1]
+
+    def _op_InnerProduct(self, li, cfg, bots, tops):
+        act = cfg.get("act_type", "none")
+        act = act if isinstance(act, str) else str(act)
+        # hugectr InnerProduct has no fused act in reference; ours may
+        self._gemm(li, bots[0], "weight", "bias", tops[0], act=None)
+        return []
+
+    def _op_FusedInnerProduct(self, li, cfg, bots, tops):
+        self._gemm(li, bots[0], "weight", "bias", tops[0], relu=True)
+        return []
+
+    def _op_MLP(self, li, cfg, bots, tops):
+        x = bots[0]
+        n = len(cfg["num_outputs"])
+        acts = cfg.get("activations") or [cfg.get("act_type", "relu")] * n
+        for i in range(n):
+            w = self.w(li, f"weight_{i}")
+            bname = None
+            try:
+                bname = self.w(li, f"bias_{i}")
+            except KeyError:
+                pass
+            ins = [x, self.init_const("W", w)]
+            if bname is not None:
+                ins.append(self.init_const("B", bname))
+            y = tops[0] if (i == n - 1 and str(acts[i]) in ("none", "Activation_t.NonE")) else self.g.uname("mlp")
+            self.g.add_node("Gemm", ins, [y])
+            a = str(acts[i])
+            if "relu" in a.lower():
+                y2 = tops[0] if i == n - 1 else self.g.uname("mlp_act")
+                self.g.add_node("Relu", [y], [y2])
+                x = y2
+            else:
+                x = y
+        if x != tops[0]:
+            self.g.add_node("Identity", [x], [tops[0]])
+        return []
+
+    def _op_MultiCross(self, li, cfg, bots, tops):
+        x0 = bots[0]
+        n = cfg["num_layers"]
+        proj = cfg.get("projection_dim", 0)
+        x = x0
+        for i in range(n):
+            if proj:
+                u = self.init_const("U", self.w(li, f"U_{i}"))
+                v = self.init_const("V", self.w(li, f"V_{i}"))
+                b = self.init_const("b", self.w(li, f"b_{i}"))
+                h1 = self.g.uname("xcu")
+                self.g.add_node("MatMul", [x, u], [h1])
+                h2 = self.g.uname("xcv")
+                self.g.add_node("MatMul", [h1, v], [h2])
+                h3 = self.g.uname("xcb")
+                self.g.add_node("Add", [h2, b], [h3])
+                m = self.g.uname("xcm")
+                self.g.add_node("Mul", [x0, h3], [m])
+                nx = tops[0] if i == n - 1 else self.g.uname("xc")
+                self.g.add_node("Add", [m, x], [nx])
+                x = nx
+            else:
+                w = self.init_const("w", self.w(li, f"w_{i}").reshape(-1, 1))
+                b = self.init_const("b", self.w(li, f"b_{i}"))
+                xw = self.g.uname("xw")
+                self.g.add_node("MatMul", [x, w], [xw])  # [B,1]
+                m = self.g.uname("x0xw")
+                self.g.add_node("Mul", [x0, xw], [m])
+                a1 = self.g.uname("a1")
+                self.g.add_node("Add", [m, b], [a1])
+                nx = tops[0] if i == n - 1 else self.g.uname("xc")
+                self.g.add_node("Add", [a1, x], [nx])
+                x = nx
+        return []
+
+    def _op_Concat(self, li, cfg, bots, tops):
+        self.g.add_node("Concat", bots, [tops[0]], axis=cfg.get("axis", 1))
+        return []
+
+    def _op_Reshape(self, li, cfg, bots, tops):
+        if cfg.get("shape"):
+            shp = np.asarray(cfg["shape"], np.int64)
+        elif cfg.get("time_step"):
+            shp = np.asarray(
+                [-1, cfg["time_step"], cfg["leading_dim"]], np.int64
+            )
+        else:
+            shp = np.asarray([-1, cfg["leading_dim"]], np.int64)
+        s = self.init_const("shape", shp)
+        self.g.add_node("Reshape", [bots[0], s], [tops[0]], allowzero=0)
+        return []
+
+    def _op_Slice(self, li, cfg, bots, tops):
+        for (a, b_), top in zip(cfg["ranges"], tops):
+            st = self.init_const("st", np.asarray([a], np.int64))
+            en = self.init_const("en", np.asarray([b_], np.int64))
+            ax = self.init_const("ax", np.asarray([-1], np.int64))
+            self.g.add_node("Slice", [bots[0], st, en, ax], [top])
+        return []
+
+    def _op_ReLU(self, li, cfg, bots, tops):
+        self.g.add_node("Relu", bots, tops)
+        return []
+
+    def _op_Sigmoid(self, li, cfg, bots, tops):
+        self.g.add_node("Sigmoid", bots, tops)
+        return []
+
+    def _op_ELU(self, li, cfg, bots, tops):
+        self.g.add_node("Elu", bots, tops, alpha=float(cfg.get("elu_alpha", 1.0)))
+        return []
+
+    def _op_Dropout(self, li, cfg, bots, tops):
+        self.g.add_node("Identity", bots, tops)  # inference
+        return []
+
+    def _op_Add(self, li, cfg, bots, tops):
+        x = bots[0]
+        for i, b in enumerate(bots[1:]):
+            y = tops[0] if i == len(bots) - 2 else self.g.uname("add")
+            self.g.add_node("Add", [x, b], [y])
+            x = y
+        return []
+
+    def _op_Sub(self, li, cfg, bots, tops):
+        self.g.add_node("Sub", bots, tops)
+        return []
+
+    def _op_ElementwiseMultiply(self, li, cfg, bots, tops):
+        self.g.add_node("Mul", bots, tops)
+        return []
+
+    def _op_ReduceSum(self, li, cfg, bots, tops):
+        ax = self.init_const("axes", np.asarray([cfg.get("axis", 1)], np.int64))
+        self.g.add_node("ReduceSum", [bots[0], ax], tops, keepdims=1)
+        return []
+
+    def _op_ReduceMean(self, li, cfg, bots, tops):
+        self.g.add_node(
+            "ReduceMean", bots, tops, axes=[cfg.get("axis", 1)], keepdims=1
+        )
+        return []
+
+    def _op_WeightMultiply(self, li, cfg, bots, tops):
+        # [B, n] * W[n, k] -> [B, n*k] (reference: weight_multiply_layer.cu)
+        w = self.w(li, "weight")
+        n, k = w.shape
+        un = self.g.uname("unsq")
+        ax = self.init_const("uax", np.asarray([2], np.int64))
+        self.g.add_node("Unsqueeze", [bots[0], ax], [un])  # [B,n,1]
+        wn = self.init_const("W", w[None, :, :])  # [1,n,k]
+        m = self.g.uname("wm")
+        self.g.add_node("Mul", [un, wn], [m])  # [B,n,k]
+        shp = self.init_const("shape", np.asarray([-1, n * k], np.int64))
+        self.g.add_node("Reshape", [m, shp], tops, allowzero=0)
+        return []
+
+    def _op_FmOrder2(self, li, cfg, bots, tops):
+        # 0.5 * ((sum_i x_i)^2 - sum_i x_i^2) over slots of width out_dim
+        k = cfg["out_dim"]
+        shp = self.init_const("shape", np.asarray([0, -1, k], np.int64))
+        x3 = self.g.uname("fm3d")
+        self.g.add_node("Reshape", [bots[0], shp], [x3], allowzero=0)
+        ax = self.init_const("axes", np.asarray([1], np.int64))
+        s = self.g.uname("fmsum")
+        self.g.add_node("ReduceSum", [x3, ax], [s], keepdims=0)
+        s2 = self.g.uname("fmsum2")
+        self.g.add_node("Mul", [s, s], [s2])
+        xx = self.g.uname("fmxx")
+        self.g.add_node("Mul", [x3, x3], [xx])
+        sx2 = self.g.uname("fmsx2")
+        ax2 = self.init_const("axes", np.asarray([1], np.int64))
+        self.g.add_node("ReduceSum", [xx, ax2], [sx2], keepdims=0)
+        d = self.g.uname("fmd")
+        self.g.add_node("Sub", [s2, sx2], [d])
+        half = self.init_const("half", np.asarray(0.5, np.float32))
+        self.g.add_node("Mul", [d, half], tops)
+        return []
+
+    def _op_Interaction(self, li, cfg, bots, tops):
+        # DLRM pairwise-dot: bots = [mlp [B,E], emb3d [B,S,E]]
+        mlp, emb = bots[0], bots[1]
+        axu = self.init_const("axu", np.asarray([1], np.int64))
+        m3 = self.g.uname("m3")
+        self.g.add_node("Unsqueeze", [mlp, axu], [m3])  # [B,1,E]
+        cat = self.g.uname("icat")
+        self.g.add_node("Concat", [m3, emb], [cat], axis=1)  # [B,S+1,E]
+        tr = self.g.uname("itr")
+        self.g.add_node("Transpose", [cat, ], [tr], perm=[0, 2, 1])
+        dots = self.g.uname("idots")
+        self.g.add_node("MatMul", [cat, tr], [dots])  # [B,S+1,S+1]
+        flat = self.g.uname("iflat")
+        # lower-triangle (i<j) indices gathered from the flattened matrix
+        # need S; derive from shapes dict
+        s_plus1 = None
+        for name, shp in self.shapes.items():
+            if name == emb.split(":")[0] and len(shp) == 3:
+                s_plus1 = shp[1] + 1
+        if s_plus1 is None:
+            raise NotImplementedError("Interaction: unknown emb shape")
+        idx = np.asarray(
+            [i * s_plus1 + j for i in range(s_plus1) for j in range(i + 1, s_plus1)],
+            np.int64,
+        )
+        shp = self.init_const("shape", np.asarray([0, s_plus1 * s_plus1], np.int64))
+        self.g.add_node("Reshape", [dots, shp], [flat], allowzero=0)
+        gi = self.init_const("triu", idx)
+        gathered = self.g.uname("igath")
+        self.g.add_node("Gather", [flat, gi], [gathered], axis=1)
+        self.g.add_node("Concat", [mlp, gathered], [tops[0]], axis=1)
+        return []
+
+    def _op_Softmax(self, li, cfg, bots, tops):
+        self.g.add_node("Softmax", bots[:1], tops, axis=-1)
+        return []
+
+    def _op_Scale(self, li, cfg, bots, tops):
+        f = int(cfg.get("factor", 1))
+        if cfg.get("axis", 0) == 0:
+            # repeat each element f times along features
+            axu = self.init_const("axu", np.asarray([2], np.int64))
+            un = self.g.uname("scu")
+            self.g.add_node("Unsqueeze", [bots[0], axu], [un])
+            ones = self.init_const("ones", np.ones((1, 1, f), np.float32))
+            m = self.g.uname("scm")
+            self.g.add_node("Mul", [un, ones], [m])
+            shp = self.init_const("shape", np.asarray([0, -1], np.int64))
+            self.g.add_node("Reshape", [m, shp], tops, allowzero=0)
+        else:
+            tile = self.init_const("reps", np.asarray([f, 1], np.int64))
+            self.g.add_node("Tile", [bots[0], tile], tops)
+        return []
+
+    def _op_BatchNorm(self, li, cfg, bots, tops):
+        g_ = self.init_const("gamma", self.w(li, "gamma"))
+        b_ = self.init_const("beta", self.w(li, "beta"))
+        # running stats live in net_state
+        mean = var = None
+        for k, v in self.dense.items():
+            if k.startswith("net_state/") and f"l{li}_" in k:
+                if k.endswith("mean"):
+                    mean = v
+                if k.endswith("var"):
+                    var = v
+        m = self.init_const("mean", mean if mean is not None else np.zeros_like(self.w(li, "gamma")))
+        v_ = self.init_const("var", var if var is not None else np.ones_like(self.w(li, "gamma")))
+        self.g.add_node(
+            "BatchNormalization",
+            [bots[0], g_, b_, m, v_],
+            tops,
+            epsilon=float(cfg.get("eps", 1e-5)),
+        )
+        return []
+
+    def _op_LayerNorm(self, li, cfg, bots, tops):
+        g_ = self.init_const("gamma", self.w(li, "gamma"))
+        b_ = self.init_const("beta", self.w(li, "beta"))
+        self.g.add_node(
+            "LayerNormalization",
+            [bots[0], g_, b_],
+            tops,
+            epsilon=float(cfg.get("eps", 1e-5)),
+            axis=-1,
+        )
+        return []
+
+    def _op_BinaryCrossEntropyLoss(self, li, cfg, bots, tops):
+        # inference output = sigmoid(logits) (reference converter behavior)
+        out = f"{tops[0]}_pred"
+        self.g.add_node("Sigmoid", [bots[0]], [out])
+        return [out]
+
+    def _op_CrossEntropyLoss(self, li, cfg, bots, tops):
+        out = f"{tops[0]}_pred"
+        self.g.add_node("Softmax", [bots[0]], [out], axis=-1)
+        return [out]
+
+    def _op_MultiCrossEntropyLoss(self, li, cfg, bots, tops):
+        out = f"{tops[0]}_pred"
+        self.g.add_node("Sigmoid", [bots[0]], [out])
+        return [out]
+
+    def run(self, out_path: str):
+        self.build_embeddings()
+        self.build_dense()
+        self.g.save(out_path)
+
+
+def convert(
+    onnx_model_path: str,
+    graph_config: str,
+    snapshot_dir: str,
+    batch_size: Optional[int] = None,
+) -> None:
+    """Reference-parity entry point (hugectr2onnx.converter.convert)."""
+    with open(graph_config) as f:
+        graph = json.load(f)
+    _Converter(graph, snapshot_dir, batch_size).run(onnx_model_path)

@@ -1,0 +1,284 @@
+"""ONNX export correctness: decode the emitted protobuf with the built-in
+mini-decoder, execute it with a small numpy interpreter, and compare
+predictions against the live model (analog of reference
+test/onnx_converter_test/ which compares ONNX-runtime outputs)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hugectr_tpu.tools import hugectr2onnx
+from hugectr_tpu.tools.onnx_writer import decode_fields
+
+
+# ------------------------------------------------------ mini ONNX decoder
+def parse_model(buf):
+    model = dict(decode=decode_fields(buf))
+    graph = None
+    for f, w, v in model["decode"]:
+        if f == 7:
+            graph = v
+    nodes, inits, inputs, outputs = [], {}, [], []
+    for f, w, v in decode_fields(graph):
+        if f == 1:
+            nodes.append(parse_node(v))
+        elif f == 5:
+            name, arr = parse_tensor(v)
+            inits[name] = arr
+        elif f == 11:
+            inputs.append(parse_value_info(v))
+        elif f == 12:
+            outputs.append(parse_value_info(v))
+    return nodes, inits, inputs, outputs
+
+
+def parse_node(buf):
+    ins, outs, op, attrs = [], [], "", {}
+    for f, w, v in decode_fields(buf):
+        if f == 1:
+            ins.append(v.decode())
+        elif f == 2:
+            outs.append(v.decode())
+        elif f == 4:
+            op = v.decode()
+        elif f == 5:
+            k, val = parse_attr(v)
+            attrs[k] = val
+    return dict(op=op, inputs=ins, outputs=outs, attrs=attrs)
+
+
+def parse_attr(buf):
+    import struct
+
+    name, val, ints, floats = "", None, [], []
+    for f, w, v in decode_fields(buf):
+        if f == 1:
+            name = v.decode()
+        elif f == 2:
+            val = struct.unpack("<f", v)[0]
+        elif f == 3:
+            val = v if val is None else val
+            val = v
+        elif f == 4:
+            val = v.decode()
+        elif f == 7:
+            floats.append(struct.unpack("<f", v)[0])
+        elif f == 8:
+            ints.append(v)
+    if ints:
+        val = ints
+    if floats:
+        val = floats
+    return name, val
+
+
+_ONNX2NP = {1: np.float32, 6: np.int32, 7: np.int64, 9: np.bool_}
+
+
+def parse_tensor(buf):
+    dims, dt, name, raw = [], 1, "", b""
+    for f, w, v in decode_fields(buf):
+        if f == 1:
+            dims.append(v)
+        elif f == 2:
+            dt = v
+        elif f == 8:
+            name = v.decode()
+        elif f == 9:
+            raw = v
+    arr = np.frombuffer(raw, dtype=_ONNX2NP[dt]).reshape(dims)
+    return name, arr
+
+
+def parse_value_info(buf):
+    for f, w, v in decode_fields(buf):
+        if f == 1:
+            return v.decode()
+    return ""
+
+
+# --------------------------------------------------- mini ONNX interpreter
+def run_model(nodes, inits, feeds):
+    env = dict(inits)
+    env.update(feeds)
+
+    def to_int(v):
+        return int(v) if not isinstance(v, list) else [int(x) for x in v]
+
+    for n in nodes:
+        op, ins, outs, a = n["op"], n["inputs"], n["outputs"], n["attrs"]
+        x = [env[i] for i in ins]
+        if op == "Gather":
+            axis = to_int(a.get("axis", 0))
+            env[outs[0]] = np.take(x[0], x[1].astype(np.int64), axis=axis)
+        elif op == "ReduceSum":
+            axes = tuple(x[1].astype(int)) if len(x) > 1 else (1,)
+            env[outs[0]] = x[0].sum(axis=axes, keepdims=bool(a.get("keepdims", 1)))
+        elif op == "ReduceMean":
+            axes = tuple(to_int(a.get("axes", [1])))
+            env[outs[0]] = x[0].mean(axis=axes, keepdims=bool(a.get("keepdims", 1)))
+        elif op == "Concat":
+            env[outs[0]] = np.concatenate(x, axis=to_int(a.get("axis", 1)))
+        elif op == "Identity":
+            env[outs[0]] = x[0]
+        elif op == "Gemm":
+            y = x[0] @ x[1]
+            if len(x) > 2:
+                y = y + x[2]
+            env[outs[0]] = y
+        elif op == "MatMul":
+            env[outs[0]] = x[0] @ x[1]
+        elif op == "Relu":
+            env[outs[0]] = np.maximum(x[0], 0)
+        elif op == "Sigmoid":
+            env[outs[0]] = 1.0 / (1.0 + np.exp(-x[0]))
+        elif op == "Add":
+            env[outs[0]] = x[0] + x[1]
+        elif op == "Sub":
+            env[outs[0]] = x[0] - x[1]
+        elif op == "Mul":
+            env[outs[0]] = x[0] * x[1]
+        elif op == "Reshape":
+            shape = [int(d) for d in x[1]]
+            shape = [x[0].shape[i] if d == 0 else d for i, d in enumerate(shape)]
+            env[outs[0]] = x[0].reshape(shape)
+        elif op == "Slice":
+            starts, ends, axes = (
+                x[1].astype(int),
+                x[2].astype(int),
+                x[3].astype(int),
+            )
+            sl = [slice(None)] * x[0].ndim
+            for s, e, ax in zip(starts, ends, axes):
+                sl[ax] = slice(s, e)
+            env[outs[0]] = x[0][tuple(sl)]
+        elif op == "Unsqueeze":
+            env[outs[0]] = np.expand_dims(x[0], tuple(x[1].astype(int)))
+        elif op == "Softmax":
+            z = x[0] - x[0].max(-1, keepdims=True)
+            e = np.exp(z)
+            env[outs[0]] = e / e.sum(-1, keepdims=True)
+        elif op == "Tile":
+            env[outs[0]] = np.tile(x[0], tuple(x[1].astype(int)))
+        elif op == "Transpose":
+            env[outs[0]] = x[0].transpose(to_int(a["perm"]))
+        else:
+            raise NotImplementedError(op)
+    return env
+
+
+def test_dcn_onnx_roundtrip(mesh1, tmp_path):
+    import jax
+    import hugectr_tpu as hugectr
+    from hugectr_tpu.core.types import DataReaderType_t
+
+    solver = hugectr.CreateSolver(
+        max_eval_batches=2, batchsize_eval=32, batchsize=32, lr=0.01
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=4
+    )
+    model = hugectr.Model(
+        solver,
+        reader,
+        hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.SGD),
+        resource_manager=mesh1,
+    )
+    model.add(
+        hugectr.Input(
+            label_dim=1,
+            label_name="label",
+            dense_dim=4,
+            dense_name="dense",
+            data_reader_sparse_param_array=[
+                hugectr.DataReaderSparseParam(f"d{i}", 2, True, 1)
+                for i in range(2)
+            ],
+        )
+    )
+    tables = [
+        hugectr.EmbeddingTableConfig(name=f"t{i}", max_vocabulary_size=50, ev_size=8)
+        for i in range(2)
+    ]
+    ebc = hugectr.EmbeddingCollectionConfig()
+    ebc.embedding_lookup(tables, ["d0", "d1"], "emb", ["sum", "sum"])
+    ebc.shard(
+        shard_matrix=[[t.name for t in tables]],
+        shard_strategy=[("mp", [t.name for t in tables])],
+    )
+    model.add(ebc)
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Concat,
+            bottom_names=["emb", "dense"],
+            top_names=["c1"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.MultiCross,
+            bottom_names=["c1"],
+            top_names=["xc"],
+            num_layers=2,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.MLP,
+            bottom_names=["xc"],
+            top_names=["m1"],
+            num_outputs=[16, 8],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=["m1"],
+            top_names=["logit"],
+            num_output=1,
+            act_type=hugectr.Activation_t.Non,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+            bottom_names=["logit", "label"],
+            top_names=["loss"],
+        )
+    )
+    model.compile()
+    for _ in range(3):
+        model.train()
+
+    prefix = str(tmp_path / "snap")
+    model.download_params_to_files(prefix, 3)
+    gpath = str(tmp_path / "graph.json")
+    model.graph_to_json(gpath)
+    onnx_path = str(tmp_path / "model.onnx")
+    hugectr2onnx.convert(onnx_path, gpath, f"{prefix}_iter3", batch_size=32)
+    assert os.path.getsize(onnx_path) > 1000
+
+    nodes, inits, inputs, outputs = parse_model(open(onnx_path, "rb").read())
+    assert "dense" in inputs and "d0" in inputs and "d1" in inputs
+    assert len(outputs) == 1
+
+    # numeric comparison vs the live model
+    rng = np.random.default_rng(0)
+    feeds = {
+        "dense": rng.random((32, 4), dtype=np.float32),
+        "d0": rng.integers(0, 50, (32, 2)).astype(np.int64),
+        "d1": rng.integers(0, 50, (32, 2)).astype(np.int64),
+    }
+    env = run_model(nodes, inits, feeds)
+    onnx_pred = env[outputs[0]].reshape(-1)
+
+    batch = {
+        "label": np.zeros((32, 1), np.float32),
+        "dense": feeds["dense"],
+        "d0": feeds["d0"].astype(np.int32),
+        "d1": feeds["d1"].astype(np.int32),
+    }
+    logits = model.check_out_tensor("logit", batch)
+    want = 1.0 / (1.0 + np.exp(-logits.reshape(-1)))
+    np.testing.assert_allclose(onnx_pred, want, rtol=1e-4, atol=1e-5)
