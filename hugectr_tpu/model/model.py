@@ -597,11 +597,19 @@ class Model:
         window_t0, window_iter = t0, 0
         if num_epochs > 0:
             max_iter = num_epochs * max(self.train_reader.num_batches, 1)
+        if self.solver.perf_logging:
+            self._perf_log("init_start")
+            self._perf_log("run_start")
         stop = False
         for it in range(1, max_iter + 1):
             loss_dev = self.train_async()
             if display and it % display == 0:
                 loss = float(loss_dev)  # single host sync per display window
+                if not np.isfinite(loss):
+                    raise RuntimeError(
+                        f"NaN/Inf loss at iter {it} — aborting training "
+                        "(reference: NaN guard, model.cpp:789-793)"
+                    )
                 dt = time.time() - window_t0
                 ips = (it - window_iter) * self.solver.batchsize / max(dt, 1e-9)
                 logger.info(
@@ -612,7 +620,11 @@ class Model:
             if eval_interval and it % eval_interval == 0:
                 for cb in self.callbacks:
                     cb.on_eval_start(self, it)
+                if self.solver.perf_logging:
+                    self._perf_log("eval_start", iteration=it)
                 vals = self.eval()
+                if self.solver.perf_logging:
+                    self._perf_log("eval_accuracy", iteration=it, **vals)
                 logger.info(f"Evaluation at iter {it}: {vals}")
                 for cb in self.callbacks:
                     stop = cb.on_eval_end(self, it, vals) or stop
@@ -627,6 +639,8 @@ class Model:
                 break
         for cb in self.callbacks:
             cb.on_training_end(self, self._iter)
+        if self.solver.perf_logging:
+            self._perf_log("run_stop", iteration=self._iter)
         total = time.time() - t0
         logger.info(
             f"fit done: {self._iter} iters in {total:.1f}s "
@@ -710,6 +724,20 @@ class Model:
         self._iter = meta.get("iteration", 0)
 
     # -------------------------------------------------------------- utility
+    def _perf_log(self, key: str, **kw) -> None:
+        """MLPerf-style timeline event (reference: HCTR_LOG_ARGS perf_logging
+        events in Model::fit, model.cpp:866-1000)."""
+        import time as _time
+
+        payload = {"key": key, "time_ms": int(_time.time() * 1000), **kw}
+        logger.info(f":::MLLOG {json.dumps(payload)}")
+
+    def check_overflow(self) -> Dict[str, float]:
+        """Embedding health check (reference: Model::check_overflow)."""
+        from ..utils.diagnose import check_embedding_overflow
+
+        return check_embedding_overflow(self)
+
     def summary(self) -> str:
         lines = [
             "=" * 80,
