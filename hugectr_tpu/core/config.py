@@ -53,6 +53,7 @@ class Solver:
     # TPU-specific
     num_devices: int = 0  # 0 = all
     ev_parallelism: int = 1
+    embedding_vec_dtype: str = "float32"  # "bfloat16" halves table HBM+traffic
 
     @property
     def compute_dtype(self):

@@ -409,15 +409,24 @@ class EmbeddingCollection:
         return idx, src.reshape(-1), dsrc
 
     def _mp_bwd_local(self, gname, table_shard, state, keys_loc, d_loc, lr, step):
+        import os
+
         my = jax.lax.axis_index(DATA_AXIS)
+        n = self.rm.data_parallel_size
         keys = jax.lax.all_gather(keys_loc, DATA_AXIS, axis=0, tiled=True)
         d_group = jax.lax.all_gather(d_loc, DATA_AXIS, axis=0, tiled=True)
-        idx, src, dsrc = self._row_grads(
-            gname, keys, d_group, self.rm.data_parallel_size, my
-        )
+        idx, src, dsrc = self._row_grads(gname, keys, d_group, n, my)
         opt = self.group_opt[gname]
+        # owner-partition capacity: each shard's owned entries are a sorted
+        # prefix, bounded by K/N x capacity factor (TPU analog of the
+        # reference's all2all capacity buffers; factor >= N disables drops).
+        k_limit = 0
+        if n > 1:
+            factor = float(os.environ.get("HCTR_TPU_MP_CAPACITY_FACTOR", "2.0"))
+            k = int(idx.shape[0])
+            k_limit = min(k, ((int(k * factor / n) + 511) // 512) * 512)
         return sparse_optimizer.apply_sparse(
-            opt, table_shard, state, idx, src, dsrc, lr, step
+            opt, table_shard, state, idx, src, dsrc, lr, step, k_limit=k_limit
         )
 
     def _dp_bwd_local(self, gname, table, state, keys_loc, d_loc, lr, step):

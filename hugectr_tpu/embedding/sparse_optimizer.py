@@ -44,8 +44,8 @@ def init_state(opt: OptParams, rows: int, ev: int, dtype=jnp.float32) -> State:
 
 
 def dedup_rows(
-    idx: Array, src: Array, dsrc: Array, sentinel: int
-) -> Tuple[Array, Array]:
+    idx: Array, src: Array, dsrc: Array, sentinel: int, k_limit: int = 0
+) -> Tuple[Array, Array, bool]:
     """Combine gradients of duplicate rows.
 
     The gradient of the key at flat position i is ROW ``src[i]`` OF ``dsrc``
@@ -65,8 +65,50 @@ def dedup_rows(
     Returns:
       (unique_idx [K] sorted+unique, summed_grads [K, E]).
     """
+    import os
+
     k = idx.shape[0]
     sidx, ssrc = jax.lax.sort((idx, src), num_keys=1)
+    if k_limit and k_limit < k:
+        # owner-partition compaction: owned rows sort first (foreign entries
+        # carry the sentinel); the static prefix bounds all later row ops.
+        sidx = sidx[:k_limit]
+        ssrc = ssrc[:k_limit]
+        k = k_limit
+
+    if os.environ.get("HCTR_TPU_SEGSUM", "xla") == "scan":
+        # Streaming Pallas segmented scan: ONE sequential pass instead of the
+        # scatter-add XLA lowers segment_sum to. Tail rows carry full segment
+        # sums; every other row gets a distinct out-of-range id so downstream
+        # scatters drop it (unique but unsorted indices).
+        from ..ops.pallas.segscan import segmented_sum_sorted
+
+        block = 512
+        pad = (-k) % block
+        if pad:
+            sidx_p = jnp.concatenate(
+                [sidx, jnp.full((pad,), sentinel, sidx.dtype)]
+            )
+            ssrc_p = jnp.concatenate(
+                [ssrc, jnp.full((pad,), dsrc.shape[0], ssrc.dtype)]
+            )
+        else:
+            sidx_p, ssrc_p = sidx, ssrc
+        sgrads = dsrc.at[ssrc_p].get(mode="fill", fill_value=0)
+        head = jnp.concatenate(
+            [jnp.ones((1,), dtype=bool), sidx_p[1:] != sidx_p[:-1]]
+        )
+        summed = segmented_sum_sorted(sgrads, head, block=block)
+        tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
+        kp = k + pad
+        urow = jnp.where(
+            tail & (sidx_p < sentinel),
+            sidx_p,
+            jnp.asarray(sentinel + 1, sidx.dtype)
+            + jnp.arange(kp, dtype=sidx.dtype),
+        )
+        return urow, summed, False  # unique but NOT sorted
+
     sgrads = dsrc.at[ssrc].get(mode="fill", fill_value=0)
     head = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), sidx[1:] != sidx[:-1]]
@@ -87,7 +129,7 @@ def dedup_rows(
         jnp.asarray(sentinel, urow.dtype) + jnp.arange(k, dtype=urow.dtype),
         urow,
     )
-    return urow, summed
+    return urow, summed, True
 
 
 def apply_sparse(
@@ -99,6 +141,7 @@ def apply_sparse(
     dsrc: Array,
     lr: Array,
     step: Array,
+    k_limit: int = 0,
 ) -> Tuple[Array, State]:
     """Apply one sparse update for (possibly duplicated) row gradients.
 
@@ -110,6 +153,14 @@ def apply_sparse(
       dsrc: [S, E] compact gradient source (already loss-scaled).
       lr: scalar learning rate.
       step: scalar global step (1-based) for Adam bias correction.
+      k_limit: owner-partition capacity (multi-chip): after sorting, this
+        shard's owned rows form a PREFIX (foreign/invalid entries carry the
+        sentinel and sort last), so all row-granular work can run on a
+        static [k_limit] slice instead of the global K — the TPU analog of
+        the reference's all-to-all capacity buffers (max hotness bounds,
+        embedding/data_distributor). 0 = no slicing. Overflow beyond the
+        capacity drops those gradient contributions (pick the factor like
+        the reference picks comm-buffer capacities).
     """
     rows = table.shape[0]
     idx = idx.astype(jnp.int32) if rows < 2**31 else idx
@@ -125,21 +176,26 @@ def apply_sparse(
             state,
         )
 
-    uidx, g = dedup_rows(idx, src, dsrc, sentinel=rows)
+    uidx, g, idx_sorted = dedup_rows(
+        idx, src, dsrc, sentinel=rows, k_limit=k_limit
+    )
 
     def gather(a: Array) -> Array:
         return a.at[uidx].get(
-            mode="fill", fill_value=0, indices_are_sorted=True, unique_indices=True
+            mode="fill",
+            fill_value=0,
+            indices_are_sorted=idx_sorted,
+            unique_indices=True,
         )
 
     def scatter_set(a: Array, vals: Array) -> Array:
         return a.at[uidx].set(
-            vals, mode="drop", indices_are_sorted=True, unique_indices=True
+            vals, mode="drop", indices_are_sorted=idx_sorted, unique_indices=True
         )
 
     def scatter_add(a: Array, vals: Array) -> Array:
         return a.at[uidx].add(
-            vals, mode="drop", indices_are_sorted=True, unique_indices=True
+            vals, mode="drop", indices_are_sorted=idx_sorted, unique_indices=True
         )
 
     if kind == Optimizer_t.MomentumSGD:

@@ -240,8 +240,13 @@ class Model:
                 ShardingPlan(strategy=strategy, column_factors=column_factors),
                 num_shards=self.rm.data_parallel_size,
             )
+            emb_dtype = (
+                jnp.bfloat16
+                if s.embedding_vec_dtype in ("bfloat16", "bf16")
+                else jnp.float32
+            )
             self.ec = EmbeddingCollection(
-                plan, self.rm, self.opt_params, dtype=jnp.float32
+                plan, self.rm, self.opt_params, dtype=emb_dtype
             )
 
         # ---- dense network -------------------------------------------------

@@ -42,12 +42,15 @@ def build_dlrm_dcnv2(
 ):
     """DLRM-DCNv2 on synthetic power-law data; returns a compiled Model."""
     table_sizes = [min(v, vocab_cap) for v in MLPERF_TABLE_SIZES]
+    import os
+
     solver = hugectr.CreateSolver(
         max_eval_batches=8,
         batchsize_eval=batchsize,
         batchsize=batchsize,
         lr=lr,
         use_mixed_precision=use_mixed_precision,
+        embedding_vec_dtype=os.environ.get("HCTR_TPU_EMB_DTYPE", "float32"),
         metrics_spec={Metric_t.AUC: 0.80275},
         repeat_dataset=True,
     )
