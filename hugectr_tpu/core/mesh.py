@@ -110,6 +110,22 @@ class ResourceManager:
         return self.sharding(P(DATA_AXIS, None))
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bootstrap (reference analog: MpiInitService +
+    ResourceManager multi-node NCCL setup, core23/mpi_init_service.cpp).
+    Wraps jax.distributed.initialize; with no args, autodetects from the
+    cluster environment (TPU pod metadata / env vars)."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 _default_rm: Optional[ResourceManager] = None
 
 

@@ -160,25 +160,77 @@ class Model:
         strategy: List[Tuple[str, List[str]]] = []
         column_factors: Dict[str, int] = {}
 
+        from ..parallel.plan import EmbeddingTableConfig as _ETC
+
+        split_tables: Dict[str, List] = {}  # cache sub-tables per (table, F)
         for ebc in self.ebc_configs:
-            cfgs = ebc.build_lookup_configs()
-            for lc, decl in zip(cfgs, ebc.lookup_decls):
+            ebc_factors = ebc.column_factors or {}
+            for decl in ebc.lookup_decls:
                 feat = self._sparse_by_name.get(decl.bottom_name)
                 if feat is None:
                     raise ValueError(
                         f"EBC lookup bottom {decl.bottom_name!r} has no sparse input"
                     )
-                lc.lookup_id = len(lookup_cfgs)
-                lc.max_hotness = feat.total_nnz
-                lc.top_name = f"{decl.top_name}:{lc.lookup_id}"
-                self._key_sources[lc.top_name] = _KeySource(
-                    param_name=feat.name, col_begin=0, col_end=feat.total_nnz
-                )
-                self._user_tops.setdefault(decl.top_name, []).append(lc.top_name)
-                lc.bottom_name = lc.top_name  # unique internal feature key
-                lookup_cfgs.append(lc)
+                factor = int(ebc_factors.get(decl.table.name, 1))
+                if factor > 1:
+                    # column-wise sharding: rewrite into `factor` sub-tables
+                    # each ev/factor wide (reference:
+                    # split_column_wise_sharding_config,
+                    # src/embeddings/embedding_collection.cpp:25-130)
+                    if decl.table.ev_size % factor:
+                        raise ValueError(
+                            f"table {decl.table.name}: ev_size "
+                            f"{decl.table.ev_size} not divisible by column "
+                            f"factor {factor}"
+                        )
+                    if decl.combiner == Combiner_t.Concat:
+                        raise NotImplementedError(
+                            "column-wise sharding with concat combiner"
+                        )
+                    subs = split_tables.get(decl.table.name)
+                    if subs is None:
+                        subs = [
+                            _ETC(
+                                name=f"{decl.table.name}#col{j}",
+                                max_vocabulary_size=decl.table.max_vocabulary_size,
+                                ev_size=decl.table.ev_size // factor,
+                                opt_params=decl.table.opt_params,
+                                init_scale=decl.table.init_scale,
+                                dynamic_capacity=decl.table.dynamic_capacity,
+                            )
+                            for j in range(factor)
+                        ]
+                        split_tables[decl.table.name] = subs
+                    sub_tables = subs
+                else:
+                    sub_tables = [decl.table]
+                for sub in sub_tables:
+                    lid = len(lookup_cfgs)
+                    top = f"{decl.top_name}:{lid}"
+                    lookup_cfgs.append(
+                        LookupConfig(
+                            lookup_id=lid,
+                            table=sub,
+                            bottom_name=top,
+                            top_name=top,
+                            combiner=decl.combiner,
+                            max_hotness=feat.total_nnz,
+                        )
+                    )
+                    self._key_sources[top] = _KeySource(
+                        param_name=feat.name, col_begin=0, col_end=feat.total_nnz
+                    )
+                    self._user_tops.setdefault(decl.top_name, []).append(top)
             plan = ebc.sharding_plan()
-            strategy.extend(plan.strategy)
+            # strategy entries referencing split tables cover their sub-tables
+            for kind, names in plan.strategy:
+                expanded = []
+                for n in names:
+                    if n in split_tables:
+                        expanded.extend(t.name for t in split_tables[n])
+                    else:
+                        expanded.append(n)
+                strategy.append((kind, expanded))
             column_factors.update(plan.column_factors)
 
         for se in self.sparse_embeddings:
@@ -414,16 +466,39 @@ class Model:
         dense_opt = self.dense_opt
         dense_frozen = getattr(self, "_dense_frozen", False)
         emb_frozen = getattr(self, "_emb_frozen", False)
+        # component-skip ablations (reference: SKIP_* env flags honored in
+        # model_pipeline.cpp:118-147 for per-stage benchmark accounting)
+        skip_embedding = bool(os.environ.get("SKIP_EMBEDDING"))
+        skip_emb_update = bool(os.environ.get("SKIP_EMBEDDING_UPDATE"))
+        if skip_embedding:
+            emb_zero_shapes = {
+                t: self.network.input_shapes[t][1:]
+                for t in self._user_tops
+            }
 
         def train_step(state, batch, rng):
             step = state["step"] + 1
             lr = lr_sch(step)
-            feature_keys = self._feature_keys(batch) if ec is not None else {}
-            emb_outs = (
-                ec.forward(state["emb_tables"], feature_keys)
-                if ec is not None
+            feature_keys = (
+                self._feature_keys(batch)
+                if ec is not None and not skip_embedding
                 else {}
             )
+            if ec is not None and skip_embedding:
+                b = batch[self.batch_spec.dense_name].shape[0]
+                emb_outs = {
+                    lm.top_name: jnp.zeros(
+                        (b, lm.out_end - lm.out_begin), jnp.float32
+                    )
+                    for gg in ec.plan.groups
+                    for lm in gg.lookups
+                }
+            else:
+                emb_outs = (
+                    ec.forward(state["emb_tables"], feature_keys)
+                    if ec is not None
+                    else {}
+                )
 
             def loss_fn(dense_params, emb_outs_in):
                 tensors = {
@@ -461,7 +536,7 @@ class Model:
                 "dopt": new_dopt,
             }
             if ec is not None:
-                if emb_frozen:
+                if emb_frozen or skip_embedding or skip_emb_update:
                     new_tables, new_eopt = state["emb_tables"], state["eopt"]
                 else:
                     new_tables, new_eopt = ec.backward_and_update(
