@@ -16,6 +16,10 @@ BASELINE_EXAMPLES_PER_SEC_PER_CHIP = 2.5e6
 
 
 def main():
+    # bench operating point: bf16 embedding vectors + Pallas segmented-scan
+    # dedup (library defaults stay fp32/XLA; both knobs are documented)
+    os.environ.setdefault("HCTR_TPU_EMB_DTYPE", "bfloat16")
+    os.environ.setdefault("HCTR_TPU_SEGSUM", "scan")
     # honor driver environment; default to whatever platform JAX picks
     import jax
 
@@ -62,6 +66,9 @@ def main():
         "platform": jax.devices()[0].platform,
         "iters": iters,
         "sec_per_iter": round(dt / iters, 5),
+        "emb_dtype": os.environ["HCTR_TPU_EMB_DTYPE"],
+        "segsum": os.environ["HCTR_TPU_SEGSUM"],
+        "vocab_cap": vocab_cap,
     }
     print(json.dumps(out))
 

@@ -35,7 +35,7 @@ def _segscan_kernel(heads_ref, vals_ref, out_ref, carry_ref, blk: int):
     def _init():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
-    v = vals_ref[...]  # [BK, E]
+    v = vals_ref[...].astype(jnp.float32)  # [BK, E] f32 accumulation
     h = heads_ref[...].astype(jnp.float32)  # [BK, 1] 1.0 at segment heads
     s = h
     m = h  # max-scan of h: 1 once any head has appeared at or before row i
@@ -53,7 +53,7 @@ def _segscan_kernel(heads_ref, vals_ref, out_ref, carry_ref, blk: int):
     pre = 1.0 - m  # [BK, 1]
     v = v + pre * carry_ref[...]
     carry_ref[...] = v[-1:, :]
-    out_ref[...] = v
+    out_ref[...] = v.astype(out_ref.dtype)
 
 
 def segmented_sum_sorted(vals: jax.Array, heads: jax.Array, block: int = 512):
