@@ -82,6 +82,7 @@ class DataReaderParams:
     # synthetic reader extras
     synthetic_num_batches: int = 64
     synthetic_learnable: bool = False  # key-parity labels (convergence gates)
+    synthetic_alpha: float = 0.0  # >0: power-law keys (reference default dist)
 
     def __post_init__(self):
         self.data_reader_type = DataReaderType_t(self.data_reader_type)

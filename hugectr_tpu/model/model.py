@@ -374,6 +374,7 @@ class Model:
                 spec,
                 vocabs,
                 num_batches=getattr(rp, "synthetic_num_batches", 64),
+                alpha=getattr(rp, "synthetic_alpha", 0.0),
                 seed=(self.solver.seed or 1234) + (0 if train else 99991),
                 learnable_labels=getattr(rp, "synthetic_learnable", False),
             )

@@ -57,6 +57,9 @@ def build_dlrm_dcnv2(
     reader = hugectr.DataReaderParams(
         data_reader_type=DataReaderType_t.Synthetic,
         synthetic_num_batches=synthetic_batches,
+        # power-law keys like the reference DataGenerator's default
+        # distribution (Criteo-like hot-key skew; data_generator.cpp:92-105)
+        synthetic_alpha=1.05,
     )
     optimizer = hugectr.CreateOptimizer(
         optimizer_type=hugectr.Optimizer_t.AdaGrad, initial_accu_value=0.0

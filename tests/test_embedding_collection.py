@@ -237,3 +237,36 @@ def test_adagrad_sparse_update_dedup(mesh1):
     np.testing.assert_allclose(after[5] - before[5], -0.5, rtol=1e-5)
     # untouched rows unchanged
     np.testing.assert_allclose(after[0], before[0])
+
+
+def test_mp_capacity_slicing_matches_uncapped(mesh8):
+    """Owner-partition k_limit slicing (active when K*factor/N < K) must not
+    change results when the capacity bound holds."""
+    import os
+
+    t = EmbeddingTableConfig(name="big", max_vocabulary_size=4096, ev_size=8)
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 4)]
+    plan = ShardingPlan(strategy=[("mp", ["big"])])
+    compiled = compile_plan(lookups, plan, num_shards=mesh8.data_parallel_size)
+    opt = OptParams(Optimizer_t.AdaGrad, lr=0.3, epsilon=1e-7)
+    rng = np.random.default_rng(5)
+    batch = 512  # K = 2048 -> k_limit = 512 with factor 2 on 8 shards
+    keys = rng.integers(0, 4096, (batch, 4)).astype(np.int32)
+    d = rng.normal(size=(batch, 8)).astype(np.float32)
+
+    results = {}
+    for factor in ("8.0", "2.0"):  # 8.0 = no effective slicing (cap >= K/1)
+        os.environ["HCTR_TPU_MP_CAPACITY_FACTOR"] = factor
+        try:
+            ebc = EmbeddingCollection(compiled, mesh8, opt)
+            tables = ebc.init(jax.random.key(4))
+            state = ebc.init_optimizer(tables)
+            kd = jax.device_put(keys, mesh8.batch_sharding())
+            dd = jax.device_put(d, mesh8.batch_sharding())
+            tables, state = jax.jit(ebc.backward_and_update)(
+                tables, state, {"f": kd}, {"e": dd}, jnp.asarray(0.3), jnp.asarray(1)
+            )
+            results[factor] = ebc.export_table(tables, "big")
+        finally:
+            del os.environ["HCTR_TPU_MP_CAPACITY_FACTOR"]
+    np.testing.assert_allclose(results["2.0"], results["8.0"], rtol=1e-5, atol=1e-6)
