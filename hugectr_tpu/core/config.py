@@ -8,12 +8,11 @@ minimal changes. They are plain dataclasses consumed by `hugectr_tpu.Model`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 from .types import (
     Activation_t,
     Check_t,
-    Combiner_t,
     DataReaderType_t,
     Initializer_t,
     Metric_t,

@@ -7,7 +7,6 @@ adjacent to a matmul.
 """
 from __future__ import annotations
 
-from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ is simply the loop below under jit.
 """
 from __future__ import annotations
 
-from typing import List
-
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import DenseLayer, LOSS_LAYER_TYPES, Layer_t
-from ..core.types import Loss_t
 from . import core_layers  # noqa: F401 (registry population)
 from . import gemm  # noqa: F401
 from . import interaction  # noqa: F401

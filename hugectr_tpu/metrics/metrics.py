@@ -14,12 +14,10 @@ reference's trapezoidal integration over all distinct thresholds
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.types import Metric_t
 

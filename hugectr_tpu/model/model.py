@@ -380,7 +380,6 @@ class Model:
             )
         if kind in (DataReaderType_t.Raw, DataReaderType_t.RawAsync):
             # prefer the native threaded IO core (AsyncDataReader analog)
-            from .. import data as _data
             from ..data.native_reader import NativeRawReader, native_available
 
             if native_available():

@@ -7,7 +7,7 @@ parameter pytree. Formulas intentionally shared with the sparse per-row path
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

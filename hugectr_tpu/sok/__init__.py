@@ -20,11 +20,10 @@ import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..core.mesh import ResourceManager, default_resource_manager
-from ..core.types import Combiner_t, Optimizer_t
+from ..core.types import Combiner_t
 from ..embedding.collection import EmbeddingCollection
 from ..optim.params import OptParams
 from ..parallel.plan import (

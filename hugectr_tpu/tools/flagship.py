@@ -8,8 +8,6 @@ vocabularies for CI / dry-run environments.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import hugectr_tpu as hugectr
 from hugectr_tpu.core.types import DataReaderType_t, Metric_t
 

@@ -16,11 +16,11 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 
-from .onnx_writer import FLOAT, INT64, OnnxGraph
+from .onnx_writer import INT64, OnnxGraph
 
 __all__ = ["convert"]
 

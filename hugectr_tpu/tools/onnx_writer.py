@@ -13,7 +13,7 @@ Wire-format encoder: protobuf = sequence of (tag, payload); tag =
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import List, Sequence, Tuple, Union
 
 import numpy as np
 

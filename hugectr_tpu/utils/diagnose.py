@@ -7,7 +7,7 @@ check_overflow model.cpp:1251-1258).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
