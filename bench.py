@@ -28,7 +28,7 @@ def main():
 
     n_dev = len(jax.devices())
     on_tpu = jax.devices()[0].platform == "tpu"
-    batch = 8192 if on_tpu else 256
+    batch = int(os.environ.get("HCTR_BENCH_BATCH", 8192 if on_tpu else 256))
     vocab_cap = int(
         os.environ.get("HCTR_BENCH_VOCAB_CAP", 2_000_000 if on_tpu else 2000)
     )

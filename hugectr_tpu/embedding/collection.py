@@ -484,6 +484,44 @@ class EmbeddingCollection:
         new[g.name] = jax.device_put(updated, sharding)
         return new
 
+    def evict(
+        self, tables, opt_state, table_name: str, keys
+    ):
+        """Evict rows for `keys` from a dynamic (hashed) table: embedding
+        vectors and optimizer state reset to zero (reference:
+        DynamicEmbeddingTable::evict, embedding_storage/dynamic_embedding.cu).
+        Works on static tables too (row reset)."""
+
+        g, ti = self._find_table(table_name)
+        n = g.num_shards if g.is_model_parallel else 1
+        k32 = jnp.asarray(keys).reshape(-1).astype(jnp.int32)
+        if g.tables[ti].is_dynamic:
+            h = _hash_mix(k32)
+            row = (
+                (h // jnp.uint32(max(n, 1)))
+                % jnp.uint32(int(g.rows_per_shard[ti]))
+            ).astype(jnp.int32)
+            owner = (h % jnp.uint32(max(n, 1))).astype(jnp.int32)
+        else:
+            kk = k32 % jnp.int32(int(g.table_vocab[ti]))
+            row = kk // jnp.int32(max(n, 1))
+            owner = kk % jnp.int32(max(n, 1))
+        local = row + jnp.int32(int(g.local_offsets[ti]))
+        storage_row = (
+            owner * jnp.int32(g.total_local_rows) + local
+            if g.is_model_parallel
+            else local
+        )
+        new_tables = dict(tables)
+        new_tables[g.name] = tables[g.name].at[storage_row].set(0.0, mode="drop")
+        new_state = dict(opt_state)
+        if g.name in opt_state:
+            new_state[g.name] = {
+                k: v.at[storage_row].set(0.0, mode="drop")
+                for k, v in opt_state[g.name].items()
+            }
+        return new_tables, new_state
+
     def _find_table(self, table_name: str) -> Tuple[GroupPlan, int]:
         for g in self.plan.groups:
             for ti, t in enumerate(g.tables):

@@ -42,6 +42,7 @@ __all__ = [
     "OptimizerWrapper",
     "dump",
     "load",
+    "incremental_model_dump",
     "filter_variables",
 ]
 
@@ -235,6 +236,25 @@ def load(path: str, engine: LookupEngine, tables: Dict[str, jax.Array]):
             if os.path.exists(f):
                 tables = engine.ec.import_table(tables, t.name, np.load(f))
     return tables
+
+
+def incremental_model_dump(
+    engine: LookupEngine,
+    tables: Dict[str, jax.Array],
+    touched_keys: Dict[str, np.ndarray],
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Dump only the rows named by `touched_keys` per table (reference:
+    sok.incremental_model_dump, dump_load.py): {table: {keys, values}}."""
+    out = {}
+    for g in engine.ec.plan.groups:
+        for ti, t in enumerate(g.tables):
+            keys = np.asarray(touched_keys.get(t.name, []), dtype=np.int64)
+            if keys.size == 0:
+                continue
+            full = engine.ec.export_table(tables, t.name)
+            keys = keys[(keys >= 0) & (keys < full.shape[0])]
+            out[t.name] = {"keys": keys, "values": full[keys]}
+    return out
 
 
 def filter_variables(variables: Sequence) -> Tuple[List, List]:

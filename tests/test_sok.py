@@ -97,3 +97,21 @@ def test_all2all_dense_embedding(mesh8):
     out = sok.all2all_dense_embedding(eng, tables, keys)
     td = eng.ec.export_table(tables, "d")
     np.testing.assert_allclose(np.asarray(out), td[:16], rtol=1e-6)
+
+
+def test_evict_and_incremental_dump(mesh8):
+    import jax.numpy as jnp
+
+    eng = _engine(mesh8)
+    tables = eng.init(jax.random.key(5))
+    state = eng.ec.init_optimizer(tables)
+    before = eng.ec.export_table(tables, "a")
+    assert np.abs(before[7]).sum() > 0
+    tables, state = eng.ec.evict(tables, state, "a", np.asarray([7, 13]))
+    after = eng.ec.export_table(tables, "a")
+    np.testing.assert_allclose(after[7], 0.0)
+    np.testing.assert_allclose(after[13], 0.0)
+    np.testing.assert_allclose(after[5], before[5])
+    inc = sok.incremental_model_dump(eng, tables, {"a": np.asarray([5, 7])})
+    np.testing.assert_allclose(inc["a"]["values"][0], before[5])
+    np.testing.assert_allclose(inc["a"]["values"][1], 0.0)
