@@ -1,7 +1,8 @@
 """DLRM-DCNv2 MLPerf flagship (reference: samples/dlrm/train.py): embedding
 collection (26 multi-hot tables, ev 128) + bottom MLP + DCNv2 low-rank cross
-+ top MLP, AdaGrad, AUC 0.80275 early stop. Synthetic data by default; point
---raw_data at a Criteo RawAsync binary for the real thing."""
++ top MLP, AdaGrad, AUC 0.80275 early stop. Runs on synthetic power-law data
+(for real Criteo, preprocess with tools/criteo_preprocess.py and build the
+model via hugectr_tpu.tools.flagship with a Raw/Parquet DataReaderParams)."""
 import argparse
 import os
 import sys
