@@ -352,12 +352,24 @@ class Model:
         self.eval_reader = self._make_reader(train=False)
         self._train_iter = None
         self._build_steps()
+        # one accumulator per loss/task (reference: multi-label per-class
+        # AUC, metrics.cu multi-label path). Single-task models report plain
+        # metric names; multi-task adds "<metric>_<label>" per task.
         self.metrics = MetricAccumulator(
             s.metrics_spec,
             batch_size=s.batchsize_eval,
             max_batches=s.max_eval_batches,
             sharding=self.rm.batch_sharding(),
         )
+        self._task_metrics = {
+            spec.label_name: MetricAccumulator(
+                s.metrics_spec,
+                batch_size=s.batchsize_eval,
+                max_batches=s.max_eval_batches,
+                sharding=self.rm.batch_sharding(),
+            )
+            for spec in self.network.loss_specs[1:]
+        }
         self._compiled = True
 
     # ------------------------------------------------------------- readers
@@ -640,6 +652,8 @@ class Model:
     def eval(self) -> Dict[str, float]:
         """Full evaluation pass over max_eval_batches; returns metric dict."""
         self.metrics.reset()
+        for acc in self._task_metrics.values():
+            acc.reset()
         source, feeder = self._eval_batches()
         n = 0
         for batch in source:
@@ -648,13 +662,18 @@ class Model:
                     feeder.stop()
                 break
             loss, preds, labels = self._eval_step(self.state, batch)
-            # single-task: first loss spec drives AUC (reference: raw metrics)
             spec = self.network.loss_specs[0]
             self.metrics.update(
                 preds[spec.label_name], labels[spec.label_name], loss=float(loss)
             )
+            for name, acc in self._task_metrics.items():
+                acc.update(preds[name], labels[name])
             n += 1
-        return self.metrics.finalize()
+        vals = self.metrics.finalize()
+        for name, acc in self._task_metrics.items():
+            for m, v in acc.finalize().items():
+                vals[f"{m}_{name}"] = v
+        return vals
 
     def fit(
         self,

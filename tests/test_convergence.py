@@ -146,3 +146,34 @@ def test_graph_json_roundtrip_and_retrain(mesh8, tmp_path):
     assert [l.layer_type for l in model2.dense_layers] == [
         l.layer_type for l in model.dense_layers
     ]
+
+
+def test_multitask_per_label_metrics(mesh8):
+    """Multi-task models report per-task AUC (reference: multi-label AUC)."""
+    import runpy, sys, os
+
+    samples_dir = os.path.join(os.path.dirname(__file__), "..", "samples")
+    sys.path.insert(0, samples_dir)
+    try:
+        import common as sample_common
+
+        orig = sample_common.make_reader
+
+        def small(args, slots, nnz_array=None, **kw):
+            kw.update(num_samples_per_file=256, num_files=2)
+            return orig(args, [min(s, 300) for s in slots], nnz_array=nnz_array, **kw)
+
+        sample_common.make_reader = small
+        argv, sys.argv = sys.argv, ["mmoe", "--batchsize", "64", "--data_dir", "/tmp/mmoe_mt"]
+        try:
+            mod = runpy.run_path(os.path.join(samples_dir, "mmoe.py"), run_name="nm")
+        finally:
+            sys.argv = argv
+            sample_common.make_reader = orig
+    finally:
+        sys.path.remove(samples_dir)
+    model = mod["model"]
+    model.compile()
+    model.train()
+    vals = model.eval()
+    assert "auc" in vals and "auc_married_label" in vals, vals
