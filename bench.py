@@ -23,6 +23,15 @@ def main():
     # honor driver environment; default to whatever platform JAX picks
     import jax
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "HCTR_TPU_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/hugectr_tpu_jaxcache"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from hugectr_tpu.core.mesh import ResourceManager
     from hugectr_tpu.tools.flagship import build_dlrm_dcnv2
 

@@ -482,11 +482,6 @@ class Model:
         # model_pipeline.cpp:118-147 for per-stage benchmark accounting)
         skip_embedding = bool(os.environ.get("SKIP_EMBEDDING"))
         skip_emb_update = bool(os.environ.get("SKIP_EMBEDDING_UPDATE"))
-        if skip_embedding:
-            emb_zero_shapes = {
-                t: self.network.input_shapes[t][1:]
-                for t in self._user_tops
-            }
 
         def train_step(state, batch, rng):
             step = state["step"] + 1
