@@ -448,6 +448,128 @@ class _Converter:
         )
         return []
 
+
+    def _op_PReLU_Dice(self, li, cfg, bots, tops):
+        # Dice(x) = p*x + (1-p)*alpha*x. At inference there is no batch to
+        # standardize over, so p = sigmoid(x) (identity standardization) —
+        # same inference-time approximation the reference converter makes
+        # (onnx_converter graph_builder PReLU_Dice branch).
+        a = float(cfg.get("elu_alpha", 0.2))
+        sig = self.g.uname("dice_sig")
+        self.g.add_node("Sigmoid", [bots[0]], [sig])
+        px = self.g.uname("dice_px")
+        self.g.add_node("Mul", [sig, bots[0]], [px])
+        one = self.init_const("one", np.asarray(1.0, np.float32))
+        inv = self.g.uname("dice_inv")
+        self.g.add_node("Sub", [one, sig], [inv])
+        ax_ = self.g.uname("dice_ax")
+        alpha_c = self.init_const("alpha", np.asarray(a, np.float32))
+        self.g.add_node("Mul", [inv, alpha_c], [ax_])
+        axx = self.g.uname("dice_axx")
+        self.g.add_node("Mul", [ax_, bots[0]], [axx])
+        self.g.add_node("Add", [px, axx], tops)
+        return []
+
+    def _op_SequenceMask(self, li, cfg, bots, tops):
+        # [B,1] lengths -> [B,1,F,T] boolean-ish mask (float 0/1)
+        F = int(cfg["max_sequence_len_from"])
+        T = int(cfg["max_sequence_len_to"])
+        i_idx = self.init_const("i", np.arange(F, np.float32).reshape(1, 1, F, 1))
+        j_idx = self.init_const("j", np.arange(T, np.float32).reshape(1, 1, 1, T))
+        lf = self.g.uname("lf")
+        axs = self.init_const("sq_ax", np.asarray([1, 2], np.int64))
+        self.g.add_node("Unsqueeze", [bots[0], axs], [lf])  # [B,1,1,1]
+        lt = self.g.uname("lt")
+        self.g.add_node("Unsqueeze", [bots[1], axs], [lt])
+        m1 = self.g.uname("m1")
+        self.g.add_node("Less", [i_idx, lf], [m1])
+        m2 = self.g.uname("m2")
+        self.g.add_node("Less", [j_idx, lt], [m2])
+        mb = self.g.uname("mb")
+        self.g.add_node("And", [m1, m2], [mb])
+        self.g.add_node("Cast", [mb], tops, to=1)  # FLOAT
+        return []
+
+    def _op_MultiHeadAttention(self, li, cfg, bots, tops):
+        # q,k,v [B,S,D] (+ optional mask [B,1,S,S]); heads h
+        h = int(cfg.get("num_attention_heads", 1))
+        q, k, v = bots[0], bots[1], bots[2]
+        # infer S, D from shapes dict if known; require static
+        shp = None
+        for name in (q, k, v):
+            if name in self.shapes and len(self.shapes[name]) == 3:
+                shp = self.shapes[name]
+        if shp is None:
+            raise NotImplementedError("MHA export needs known 3D input shape")
+        _, S, D = shp
+        dk = D // h
+
+        def split_heads(x):
+            r = self.g.uname("mha_r")
+            sc = self.init_const("shape", np.asarray([0, S, h, dk], np.int64))
+            self.g.add_node("Reshape", [x, sc], [r], allowzero=0)
+            t = self.g.uname("mha_t")
+            self.g.add_node("Transpose", [r], [t], perm=[0, 2, 1, 3])
+            return t  # [B,h,S,dk]
+
+        qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
+        kt = self.g.uname("mha_kt")
+        self.g.add_node("Transpose", [kh], [kt], perm=[0, 1, 3, 2])
+        scores = self.g.uname("mha_scores")
+        self.g.add_node("MatMul", [qh, kt], [scores])
+        scale = self.init_const("scale", np.asarray(1.0 / np.sqrt(dk), np.float32))
+        ss = self.g.uname("mha_ss")
+        self.g.add_node("Mul", [scores, scale], [ss])
+        if len(bots) > 3:
+            # masked positions -> -1e4 (reference masked softmax)
+            one = self.init_const("one", np.asarray(1.0, np.float32))
+            neg = self.init_const("neg", np.asarray(-10000.0, np.float32))
+            inv = self.g.uname("mha_inv")
+            self.g.add_node("Sub", [one, bots[3]], [inv])
+            pen = self.g.uname("mha_pen")
+            self.g.add_node("Mul", [inv, neg], [pen])
+            masked = self.g.uname("mha_masked")
+            sm_in = masked
+            self.g.add_node("Add", [ss, pen], [masked])
+        else:
+            sm_in = ss
+        probs = self.g.uname("mha_probs")
+        self.g.add_node("Softmax", [sm_in], [probs], axis=-1)
+        ctxv = self.g.uname("mha_ctx")
+        self.g.add_node("MatMul", [probs, vh], [ctxv])  # [B,h,S,dk]
+        tb = self.g.uname("mha_tb")
+        self.g.add_node("Transpose", [ctxv], [tb], perm=[0, 2, 1, 3])
+        so = self.init_const("shape", np.asarray([0, S, D], np.int64))
+        self.g.add_node("Reshape", [tb, so], tops, allowzero=0)
+        self.shapes[tops[0]] = (self.batch, S, D)
+        return []
+
+    def _op_FusedReshapeConcat(self, li, cfg, bots, tops):
+        # inputs [B,F+1,Ei] -> his [B*F, sumE], item [B, sumE]
+        cat = self.g.uname("frc_cat")
+        self.g.add_node("Concat", bots, [cat], axis=2)
+        # need F+1 and sumE from shapes
+        shp = self.shapes.get(bots[0])
+        if shp is None or len(shp) != 3:
+            raise NotImplementedError("FusedReshapeConcat export needs shapes")
+        fp1 = shp[1]
+        sume = sum(self.shapes[b][2] for b in bots)
+        st = self.init_const("st", np.asarray([0], np.int64))
+        en = self.init_const("en", np.asarray([fp1 - 1], np.int64))
+        ax = self.init_const("ax", np.asarray([1], np.int64))
+        his3 = self.g.uname("frc_his3")
+        self.g.add_node("Slice", [cat, st, en, ax], [his3])
+        sh = self.init_const("shape", np.asarray([-1, sume], np.int64))
+        self.g.add_node("Reshape", [his3, sh], [tops[0]], allowzero=0)
+        st2 = self.init_const("st2", np.asarray([fp1 - 1], np.int64))
+        en2 = self.init_const("en2", np.asarray([fp1], np.int64))
+        item3 = self.g.uname("frc_item3")
+        self.g.add_node("Slice", [cat, st2, en2, ax], [item3])
+        sh2 = self.init_const("shape", np.asarray([-1, sume], np.int64))
+        self.g.add_node("Reshape", [item3, sh2], [tops[1]], allowzero=0)
+        self.shapes[tops[1]] = (self.batch, sume)
+        return []
+
     def _op_LayerNorm(self, li, cfg, bots, tops):
         g_ = self.init_const("gamma", self.w(li, "gamma"))
         b_ = self.init_const("beta", self.w(li, "beta"))

