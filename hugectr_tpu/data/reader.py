@@ -250,12 +250,16 @@ class ParquetReader(BaseReader):
         spec: BatchSpec,
         repeat: bool = True,
         drop_incomplete: bool = True,
+        shuffle: bool = False,
+        seed: int = 0,
     ):
         import pyarrow.parquet as pq  # noqa: F401
 
         self.spec = spec
         self.repeat = repeat
         self.drop_incomplete = drop_incomplete
+        self.shuffle = shuffle
+        self.seed = seed
         with open(file_list) as f:
             lines = [ln.strip() for ln in f if ln.strip()]
         self.paths = lines[1:] if lines and lines[0].isdigit() else lines
@@ -292,11 +296,16 @@ class ParquetReader(BaseReader):
         import pyarrow.parquet as pq
 
         s = self.spec
+        epoch = 0
         while True:
-            buf: List[np.ndarray] = []  # accumulated row blocks per column set
+            paths = list(self.paths)
+            if self.shuffle:  # file-order shuffle per epoch (reference:
+                # worker-group round-robin + shuffle knob)
+                np.random.default_rng(self.seed + epoch).shuffle(paths)
+            epoch += 1
             pend_lab, pend_dense, pend_cat = [], [], []
             pending = 0
-            for path in self.paths:
+            for path in paths:
                 tbl = pq.read_table(path)
                 n = tbl.num_rows
                 lab = np.stack(

@@ -118,3 +118,43 @@ def test_device_feeder():
     got = list(DeviceFeeder(reader, put_fn=lambda b: b, depth=2))
     assert len(got) == 5
     assert got[0]["data1"].max() < 200
+
+
+def test_parquet_shuffle_epochs(tmp_path):
+    p = DataGeneratorParams(
+        format=DataReaderType_t.Parquet,
+        label_dim=1,
+        dense_dim=2,
+        num_slot=1,
+        source=str(tmp_path / "t.txt"),
+        eval_source=str(tmp_path / "e.txt"),
+        slot_size_array=[50],
+        nnz_array=[1],
+        num_files=4,
+        eval_num_files=1,
+        num_samples_per_file=64,
+    )
+    DataGenerator(p).generate()
+    spec = BatchSpec(
+        batch_size=64,
+        label_dims=(1,),
+        label_names=("label",),
+        dense_dim=2,
+        dense_name="dense",
+        sparse=(SparseFeatureSpec("a", (1,)),),
+    )
+    b2 = [
+        b["a"].copy()
+        for b in ParquetReader(str(tmp_path / "t.txt"), spec, repeat=False)
+    ]
+    key = lambda bs: sorted(tuple(b.ravel().tolist()) for b in bs)
+    reordered = False
+    for seed in range(1, 6):  # a 4-element shuffle can be identity by chance
+        r1 = ParquetReader(
+            str(tmp_path / "t.txt"), spec, repeat=False, shuffle=True, seed=seed
+        )
+        b1 = [b["a"].copy() for b in r1]
+        assert len(b1) == len(b2) == 4
+        assert key(b1) == key(b2)  # same multiset of batches
+        reordered |= any((x != y).any() for x, y in zip(b1, b2))
+    assert reordered
