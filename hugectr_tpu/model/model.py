@@ -378,6 +378,16 @@ class Model:
         if rp is None:
             return None
         spec = self.batch_spec if train else self.eval_batch_spec
+        if self.rm.num_processes > 1:
+            # each process reads its own slice of the global batch
+            if spec.batch_size % self.rm.num_processes:
+                raise ValueError(
+                    f"global batch {spec.batch_size} not divisible by "
+                    f"{self.rm.num_processes} processes"
+                )
+            spec = dataclasses.replace(
+                spec, batch_size=spec.batch_size // self.rm.num_processes
+            )
         kind = DataReaderType_t(rp.data_reader_type)
         src = rp.source[0] if train and rp.source else rp.eval_source
         if kind == DataReaderType_t.Synthetic or not src:
@@ -387,7 +397,9 @@ class Model:
                 vocabs,
                 num_batches=getattr(rp, "synthetic_num_batches", 64),
                 alpha=getattr(rp, "synthetic_alpha", 0.0),
-                seed=(self.solver.seed or 1234) + (0 if train else 99991),
+                seed=(self.solver.seed or 1234)
+                + (0 if train else 99991)
+                + 7919 * self.rm.process_index,
                 learnable_labels=getattr(rp, "synthetic_learnable", False),
             )
         if kind in (DataReaderType_t.Raw, DataReaderType_t.RawAsync):
@@ -585,6 +597,14 @@ class Model:
 
     def _put_batch(self, batch) -> Dict[str, jax.Array]:
         sh = self.rm.batch_sharding()
+        if self.rm.num_processes > 1:
+            # multi-controller: every process supplies ITS batch shard; the
+            # readers were built with the per-process local batch size
+            # (reference analog: per-node reader workers feeding local GPUs)
+            return {
+                k: jax.make_array_from_process_local_data(sh, v)
+                for k, v in batch.items()
+            }
         return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
     # ------------------------------------------------------------ training
