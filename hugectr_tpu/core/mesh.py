@@ -85,7 +85,10 @@ class ResourceManager:
 
     @property
     def num_processes(self) -> int:
-        return jax.process_count()
+        """Distinct processes SPANNED BY THIS MESH (not the global job):
+        a process-local mesh inside a multi-process job behaves
+        single-controller."""
+        return len({d.process_index for d in self.mesh.devices.flat})
 
     @property
     def process_index(self) -> int:

@@ -62,6 +62,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p,
             ctypes.c_long,
             ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_long,
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
@@ -96,6 +98,8 @@ class NativeRawReader(BaseReader):
         repeat: bool = True,
         n_threads: int = 4,
         queue_depth: int = 6,
+        process_index: int = 0,
+        num_processes: int = 1,
     ):
         self.lib = _build_lib()
         if self.lib is None:
@@ -114,6 +118,8 @@ class NativeRawReader(BaseReader):
             path.encode(),
             self.row_bytes,
             s.batch_size,
+            s.batch_size * num_processes,
+            process_index * s.batch_size,
             n_threads,
             queue_depth,
             1 if repeat else 0,
@@ -123,7 +129,8 @@ class NativeRawReader(BaseReader):
         self.num_batches = int(self.lib.rr_num_batches(self._handle))
         if num_samples:
             self.num_batches = min(
-                self.num_batches, num_samples // s.batch_size
+                self.num_batches,
+                num_samples // (s.batch_size * num_processes),
             )
         self._buf = np.empty((s.batch_size, self.row_width), dtype=np.int32)
 

@@ -172,6 +172,8 @@ class RawReader(BaseReader):
         repeat: bool = True,
         shuffle: bool = False,
         seed: int = 0,
+        process_index: int = 0,
+        num_processes: int = 1,
     ):
         self.spec = spec
         self.path = path
@@ -179,14 +181,24 @@ class RawReader(BaseReader):
         self.repeat = repeat
         self.shuffle = shuffle
         self.seed = seed
+        # multi-controller: spec.batch_size is the LOCAL slice; global step g
+        # reads rows [g*global_batch + pid*local_batch, +local_batch) so the
+        # assembled global batch is contiguous, disjoint data per process.
+        self.process_index = process_index
+        self.num_processes = num_processes
+        self.global_batch = spec.batch_size * num_processes
         s = spec
         self.row_width = (
             s.label_dim_total + s.dense_dim + sum(f.total_nnz for f in s.sparse)
         )
         file_rows = os.path.getsize(path) // (4 * self.row_width)
         self.num_samples = min(num_samples, file_rows) if num_samples else file_rows
-        self.num_batches = self.num_samples // s.batch_size
-        if not drop_incomplete and self.num_samples % s.batch_size:
+        self.num_batches = self.num_samples // self.global_batch
+        if (
+            num_processes == 1
+            and not drop_incomplete
+            and self.num_samples % self.global_batch
+        ):
             self.num_batches += 1
         self._mm = np.memmap(path, dtype=np.int32, mode="r").reshape(
             file_rows, self.row_width
@@ -200,7 +212,7 @@ class RawReader(BaseReader):
             if self.shuffle:
                 np.random.default_rng(self.seed + epoch).shuffle(order)
             for bi in order:
-                lo = int(bi) * s.batch_size
+                lo = int(bi) * self.global_batch + self.process_index * s.batch_size
                 hi = min(lo + s.batch_size, self.num_samples)
                 yield self._decode(np.asarray(self._mm[lo:hi]))
             epoch += 1
@@ -252,6 +264,8 @@ class ParquetReader(BaseReader):
         drop_incomplete: bool = True,
         shuffle: bool = False,
         seed: int = 0,
+        process_index: int = 0,
+        num_processes: int = 1,
     ):
         import pyarrow.parquet as pq  # noqa: F401
 
@@ -260,9 +274,21 @@ class ParquetReader(BaseReader):
         self.drop_incomplete = drop_incomplete
         self.shuffle = shuffle
         self.seed = seed
+        self.process_index = process_index
+        self.num_processes = num_processes
         with open(file_list) as f:
             lines = [ln.strip() for ln in f if ln.strip()]
         self.paths = lines[1:] if lines and lines[0].isdigit() else lines
+        if num_processes > 1:
+            # file-level sharding per process (reference: per-node worker
+            # groups round-robin the file list); requires len(files) >= P
+            # and roughly even files for balanced epochs
+            if len(self.paths) < num_processes:
+                raise ValueError(
+                    f"{len(self.paths)} parquet files cannot be sharded over "
+                    f"{num_processes} processes"
+                )
+            self.paths = self.paths[process_index::num_processes]
         meta_path = os.path.join(
             os.path.dirname(os.path.abspath(self.paths[0])), "_metadata.json"
         )
@@ -272,9 +298,16 @@ class ParquetReader(BaseReader):
         self.label_cols = order("labels")
         self.cont_cols = order("conts")
         self.cat_cols = order("cats")
-        total_rows = sum(fs["num_rows"] for fs in meta["file_stats"])
-        self.num_batches = total_rows // spec.batch_size
-        if not drop_incomplete and total_rows % spec.batch_size:
+        stats = {fs["file_name"]: fs["num_rows"] for fs in meta["file_stats"]}
+        own_rows = sum(
+            stats.get(os.path.basename(p_), 0) for p_ in self.paths
+        )
+        self.num_batches = own_rows // spec.batch_size
+        if (
+            num_processes == 1
+            and not drop_incomplete
+            and own_rows % spec.batch_size
+        ):
             self.num_batches += 1
         n_slots = sum(f.slot_num for f in spec.sparse)
         if len(self.cat_cols) != n_slots:

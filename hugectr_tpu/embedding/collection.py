@@ -459,7 +459,13 @@ class EmbeddingCollection:
         g, ti = self._find_table(table_name)
         vocab = int(g.table_vocab[ti])
         idx = self._table_storage_rows(g, ti, vocab)
-        return np.asarray(jnp.take(tables[g.name], jnp.asarray(idx), axis=0))
+        # jit with replicated output so this works in multi-controller runs
+        # (eager take on a multi-process-sharded array is not addressable)
+        gather = jax.jit(
+            lambda t, i: jnp.take(t, i, axis=0),
+            out_shardings=self.rm.replicated_sharding(),
+        )
+        return np.asarray(gather(tables[g.name], jnp.asarray(idx)))
 
     def import_table(
         self, tables: Dict[str, Array], table_name: str, values: np.ndarray
@@ -477,11 +483,15 @@ class EmbeddingCollection:
             if g.is_model_parallel
             else self.rm.replicated_sharding()
         )
-        updated = tables[g.name].at[jnp.asarray(idx)].set(
-            jnp.asarray(values, dtype=self.dtype)
+        scatter = jax.jit(
+            lambda t, i, v: t.at[i].set(v), out_shardings=sharding
         )
         new = dict(tables)
-        new[g.name] = jax.device_put(updated, sharding)
+        new[g.name] = scatter(
+            tables[g.name],
+            jnp.asarray(idx),
+            jnp.asarray(values, dtype=self.dtype),
+        )
         return new
 
     def evict(

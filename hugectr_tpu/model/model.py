@@ -415,6 +415,8 @@ class Model:
                         float_label_dense=rp.float_label_dense,
                         repeat=self.solver.repeat_dataset if train else False,
                         n_threads=rp.num_workers,
+                        process_index=self.rm.process_index,
+                        num_processes=self.rm.num_processes,
                     )
                 except RuntimeError as e:
                     logger.warning(f"native raw reader unavailable: {e}")
@@ -425,6 +427,8 @@ class Model:
                 float_label_dense=rp.float_label_dense,
                 drop_incomplete=self.solver.drop_incomplete_batch,
                 repeat=self.solver.repeat_dataset if train else False,
+                process_index=self.rm.process_index,
+                num_processes=self.rm.num_processes,
             )
         if kind == DataReaderType_t.Parquet:
             return ParquetReader(
@@ -432,6 +436,8 @@ class Model:
                 spec,
                 repeat=self.solver.repeat_dataset if train else False,
                 drop_incomplete=self.solver.drop_incomplete_batch,
+                process_index=self.rm.process_index,
+                num_processes=self.rm.num_processes,
             )
         raise NotImplementedError(f"reader {kind}")
 
@@ -766,7 +772,10 @@ class Model:
         """Dump dense weights + opt states + per-table sparse models
         (reference: Model::download_params_to_files, model.cpp:1236-1328)."""
         out_dir = f"{prefix}_iter{iteration}"
-        os.makedirs(out_dir, exist_ok=True)
+        write = self.rm.is_master_process()  # all processes compute the
+        # replicated exports; only process 0 touches the filesystem
+        if write:
+            os.makedirs(out_dir, exist_ok=True)
         flat = {}
 
         def _flatten(tree, prefix=""):
@@ -779,25 +788,36 @@ class Model:
         _flatten(self.state["dense_params"], "dense/")
         _flatten(self.state["dopt"], "dopt/")
         _flatten(self.state["net_state"], "net_state/")
-        np.savez(os.path.join(out_dir, "dense_model.npz"), **flat)
+        if write:
+            np.savez(os.path.join(out_dir, "dense_model.npz"), **flat)
         if self.ec is not None and "eopt" in self.state:
             edir = os.path.join(out_dir, "emb_opt_states")
-            os.makedirs(edir, exist_ok=True)
+            if write:
+                os.makedirs(edir, exist_ok=True)
+            rep = jax.jit(
+                lambda x: x, out_shardings=self.rm.replicated_sharding()
+            )
             for gname, st in self.state["eopt"].items():
                 for slot, arr in st.items():
-                    np.save(
-                        os.path.join(edir, f"{gname}.{slot}.npy"), np.asarray(arr)
-                    )
+                    host = np.asarray(rep(arr))
+                    if write:
+                        np.save(
+                            os.path.join(edir, f"{gname}.{slot}.npy"), host
+                        )
         if self.ec is not None:
             for g in self.ec.plan.groups:
                 for t in g.tables:
                     tdir = os.path.join(out_dir, f"sparse_{t.name}")
-                    os.makedirs(tdir, exist_ok=True)
                     arr = self.ec.export_table(self.state["emb_tables"], t.name)
-                    np.save(os.path.join(tdir, "emb_vector.npy"), arr)
-        with open(os.path.join(out_dir, "meta.json"), "w") as f:
-            json.dump({"iteration": iteration, "step": int(self.state["step"])}, f)
-        logger.info(f"snapshot written to {out_dir}")
+                    if write:
+                        os.makedirs(tdir, exist_ok=True)
+                        np.save(os.path.join(tdir, "emb_vector.npy"), arr)
+        if write:
+            with open(os.path.join(out_dir, "meta.json"), "w") as f:
+                json.dump(
+                    {"iteration": iteration, "step": int(self.state["step"])}, f
+                )
+            logger.info(f"snapshot written to {out_dir}")
 
     def load_params_from_files(self, out_dir: str) -> None:
         data = np.load(os.path.join(out_dir, "dense_model.npz"))

@@ -10,8 +10,11 @@
 // page cache + readahead saturates NVMe for sequential strides).
 //
 // Exposed C API (ctypes):
-//   rr_open(path, row_bytes, batch_rows, num_batches_hint, n_threads,
-//           queue_depth, repeat)                       -> handle
+//   rr_open(path, row_bytes, batch_rows, global_batch_rows, offset_rows,
+//           n_threads, queue_depth, repeat)            -> handle
+//   (multi-process sharding: logical batch b covers file rows
+//    [b*global_batch_rows + offset_rows, +batch_rows) — each process reads
+//    a disjoint slice of every global batch)
 //   rr_num_batches(handle)                             -> batches per epoch
 //   rr_next(handle, dst)  [blocking]                   -> rows copied, 0=EOF
 //   rr_close(handle)
@@ -42,6 +45,8 @@ struct Reader {
   int fd = -1;
   long row_bytes = 0;
   long batch_rows = 0;
+  long global_batch_rows = 0;
+  long offset_rows = 0;
   long total_rows = 0;
   long num_batches = 0;
   bool repeat = false;
@@ -93,7 +98,7 @@ void fill_loop(Reader* r) {
     }
     long epoch_b = r->repeat ? (b % r->num_batches) : b;
 
-    long row0 = epoch_b * r->batch_rows;
+    long row0 = epoch_b * r->global_batch_rows + r->offset_rows;
     long rows = std::min(r->batch_rows, r->total_rows - row0);
     long bytes = rows * r->row_bytes;
     long off = row0 * r->row_bytes;
@@ -130,7 +135,8 @@ void fill_loop(Reader* r) {
 extern "C" {
 
 void* rr_open(const char* path, long row_bytes, long batch_rows,
-              int n_threads, int queue_depth, int repeat) {
+              long global_batch_rows, long offset_rows, int n_threads,
+              int queue_depth, int repeat) {
   auto* r = new Reader();
   r->fd = open(path, O_RDONLY);
   if (r->fd < 0) {
@@ -141,8 +147,11 @@ void* rr_open(const char* path, long row_bytes, long batch_rows,
   fstat(r->fd, &st);
   r->row_bytes = row_bytes;
   r->batch_rows = batch_rows;
+  r->global_batch_rows =
+      global_batch_rows > 0 ? global_batch_rows : batch_rows;
+  r->offset_rows = offset_rows;
   r->total_rows = st.st_size / row_bytes;
-  r->num_batches = r->total_rows / batch_rows;  // drop incomplete tail
+  r->num_batches = r->total_rows / r->global_batch_rows;  // drop tail
   r->repeat = repeat != 0;
   r->n_threads = n_threads > 0 ? n_threads : 2;
   r->queue_depth = queue_depth > 1 ? queue_depth : 2;

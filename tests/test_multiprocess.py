@@ -32,12 +32,16 @@ import hugectr_tpu as hugectr
 from hugectr_tpu.core.mesh import ResourceManager
 from hugectr_tpu.core.types import DataReaderType_t
 
+raw_path = sys.argv[4]
 rm = ResourceManager.create()
 solver = hugectr.CreateSolver(
     max_eval_batches=2, batchsize_eval=64, batchsize=64, lr=0.05, seed=11
 )
 reader = hugectr.DataReaderParams(
-    data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=4
+    data_reader_type=DataReaderType_t.RawAsync,
+    source=[raw_path],
+    eval_source=raw_path,
+    float_label_dense=True,
 )
 model = hugectr.Model(
     solver, reader,
@@ -47,7 +51,8 @@ model = hugectr.Model(
 model.add(hugectr.Input(
     label_dim=1, label_name="label", dense_dim=4, dense_name="dense",
     data_reader_sparse_param_array=[
-        hugectr.DataReaderSparseParam(f"d{i}", 2, True, 1) for i in range(2)
+        hugectr.DataReaderSparseParam("d0", 2, True, 1),
+        hugectr.DataReaderSparseParam("d1", 2, True, 1),
     ],
 ))
 tables = [
@@ -69,11 +74,15 @@ model.add(hugectr.DenseLayer(layer_type=hugectr.Layer_t.MLP,
 model.add(hugectr.DenseLayer(layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
     bottom_names=["m", "label"], top_names=["loss"]))
 model.compile()
+# each process must read a DISJOINT slice of every global batch
+local = next(iter(model.train_reader))
+print(f"SHARDSUM {pid} {float(local['d0'].sum()):.0f}")
 losses = [model.train() for _ in range(4)]
 assert all(np.isfinite(losses)), losses
 assert losses[-1] != losses[0]
 vals = model.eval()
 assert 0.0 <= vals["auc"] <= 1.0
+model.download_params_to_files(sys.argv[5] + "/snap", 4)  # master-only write
 print(f"WORKER {pid} OK losses={losses} auc={vals['auc']:.4f}")
 """
 
@@ -87,6 +96,25 @@ def _free_port():
 
 
 def test_two_process_training(tmp_path):
+    from hugectr_tpu import DataGenerator, DataGeneratorParams
+    from hugectr_tpu.core.types import DataReaderType_t as DRT
+
+    raw = str(tmp_path / "train.bin")
+    DataGenerator(
+        DataGeneratorParams(
+            format=DRT.Raw,
+            label_dim=1,
+            dense_dim=4,
+            num_slot=2,
+            source=raw,
+            eval_source=str(tmp_path / "eval.bin"),
+            slot_size_array=[100, 100],
+            nnz_array=[2, 2],
+            num_samples=2048,
+            eval_num_samples=256,
+            float_label_dense=True,
+        )
+    ).generate()
     port = _free_port()
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
@@ -99,7 +127,15 @@ def test_two_process_training(tmp_path):
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(pid), "2", str(port)],
+            [
+                sys.executable,
+                str(script),
+                str(pid),
+                "2",
+                str(port),
+                raw,
+                str(tmp_path),
+            ],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
@@ -108,9 +144,15 @@ def test_two_process_training(tmp_path):
         for pid in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"WORKER {pid} OK" in out, out[-2000:]
@@ -118,3 +160,9 @@ def test_two_process_training(tmp_path):
     l0 = [ln for ln in outs[0].splitlines() if "losses=" in ln][0]
     l1 = [ln for ln in outs[1].splitlines() if "losses=" in ln][0]
     assert l0.split("losses=")[1] == l1.split("losses=")[1]
+    # ...but each read a DISJOINT data shard (no duplicated global batches)
+    s0 = [ln for ln in outs[0].splitlines() if ln.startswith("SHARDSUM 0")][0]
+    s1 = [ln for ln in outs[1].splitlines() if ln.startswith("SHARDSUM 1")][0]
+    assert s0.split()[2] != s1.split()[2], (s0, s1)
+    # master-only snapshot write succeeded
+    assert (tmp_path / "snap_iter4" / "dense_model.npz").exists()
