@@ -295,6 +295,8 @@ class EmbeddingCollection:
         return jnp.concatenate(cols, axis=1)
 
     def _mp_fwd_local(self, gname: str, table_shard: Array, keys_loc: Array) -> Array:
+        import os
+
         g = self._meta[gname].plan
         meta = self._meta[gname]
         n = self.rm.data_parallel_size
@@ -302,12 +304,95 @@ class EmbeddingCollection:
         keys = jax.lax.all_gather(keys_loc, DATA_AXIS, axis=0, tiled=True)
         valid, owner, local_row = self._slot_placement(meta, keys, n)
         mine = valid & (owner == my)
+        if os.environ.get("HCTR_TPU_FWD_PARTITION", "1") != "0":
+            # Owner-partitioned forward: sort (row, pool-slot) int pairs so
+            # this shard's owned keys form a prefix, slice to the capacity
+            # bound, gather only ~K/N rows and scatter-add them into the
+            # pooled layout. Row-granular work shrinks ~N x per chip (the
+            # masked-gather path processes the global K everywhere).
+            return self._mp_fwd_partitioned(
+                gname, table_shard, keys, valid, mine, local_row, n
+            )
         safe = jnp.where(mine, local_row, 0)
         rows = table_shard[safe] * mine[..., None].astype(table_shard.dtype)
         partial = self._pool(g, rows, valid)
         return jax.lax.psum_scatter(
             partial, DATA_AXIS, scatter_dimension=0, tiled=True
         )
+
+    def _mp_fwd_partitioned(
+        self, gname, table_shard, keys, valid, mine, local_row, n
+    ) -> Array:
+        import os
+
+        meta = self._meta[gname]
+        g = meta.plan
+        bg = keys.shape[0]
+        s_slots = g.grad_src_slots
+        gsrc = self._fwd_gsrc(g)
+        idx = jnp.where(mine, local_row, g.total_local_rows).reshape(-1)
+        src = (
+            jnp.arange(bg, dtype=jnp.int32)[:, None] * s_slots
+            + jnp.asarray(gsrc)[None, :]
+        ).reshape(-1)
+        sidx, ssrc = jax.lax.sort((idx.astype(jnp.int32), src), num_keys=1)
+        k = sidx.shape[0]
+        if n > 1:
+            factor = float(os.environ.get("HCTR_TPU_MP_CAPACITY_FACTOR", "2.0"))
+            k_limit = min(k, ((int(k * factor / n) + 511) // 512) * 512)
+            if k_limit < k:
+                sidx = sidx[:k_limit]
+                ssrc = ssrc[:k_limit]
+        rows = table_shard.at[sidx].get(
+            mode="fill", fill_value=0, indices_are_sorted=True
+        )
+        pooled = jnp.zeros(
+            (bg * s_slots, g.ev_size), table_shard.dtype
+        ).at[ssrc].add(rows)
+        pooled = pooled.reshape(bg, s_slots, g.ev_size)
+        pooled = self._apply_mean_scaling(g, pooled, valid)
+        partial = pooled.reshape(bg, g.out_width)
+        return jax.lax.psum_scatter(
+            partial, DATA_AXIS, scatter_dimension=0, tiled=True
+        )
+
+    def _fwd_gsrc(self, g: GroupPlan) -> np.ndarray:
+        """Per-slot pooled-accumulator slot id (identical construction to the
+        backward gradient-source map in _grad_source)."""
+        gsrc = np.zeros(g.hotness_total, dtype=np.int32)
+        s_cursor = 0
+        for lm in g.lookups:
+            h = lm.slot_end - lm.slot_begin
+            if lm.combiner == Combiner_t.Concat:
+                gsrc[lm.slot_begin : lm.slot_end] = s_cursor + np.arange(h)
+                s_cursor += h
+            else:
+                gsrc[lm.slot_begin : lm.slot_end] = s_cursor
+                s_cursor += 1
+        return gsrc
+
+    def _apply_mean_scaling(self, g: GroupPlan, pooled, valid):
+        """Divide mean-combiner accumulator slots by the per-sample valid
+        count (global count — every shard scales its partial identically, so
+        the psum of partials equals mean)."""
+        parts = []
+        s_cursor = 0
+        for lm in g.lookups:
+            h = lm.slot_end - lm.slot_begin
+            if lm.combiner == Combiner_t.Concat:
+                parts.append(pooled[:, s_cursor : s_cursor + h])
+                s_cursor += h
+            else:
+                p = pooled[:, s_cursor : s_cursor + 1]
+                if lm.combiner == Combiner_t.Mean:
+                    cnt = jnp.sum(
+                        valid[:, lm.slot_begin : lm.slot_end].astype(p.dtype),
+                        axis=1,
+                    )[:, None, None]
+                    p = p / jnp.maximum(cnt, 1.0)
+                parts.append(p)
+                s_cursor += 1
+        return jnp.concatenate(parts, axis=1)
 
     def _dp_fwd(self, gname: str, table: Array, keys: Array) -> Array:
         g = self._meta[gname].plan

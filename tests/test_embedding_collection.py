@@ -270,3 +270,39 @@ def test_mp_capacity_slicing_matches_uncapped(mesh8):
         finally:
             del os.environ["HCTR_TPU_MP_CAPACITY_FACTOR"]
     np.testing.assert_allclose(results["2.0"], results["8.0"], rtol=1e-5, atol=1e-6)
+
+
+def test_fwd_partitioned_matches_masked(mesh8):
+    """Owner-partitioned forward (sort+slice+scatter) == masked gather+pool."""
+    import os
+
+    lookups = make_lookups()
+    plan = ShardingPlan(strategy=[("mp", ["t0", "t1", "t2"])])
+    compiled = compile_plan(lookups, plan, num_shards=mesh8.data_parallel_size)
+    ebc = EmbeddingCollection(compiled, mesh8, OptParams(Optimizer_t.SGD, lr=0.1))
+    tables = ebc.init(jax.random.key(9))
+    rng = np.random.default_rng(9)
+    batch = 32
+    feats = {
+        "f0": random_keys(rng, batch, 4, 100),
+        "f1": random_keys(rng, batch, 3, 57),
+        "f2": random_keys(rng, batch, 2, 31, pad_prob=0.3),
+        "f3": random_keys(rng, batch, 1, 100, pad_prob=0.0),
+    }
+    feats_dev = {
+        k: jax.device_put(v, mesh8.batch_sharding()) for k, v in feats.items()
+    }
+    outs = {}
+    for mode in ("1", "0"):
+        os.environ["HCTR_TPU_FWD_PARTITION"] = mode
+        try:
+            outs[mode] = {
+                k: np.asarray(v)
+                for k, v in jax.jit(ebc.forward)(tables, feats_dev).items()
+            }
+        finally:
+            del os.environ["HCTR_TPU_FWD_PARTITION"]
+    for k in outs["1"]:
+        np.testing.assert_allclose(
+            outs["1"][k], outs["0"][k], rtol=1e-5, atol=1e-5, err_msg=k
+        )
