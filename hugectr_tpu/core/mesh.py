@@ -92,10 +92,15 @@ class ResourceManager:
 
     @property
     def process_index(self) -> int:
-        return jax.process_index()
+        """Rank of the CURRENT process within the processes spanned by this
+        mesh (0 when the mesh is process-local)."""
+        spanned = sorted({d.process_index for d in self.mesh.devices.flat})
+        me = jax.process_index()
+        return spanned.index(me) if me in spanned else 0
 
     def is_master_process(self) -> bool:
-        return self.process_index == 0
+        spanned = sorted({d.process_index for d in self.mesh.devices.flat})
+        return jax.process_index() == spanned[0]
 
     # ---- canonical shardings ---------------------------------------------
     def sharding(self, spec: P) -> NamedSharding:

@@ -194,12 +194,21 @@ class RawReader(BaseReader):
         file_rows = os.path.getsize(path) // (4 * self.row_width)
         self.num_samples = min(num_samples, file_rows) if num_samples else file_rows
         self.num_batches = self.num_samples // self.global_batch
-        if (
-            num_processes == 1
-            and not drop_incomplete
-            and self.num_samples % self.global_batch
-        ):
-            self.num_batches += 1
+        if num_processes == 1:
+            if not drop_incomplete and self.num_samples % self.global_batch:
+                self.num_batches += 1
+        elif not drop_incomplete:
+            from ..core.logger import get_logger
+
+            get_logger().warning(
+                "RawReader: drop_incomplete=False is not supported with "
+                f"{num_processes} processes; tail samples are dropped"
+            )
+        if self.num_batches == 0:
+            raise ValueError(
+                f"{path}: {self.num_samples} samples < one global batch "
+                f"({self.global_batch}) — reduce batch size or process count"
+            )
         self._mm = np.memmap(path, dtype=np.int32, mode="r").reshape(
             file_rows, self.row_width
         )
@@ -279,6 +288,7 @@ class ParquetReader(BaseReader):
         with open(file_list) as f:
             lines = [ln.strip() for ln in f if ln.strip()]
         self.paths = lines[1:] if lines and lines[0].isdigit() else lines
+        self._all_paths = list(self.paths)
         if num_processes > 1:
             # file-level sharding per process (reference: per-node worker
             # groups round-robin the file list); requires len(files) >= P
@@ -298,17 +308,35 @@ class ParquetReader(BaseReader):
         self.label_cols = order("labels")
         self.cont_cols = order("conts")
         self.cat_cols = order("cats")
-        stats = {fs["file_name"]: fs["num_rows"] for fs in meta["file_stats"]}
+        # basename BOTH sides: reference metadata may store relative paths
+        # (reference: metadata.cpp:65-71 strips dirnames)
+        stats = {
+            os.path.basename(fs["file_name"]): fs["num_rows"]
+            for fs in meta["file_stats"]
+        }
         own_rows = sum(
             stats.get(os.path.basename(p_), 0) for p_ in self.paths
         )
         self.num_batches = own_rows // spec.batch_size
-        if (
-            num_processes == 1
-            and not drop_incomplete
-            and own_rows % spec.batch_size
-        ):
+        if num_processes > 1:
+            # every process must run the SAME number of collective steps:
+            # use the minimum over all process slices (deterministic from
+            # the shared metadata; uneven files otherwise deadlock SPMD)
+            all_counts = []
+            for pi in range(num_processes):
+                rows_p = sum(
+                    stats.get(os.path.basename(p_), 0)
+                    for p_ in self._all_paths[pi::num_processes]
+                )
+                all_counts.append(rows_p // spec.batch_size)
+            self.num_batches = min(all_counts)
+        elif not drop_incomplete and own_rows % spec.batch_size:
             self.num_batches += 1
+        if self.num_batches == 0:
+            raise ValueError(
+                f"{file_list}: no full batches for process "
+                f"{process_index}/{num_processes} (batch {spec.batch_size})"
+            )
         n_slots = sum(f.slot_num for f in spec.sparse)
         if len(self.cat_cols) != n_slots:
             raise ValueError(
@@ -338,6 +366,7 @@ class ParquetReader(BaseReader):
             epoch += 1
             pend_lab, pend_dense, pend_cat = [], [], []
             pending = 0
+            yielded = 0
             for path in paths:
                 tbl = pq.read_table(path)
                 n = tbl.num_rows
@@ -362,16 +391,17 @@ class ParquetReader(BaseReader):
                 pend_dense.append(dense)
                 pend_cat.append(cat)
                 pending += n
-                while pending >= s.batch_size:
+                while pending >= s.batch_size and yielded < self.num_batches:
                     lab_a = np.concatenate(pend_lab) if len(pend_lab) > 1 else pend_lab[0]
                     dn_a = np.concatenate(pend_dense) if len(pend_dense) > 1 else pend_dense[0]
                     cat_a = np.concatenate(pend_cat) if len(pend_cat) > 1 else pend_cat[0]
                     yield self._emit(lab_a[: s.batch_size], dn_a[: s.batch_size], cat_a[: s.batch_size])
+                    yielded += 1
                     pend_lab = [lab_a[s.batch_size :]]
                     pend_dense = [dn_a[s.batch_size :]]
                     pend_cat = [cat_a[s.batch_size :]]
                     pending -= s.batch_size
-            if pending and not self.drop_incomplete:
+            if pending and not self.drop_incomplete and self.num_processes == 1:
                 lab_a = np.concatenate(pend_lab)
                 dn_a = np.concatenate(pend_dense)
                 cat_a = np.concatenate(pend_cat)

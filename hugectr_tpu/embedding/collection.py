@@ -219,15 +219,12 @@ class EmbeddingCollection:
         """
         b = d_out.shape[0]
         parts: List[Array] = []
-        gsrc = np.zeros(g.hotness_total, dtype=np.int32)
-        s_cursor = 0
+        gsrc = self._fwd_gsrc(g)  # same slot->source map as the forward
         for lm in g.lookups:
             d = d_out[:, lm.out_begin : lm.out_end]
             h = lm.slot_end - lm.slot_begin
             if lm.combiner == Combiner_t.Concat:
                 parts.append(d.reshape(b, h, g.ev_size))
-                gsrc[lm.slot_begin : lm.slot_end] = s_cursor + np.arange(h)
-                s_cursor += h
             else:
                 d = d.reshape(b, 1, g.ev_size)
                 if lm.combiner == Combiner_t.Mean:
@@ -238,8 +235,6 @@ class EmbeddingCollection:
                     )[..., None]
                     d = d / jnp.maximum(cnt, 1.0)
                 parts.append(d)
-                gsrc[lm.slot_begin : lm.slot_end] = s_cursor
-                s_cursor += 1
         dsrc = jnp.concatenate(parts, axis=1).reshape(-1, g.ev_size)
         return dsrc, gsrc
 
@@ -305,6 +300,10 @@ class EmbeddingCollection:
         valid, owner, local_row = self._slot_placement(meta, keys, n)
         mine = valid & (owner == my)
         if os.environ.get("HCTR_TPU_FWD_PARTITION", "1") != "0":
+            # NOTE: with a finite HCTR_TPU_MP_CAPACITY_FACTOR, hot-key skew
+            # can overflow a shard's capacity window and DROP owned rows —
+            # exact by default (no slicing); bound capacity only for
+            # benchmarking or when the skew budget is understood.
             # Owner-partitioned forward: sort (row, pool-slot) int pairs so
             # this shard's owned keys form a prefix, slice to the capacity
             # bound, gather only ~K/N rows and scatter-add them into the
@@ -337,8 +336,8 @@ class EmbeddingCollection:
         ).reshape(-1)
         sidx, ssrc = jax.lax.sort((idx.astype(jnp.int32), src), num_keys=1)
         k = sidx.shape[0]
-        if n > 1:
-            factor = float(os.environ.get("HCTR_TPU_MP_CAPACITY_FACTOR", "2.0"))
+        factor = float(os.environ.get("HCTR_TPU_MP_CAPACITY_FACTOR", "0"))
+        if n > 1 and factor > 0:
             k_limit = min(k, ((int(k * factor / n) + 511) // 512) * 512)
             if k_limit < k:
                 sidx = sidx[:k_limit]
@@ -504,10 +503,13 @@ class EmbeddingCollection:
         opt = self.group_opt[gname]
         # owner-partition capacity: each shard's owned entries are a sorted
         # prefix, bounded by K/N x capacity factor (TPU analog of the
-        # reference's all2all capacity buffers; factor >= N disables drops).
+        # reference's all2all capacity buffers). EXACT by default (factor 0 =
+        # no slicing): a finite factor trades hot-key-overflow gradient drops
+        # for ~N x less row-granular work per chip — opt in via
+        # HCTR_TPU_MP_CAPACITY_FACTOR when the skew budget is understood.
         k_limit = 0
-        if n > 1:
-            factor = float(os.environ.get("HCTR_TPU_MP_CAPACITY_FACTOR", "2.0"))
+        factor = float(os.environ.get("HCTR_TPU_MP_CAPACITY_FACTOR", "0"))
+        if n > 1 and factor > 0:
             k = int(idx.shape[0])
             k_limit = min(k, ((int(k * factor / n) + 511) // 512) * 512)
         return sparse_optimizer.apply_sparse(
@@ -544,13 +546,7 @@ class EmbeddingCollection:
         g, ti = self._find_table(table_name)
         vocab = int(g.table_vocab[ti])
         idx = self._table_storage_rows(g, ti, vocab)
-        # jit with replicated output so this works in multi-controller runs
-        # (eager take on a multi-process-sharded array is not addressable)
-        gather = jax.jit(
-            lambda t, i: jnp.take(t, i, axis=0),
-            out_shardings=self.rm.replicated_sharding(),
-        )
-        return np.asarray(gather(tables[g.name], jnp.asarray(idx)))
+        return np.asarray(self._export_fn()(tables[g.name], jnp.asarray(idx)))
 
     def import_table(
         self, tables: Dict[str, Array], table_name: str, values: np.ndarray
@@ -568,11 +564,8 @@ class EmbeddingCollection:
             if g.is_model_parallel
             else self.rm.replicated_sharding()
         )
-        scatter = jax.jit(
-            lambda t, i, v: t.at[i].set(v), out_shardings=sharding
-        )
         new = dict(tables)
-        new[g.name] = scatter(
+        new[g.name] = self._import_fn(g.is_model_parallel)(
             tables[g.name],
             jnp.asarray(idx),
             jnp.asarray(values, dtype=self.dtype),
@@ -616,6 +609,25 @@ class EmbeddingCollection:
                 for k, v in opt_state[g.name].items()
             }
         return new_tables, new_state
+
+    @functools.lru_cache(maxsize=None)
+    def _export_fn(self):
+        # jit with replicated output so exports work in multi-controller
+        # runs (eager take on a multi-process-sharded array is not
+        # addressable); cached so snapshots don't retrace per call
+        return jax.jit(
+            lambda t, i: jnp.take(t, i, axis=0),
+            out_shardings=self.rm.replicated_sharding(),
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def _import_fn(self, model_parallel: bool):
+        sharding = (
+            self.rm.row_sharding()
+            if model_parallel
+            else self.rm.replicated_sharding()
+        )
+        return jax.jit(lambda t, i, v: t.at[i].set(v), out_shardings=sharding)
 
     def _find_table(self, table_name: str) -> Tuple[GroupPlan, int]:
         for g in self.plan.groups:
