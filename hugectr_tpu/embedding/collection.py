@@ -103,6 +103,9 @@ class EmbeddingCollection:
                     "not share a (placement, ev_size) group"
                 )
             self.group_opt[g.name] = next(iter(opts.values())) if opts else opt
+        # per-table freeze (reference: Model::freeze_embedding(name)):
+        # frozen tables' slots are masked out of the backward row list
+        self.frozen_tables: set = set()
 
     # ------------------------------------------------------------------ init
     def init(self, key: Array) -> Dict[str, Array]:
@@ -482,6 +485,14 @@ class EmbeddingCollection:
         g = meta.plan
         valid, owner, local_row = self._slot_placement(meta, keys, num_shards)
         mine = valid if my is None else (valid & (owner == my))
+        if self.frozen_tables:
+            unfrozen = jnp.asarray(
+                np.array(
+                    [g.tables[ti].name not in self.frozen_tables
+                     for ti in g.slot_table]
+                )
+            )
+            mine = mine & unfrozen[None, :]
         dsrc, gsrc = self._grad_source(g, d_group, valid)
         n_src = g.grad_src_slots
         b = keys.shape[0]

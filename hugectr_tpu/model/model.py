@@ -1029,13 +1029,24 @@ class Model:
         self._build_steps()
 
     def freeze_embedding(self, embedding_name: Optional[str] = None) -> None:
-        """Stop sparse updates (all tables; per-table granularity follows the
-        reference API shape but freezes the whole collection for now)."""
-        self._emb_frozen = True
+        """Stop sparse updates (reference: Model::freeze_embedding).
+
+        With `embedding_name` only that TABLE freezes (its slots are masked
+        out of the backward row list); without, the whole collection."""
+        if embedding_name is None:
+            self._emb_frozen = True
+        else:
+            self.ec._find_table(embedding_name)  # validate
+            self.ec.frozen_tables.add(embedding_name)
         self._build_steps()
 
     def unfreeze_embedding(self, embedding_name: Optional[str] = None) -> None:
-        self._emb_frozen = False
+        if embedding_name is None:
+            self._emb_frozen = False
+            if self.ec is not None:
+                self.ec.frozen_tables.clear()
+        else:
+            self.ec.frozen_tables.discard(embedding_name)
         self._build_steps()
 
     def check_out_tensor(self, tensor_name: str, batch=None) -> np.ndarray:

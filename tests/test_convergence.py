@@ -177,3 +177,24 @@ def test_multitask_per_label_metrics(mesh8):
     model.train()
     vals = model.eval()
     assert "auc" in vals and "auc_married_label" in vals, vals
+
+
+def test_per_table_freeze(mesh8):
+    model = _model(mesh8, learnable=False, batch=64)
+    e0 = model.ec.export_table(model.state["emb_tables"], "t0").copy()
+    e1 = model.ec.export_table(model.state["emb_tables"], "t1").copy()
+    model.freeze_embedding("t0")
+    for _ in range(3):
+        model.train()
+    assert np.allclose(
+        model.ec.export_table(model.state["emb_tables"], "t0"), e0
+    )
+    assert not np.allclose(
+        model.ec.export_table(model.state["emb_tables"], "t1"), e1
+    )
+    model.unfreeze_embedding("t0")
+    for _ in range(2):
+        model.train()
+    assert not np.allclose(
+        model.ec.export_table(model.state["emb_tables"], "t0"), e0
+    )
