@@ -164,3 +164,53 @@ def test_gradients_flow_through_custom_layers():
         for leaf in jax.tree.leaves((gp, gx)):
             assert np.isfinite(np.asarray(leaf)).all(), lt
         assert float(jnp.abs(gx).sum()) > 0, lt
+
+
+def test_masked_softmax():
+    rng = np.random.default_rng(8)
+    # [B, h, F, T] scores with [B, 1, F, T] mask
+    x = rng.normal(size=(2, 2, 3, 4)).astype(np.float32)
+    mask = np.ones((2, 1, 3, 4), np.float32)
+    mask[0, 0, :, 2:] = 0.0  # sample 0: only first 2 key positions valid
+    cfg = DenseLayer(
+        layer_type=Layer_t.MaskedSoftmax, bottom_names=["s", "m"], top_names=["t"]
+    )
+    cfg._num_tops = 1
+    impl = LAYER_REGISTRY[Layer_t.MaskedSoftmax]
+    outs, _ = impl.apply({}, {}, [jnp.asarray(x), jnp.asarray(mask)], cfg, CTX)
+    out = np.asarray(outs[0])
+    np.testing.assert_allclose(out.sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(out[0, :, :, 2:], 0.0, atol=1e-6)
+
+
+def test_cast_and_frc_general():
+    x = np.random.default_rng(9).normal(size=(3, 4, 5)).astype(np.float32)
+    (out,), _ = run(Layer_t.Cast, [x[:, 0, :]])
+    np.testing.assert_allclose(out, x[:, 0, :])
+    y = np.random.default_rng(10).normal(size=(3, 4, 2)).astype(np.float32)
+    cfg = DenseLayer(
+        layer_type=Layer_t.FusedReshapeConcatGeneral,
+        bottom_names=["a", "b"],
+        top_names=["t"],
+    )
+    cfg._num_tops = 1
+    impl = LAYER_REGISTRY[Layer_t.FusedReshapeConcatGeneral]
+    outs, _ = impl.apply({}, {}, [jnp.asarray(x), jnp.asarray(y)], cfg, CTX)
+    out = np.asarray(outs[0])
+    assert out.shape == (12, 7)
+    np.testing.assert_allclose(out[0], np.concatenate([x[0, 0], y[0, 0]]))
+
+
+def test_matrix_multiply_variants():
+    rng = np.random.default_rng(11)
+    a2 = rng.normal(size=(4, 5)).astype(np.float32)
+    b2 = rng.normal(size=(5, 6)).astype(np.float32)
+    (out,), _ = run(Layer_t.MatrixMultiply, [a2, b2])
+    np.testing.assert_allclose(out, a2 @ b2, rtol=1e-5)
+    a3 = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    b3 = rng.normal(size=(2, 4, 5)).astype(np.float32)
+    (out,), _ = run(Layer_t.MatrixMultiply, [a3, b3])
+    np.testing.assert_allclose(out, a3 @ b3, rtol=1e-5)
+    b3t = rng.normal(size=(2, 5, 4)).astype(np.float32)
+    (out,), _ = run(Layer_t.MatrixMultiply, [a3, b3t], {"transpose_b": True})
+    np.testing.assert_allclose(out, a3 @ b3t.transpose(0, 2, 1), rtol=1e-5)
