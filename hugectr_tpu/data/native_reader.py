@@ -67,11 +67,13 @@ def _build_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
+            ctypes.c_long,
         ]
         lib.rr_num_batches.restype = ctypes.c_long
         lib.rr_num_batches.argtypes = [ctypes.c_void_p]
         lib.rr_next.restype = ctypes.c_long
         lib.rr_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.rr_reset.argtypes = [ctypes.c_void_p]
         lib.rr_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return lib
@@ -114,6 +116,9 @@ class NativeRawReader(BaseReader):
         )
         self.row_bytes = 4 * self.row_width
         self._decode = RawReader.__dict__["_decode"]  # reuse decode logic
+        limit = (
+            num_samples // (s.batch_size * num_processes) if num_samples else 0
+        )
         self._handle = self.lib.rr_open(
             path.encode(),
             self.row_bytes,
@@ -123,19 +128,20 @@ class NativeRawReader(BaseReader):
             n_threads,
             queue_depth,
             1 if repeat else 0,
+            limit,
         )
         if not self._handle:
             raise RuntimeError(f"native reader failed to open {path}")
         self.num_batches = int(self.lib.rr_num_batches(self._handle))
-        if num_samples:
-            self.num_batches = min(
-                self.num_batches,
-                num_samples // (s.batch_size * num_processes),
-            )
         self._buf = np.empty((s.batch_size, self.row_width), dtype=np.int32)
+        self._consumed_any = False
 
     def __iter__(self) -> Iterator[Batch]:
-        s = self.spec
+        # The C++ core's cursors/EOF persist across iterations; rewind so the
+        # reader is re-iterable (Model.eval builds a fresh feeder each time).
+        if self._consumed_any:
+            self.lib.rr_reset(self._handle)
+        self._consumed_any = True
         served = 0
         while True:
             rows = self.lib.rr_next(

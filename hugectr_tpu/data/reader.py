@@ -246,9 +246,10 @@ class RawReader(BaseReader):
         if self.float_label_dense:
             b[s.dense_name] = dn.view(np.float32).astype(np.float32)
         else:
-            b[s.dense_name] = np.log1p(
-                np.maximum(dn, -1).astype(np.float32) + 1.0
-            )  # log(x+2)≈reference log(x+1) with x>=−1 guard; keys ints
+            # reference split_batch.cu:35 computes log(x+1) on int dense
+            # (inputs are >=0 after MLPerf preprocessing); clamp the negative
+            # tail to 0 rather than emit -inf/NaN.
+            b[s.dense_name] = np.log1p(np.maximum(dn, 0).astype(np.float32))
         off += s.dense_dim
         for f in s.sparse:
             b[f.name] = rows[:, off : off + f.total_nnz].astype(self.spec.key_dtype)

@@ -33,7 +33,14 @@ register("Sigmoid")((stateless(_same_shape), _unary(lambda x, c: jax.nn.sigmoid(
 register("ELU")(
     (stateless(_same_shape), _unary(lambda x, c: jax.nn.elu(x, alpha=c.elu_alpha)))
 )
-register("Cast")((stateless(_same_shape), _unary(lambda x, c: x)))
+def _cast_apply(params, state, ins, cfg, ctx):
+    # reference Cast converts fp32<->fp16 at mixed-precision graph borders
+    # (src/layers/cast_layer.cu); the TPU analog casts to the session compute
+    # dtype (bfloat16 under use_mixed_precision, else float32).
+    return [ins[0].astype(ctx.compute_dtype)], state
+
+
+register("Cast")((stateless(_same_shape), _cast_apply))
 
 
 # Softmax: optional second input is a 0/1 mask; masked positions set to -10000

@@ -59,8 +59,14 @@ register("MultiCrossEntropyLoss")((stateless(_loss_shape), _mce_apply))
 
 
 def regularizer_term(reg_type, lam: float, batch_size: int, weights) -> jax.Array:
-    """L1/L2 regularizer value (reference: src/regularizer.cu — scaled by
-    1/batch_size; L2 additionally by 1/2)."""
+    """L1/L2 regularizer value (reference: src/regularizers/l2_regularizer.cu
+    do_compute_rterm — scaled by 1/batch_size; L2 additionally by 1/2).
+
+    Scope intentionally covers ALL trainable dense params: the reference
+    regularizer binds the full layer weight-tensor vector
+    (add_dense_layer_helpers.cpp:72-79) and FC biases / BatchNorm gamma+beta
+    ARE registered weights there (fully_connected_layer.cu:90-91,
+    batch_norm_layer.cu:67-68), so summing every param leaf matches it."""
     from ..core.types import Regularizer_t
 
     if lam == 0.0 or reg_type == Regularizer_t.NonE:

@@ -136,11 +136,16 @@ class MetricAccumulator:
         batch_size: int,
         max_batches: int,
         sharding=None,
+        label_dim: int = 1,
     ):
         self.metrics = {Metric_t(k): v for k, v in metrics.items()}
         self.batch_size = batch_size
         self.max_batches = max_batches
-        self.capacity = batch_size * max_batches
+        self.label_dim = max(1, int(label_dim))
+        # each update writes batch_size*label_dim flattened values; buffers
+        # and offsets are sized in those units so dim>1 labels don't clobber
+        # the next batch's slot
+        self.capacity = batch_size * self.label_dim * max_batches
         self.sharding = sharding
         self.reset()
 
@@ -172,7 +177,7 @@ class MetricAccumulator:
     def update(self, preds: Array, labels: Array, loss: Optional[float] = None):
         if self._nb >= self.max_batches:
             return  # reference caps at allocated eval batches as well
-        off = jnp.asarray(self._nb * self.batch_size, jnp.int32)
+        off = jnp.asarray(self._nb * self.batch_size * self.label_dim, jnp.int32)
         self._preds, self._labels, self._valid = self._write(
             self._preds, self._labels, self._valid, preds, labels, off
         )

@@ -355,11 +355,15 @@ class Model:
         # one accumulator per loss/task (reference: multi-label per-class
         # AUC, metrics.cu multi-label path). Single-task models report plain
         # metric names; multi-task adds "<metric>_<label>" per task.
+        _ldims = dict(
+            zip(self.batch_spec.label_names, self.batch_spec.label_dims)
+        )
         self.metrics = MetricAccumulator(
             s.metrics_spec,
             batch_size=s.batchsize_eval,
             max_batches=s.max_eval_batches,
             sharding=self.rm.batch_sharding(),
+            label_dim=_ldims.get(self.network.loss_specs[0].label_name, 1),
         )
         self._task_metrics = {
             spec.label_name: MetricAccumulator(
@@ -367,6 +371,7 @@ class Model:
                 batch_size=s.batchsize_eval,
                 max_batches=s.max_eval_batches,
                 sharding=self.rm.batch_sharding(),
+                label_dim=_ldims.get(spec.label_name, 1),
             )
             for spec in self.network.loss_specs[1:]
         }
@@ -833,6 +838,10 @@ class Model:
         )
         self.state["dopt"] = jax.device_put(
             _restore(self.state["dopt"], "dopt/"), self.rm.replicated_sharding()
+        )
+        self.state["net_state"] = jax.device_put(
+            _restore(self.state["net_state"], "net_state/"),
+            self.rm.replicated_sharding(),
         )
         if self.ec is not None:
             for g in self.ec.plan.groups:

@@ -11,12 +11,17 @@
 //
 // Exposed C API (ctypes):
 //   rr_open(path, row_bytes, batch_rows, global_batch_rows, offset_rows,
-//           n_threads, queue_depth, repeat)            -> handle
+//           n_threads, queue_depth, repeat, limit_batches) -> handle
 //   (multi-process sharding: logical batch b covers file rows
 //    [b*global_batch_rows + offset_rows, +batch_rows) — each process reads
-//    a disjoint slice of every global batch)
+//    a disjoint slice of every global batch; limit_batches>0 caps the epoch
+//    so repeat mode cycles over only the first `limit_batches` batches,
+//    matching a num_samples subset)
 //   rr_num_batches(handle)                             -> batches per epoch
 //   rr_next(handle, dst)  [blocking]                   -> rows copied, 0=EOF
+//   rr_reset(handle)  — rewind to batch 0 and restart fill threads (makes the
+//                       reader re-iterable; analog of the reference's
+//                       DataReader epoch restart)
 //   rr_close(handle)
 #include <atomic>
 #include <condition_variable>
@@ -66,12 +71,17 @@ struct Reader {
   long filled_count = 0;
   int done_threads = 0;
 
-  ~Reader() {
+  void stop_threads() {
     stop.store(true);
     cv_free.notify_all();
     cv_ready.notify_all();
     for (auto& t : threads)
       if (t.joinable()) t.join();
+    threads.clear();
+  }
+
+  ~Reader() {
+    stop_threads();
     if (fd >= 0) close(fd);
   }
 };
@@ -136,7 +146,7 @@ extern "C" {
 
 void* rr_open(const char* path, long row_bytes, long batch_rows,
               long global_batch_rows, long offset_rows, int n_threads,
-              int queue_depth, int repeat) {
+              int queue_depth, int repeat, long limit_batches) {
   auto* r = new Reader();
   r->fd = open(path, O_RDONLY);
   if (r->fd < 0) {
@@ -152,6 +162,8 @@ void* rr_open(const char* path, long row_bytes, long batch_rows,
   r->offset_rows = offset_rows;
   r->total_rows = st.st_size / row_bytes;
   r->num_batches = r->total_rows / r->global_batch_rows;  // drop tail
+  if (limit_batches > 0 && limit_batches < r->num_batches)
+    r->num_batches = limit_batches;  // num_samples cap, honored in repeat too
   r->repeat = repeat != 0;
   r->n_threads = n_threads > 0 ? n_threads : 2;
   r->queue_depth = queue_depth > 1 ? queue_depth : 2;
@@ -203,6 +215,26 @@ long rr_next(void* h, void* dst) {
   }
   r->cv_free.notify_one();
   return rows;
+}
+
+void rr_reset(void* h) {
+  auto* r = static_cast<Reader*>(h);
+  r->stop_threads();
+  // drain queues back into the free pool and rewind all cursors
+  r->ready.clear();
+  r->free_q.clear();
+  for (auto& b : r->pool) {
+    b.rows = 0;
+    b.index = -1;
+    r->free_q.push_back(&b);
+  }
+  r->next_to_fill.store(0);
+  r->next_to_consume = 0;
+  r->eof = false;
+  r->filled_count = 0;
+  r->done_threads = 0;
+  r->stop.store(false);
+  for (int i = 0; i < r->n_threads; i++) r->threads.emplace_back(fill_loop, r);
 }
 
 void rr_close(void* h) { delete static_cast<Reader*>(h); }

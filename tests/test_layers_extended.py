@@ -187,6 +187,13 @@ def test_cast_and_frc_general():
     x = np.random.default_rng(9).normal(size=(3, 4, 5)).astype(np.float32)
     (out,), _ = run(Layer_t.Cast, [x[:, 0, :]])
     np.testing.assert_allclose(out, x[:, 0, :])
+    # Cast converts to the session compute dtype (cast_layer.cu analog)
+    cfg = DenseLayer(layer_type=Layer_t.Cast, bottom_names=["b"], top_names=["t"])
+    cfg._num_tops = 1
+    impl = LAYER_REGISTRY[Layer_t.Cast]
+    bf_ctx = LayerCtx(training=False, compute_dtype=jnp.bfloat16)
+    outs, _ = impl.apply({}, {}, [jnp.asarray(x[:, 0, :])], cfg, bf_ctx)
+    assert outs[0].dtype == jnp.bfloat16
     y = np.random.default_rng(10).normal(size=(3, 4, 2)).astype(np.float32)
     cfg = DenseLayer(
         layer_type=Layer_t.FusedReshapeConcatGeneral,

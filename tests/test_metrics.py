@@ -94,3 +94,32 @@ def test_accumulator_streaming(mesh8):
         np.concatenate(all_l[:2]), np.concatenate(all_p[:2])
     )
     assert abs(vals2["auc"] - want2) < 1e-5
+
+
+def test_accumulator_multidim_labels(mesh8):
+    """ADVICE r1: dim>1 labels must not clobber the next batch's slot."""
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(5)
+    bs, nb, dim = 32, 3, 4
+    acc = MetricAccumulator(
+        {Metric_t.AUC: 1.0},
+        batch_size=bs,
+        max_batches=nb,
+        sharding=mesh8.batch_sharding(),
+        label_dim=dim,
+    )
+    all_p, all_l = [], []
+    for _ in range(nb):
+        labels = rng.integers(0, 2, (bs, dim)).astype(np.float32)
+        preds = np.clip(
+            labels * 0.4 + rng.random((bs, dim)), 0, 1
+        ).astype(np.float32)
+        acc.update(preds, labels)
+        all_p.append(preds)
+        all_l.append(labels)
+    vals = acc.finalize()
+    want = roc_auc_score(
+        np.concatenate(all_l).reshape(-1), np.concatenate(all_p).reshape(-1)
+    )
+    assert abs(vals["auc"] - want) < 1e-5

@@ -81,8 +81,15 @@ def _build_dcn_model(rm, batchsize=256, use_ebc=True):
             num_outputs=[32, 16],
         )
     )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.BatchNorm,
+            bottom_names=["mlp1"],
+            top_names=["mlp1_bn"],
+        )
+    )
     concat_bottoms = (
-        ["sparse_embedding", "mlp1"] if use_ebc else ["mlp1"]
+        ["sparse_embedding", "mlp1_bn"] if use_ebc else ["mlp1_bn"]
     )
     if not use_ebc:
         # legacy path: 3D [B, 1, 16] -> reshape to 2D
@@ -94,7 +101,7 @@ def _build_dcn_model(rm, batchsize=256, use_ebc=True):
                 leading_dim=16,
             )
         )
-        concat_bottoms = ["emb2d", "mlp1"]
+        concat_bottoms = ["emb2d", "mlp1_bn"]
     model.add(
         hugectr.DenseLayer(
             layer_type=hugectr.Layer_t.Concat,
@@ -161,9 +168,19 @@ def test_checkpoint_roundtrip(mesh8, tmp_path):
         model.train()
     changed = model.ec.export_table(model.state["emb_tables"], "t0")
     assert not np.allclose(ref, changed)
+    # BatchNorm running stats live in net_state and must restore too:
+    # the state at iter 10 differs from the iter-5 snapshot, so a correct
+    # load must change net_state back (ADVICE r1 regression).
+    import jax
+
+    at_iter10 = jax.tree.leaves(jax.tree.map(np.asarray, model.state["net_state"]))
     model.load_params_from_files(f"{prefix}_iter5")
     back = model.ec.export_table(model.state["emb_tables"], "t0")
     np.testing.assert_allclose(ref, back, rtol=1e-6)
+    restored = jax.tree.leaves(jax.tree.map(np.asarray, model.state["net_state"]))
+    assert any(
+        not np.allclose(a, b) for a, b in zip(at_iter10, restored)
+    ), "net_state unchanged by load (BN running stats not restored)"
 
 
 def test_graph_to_json(mesh8, tmp_path):
