@@ -258,7 +258,13 @@ class EmbeddingCollection:
         group_outs: Dict[str, Array] = {}
         for g in self.plan.groups:
             keys = self._group_keys(g, feature_keys)
-            if g.is_model_parallel and self.rm.data_parallel_size > 1:
+            if g.compute_kind == "onehot":
+                # MXU engine: replicated table, batch-sharded keys; plain jnp
+                # (XLA SPMD propagates shardings, no collective in fwd)
+                group_outs[g.name] = self._onehot_fwd(
+                    g.name, tables[g.name], keys
+                )
+            elif g.is_model_parallel and self.rm.data_parallel_size > 1:
                 fn = shard_map(
                     functools.partial(self._mp_fwd_local, g.name),
                     mesh=self.rm.mesh,
@@ -396,6 +402,108 @@ class EmbeddingCollection:
                 s_cursor += 1
         return jnp.concatenate(parts, axis=1)
 
+    # ------------------------------------------------- one-hot MXU engine
+    def _onehot_counts(
+        self, gname: str, keys: Array, dtype
+    ) -> Tuple[Dict[int, Array], Array]:
+        """Per-lookup key-count matrices.
+
+        Returns ({lookup_pos: counts [B, vocab]}, valid [B, H]). counts[b, r]
+        is how many of sample b's keys in that lookup hit table row r (mean
+        combiner divides later). This is the TPU-first replacement for the
+        reference's per-row generic_lookup kernels on small tables: the
+        lookup becomes ``counts @ table`` on the MXU and the backward becomes
+        ``countsᵀ @ d_out`` (reference semantics:
+        embedding/operators/generic_lookup.cuh multi_to_one reduction)."""
+        meta = self._meta[gname]
+        g = meta.plan
+        valid, _owner, local_row = self._slot_placement(meta, keys, 1)
+        counts: Dict[int, Array] = {}
+        for li, lm in enumerate(g.lookups):
+            ti = lm.table_index
+            off = int(g.local_offsets[ti])
+            v = int(g.table_vocab[ti])
+            k = local_row[:, lm.slot_begin : lm.slot_end] - off  # [B, h]
+            val = valid[:, lm.slot_begin : lm.slot_end]
+            iota = jnp.arange(v, dtype=jnp.int32)[None, :]
+            cnt = None
+            for h in range(lm.slot_end - lm.slot_begin):
+                oh = (
+                    (k[:, h : h + 1] == iota) & val[:, h : h + 1]
+                ).astype(dtype)
+                cnt = oh if cnt is None else cnt + oh
+            counts[li] = cnt
+        return counts, valid
+
+    def _onehot_fwd(self, gname: str, table: Array, keys: Array) -> Array:
+        meta = self._meta[gname]
+        g = meta.plan
+        counts, valid = self._onehot_counts(gname, keys, table.dtype)
+        outs: List[Array] = []
+        for li, lm in enumerate(g.lookups):
+            ti = lm.table_index
+            off = int(g.local_offsets[ti])
+            v = int(g.table_vocab[ti])
+            cnt = counts[li]
+            if lm.combiner == Combiner_t.Mean:
+                nval = jnp.sum(
+                    valid[:, lm.slot_begin : lm.slot_end].astype(cnt.dtype),
+                    axis=1,
+                    keepdims=True,
+                )
+                cnt = cnt / jnp.maximum(nval, 1.0)
+            outs.append(
+                jnp.dot(
+                    cnt,
+                    table[off : off + v],
+                    preferred_element_type=table.dtype,
+                )
+            )
+        return jnp.concatenate(outs, axis=1)
+
+    def _onehot_grad(
+        self, gname: str, table_dtype, keys: Array, d_group: Array
+    ) -> Tuple[Array, Array]:
+        """Dense [R, E] gradient + [R] touch counts for a one-hot group."""
+        meta = self._meta[gname]
+        g = meta.plan
+        counts, valid = self._onehot_counts(gname, keys, table_dtype)
+        grad = jnp.zeros((g.total_local_rows, g.ev_size), table_dtype)
+        colsum = jnp.zeros((g.total_local_rows,), jnp.float32)
+        for li, lm in enumerate(g.lookups):
+            if g.tables[lm.table_index].name in self.frozen_tables:
+                continue
+            ti = lm.table_index
+            off = int(g.local_offsets[ti])
+            v = int(g.table_vocab[ti])
+            cnt = counts[li]
+            d = d_group[:, lm.out_begin : lm.out_end].astype(table_dtype)
+            if lm.combiner == Combiner_t.Mean:
+                nval = jnp.sum(
+                    valid[:, lm.slot_begin : lm.slot_end].astype(d.dtype),
+                    axis=1,
+                    keepdims=True,
+                )
+                d = d / jnp.maximum(nval, 1.0)
+            grad = grad.at[off : off + v].add(
+                jnp.dot(cnt.T, d, preferred_element_type=table_dtype)
+            )
+            colsum = colsum.at[off : off + v].add(
+                jnp.sum(cnt, axis=0, dtype=jnp.float32)
+            )
+        return grad, colsum
+
+    def _onehot_bwd_local(self, gname, table, state, keys_loc, d_loc, lr, step):
+        grad, colsum = self._onehot_grad(gname, table.dtype, keys_loc, d_loc)
+        if self.rm.data_parallel_size > 1:
+            grad = jax.lax.psum(grad, DATA_AXIS)
+            colsum = jax.lax.psum(colsum, DATA_AXIS)
+        touched = colsum > 0
+        opt = self.group_opt[gname]
+        return sparse_optimizer.apply_dense(
+            opt, table, state, grad, touched, lr, step
+        )
+
     def _dp_fwd(self, gname: str, table: Array, keys: Array) -> Array:
         g = self._meta[gname].plan
         meta = self._meta[gname]
@@ -427,7 +535,34 @@ class EmbeddingCollection:
             d_group = jnp.concatenate(
                 [d_outs[lm.top_name].astype(self.dtype) for lm in g.lookups], axis=1
             )
-            if g.is_model_parallel and self.rm.data_parallel_size > 1:
+            if g.compute_kind == "onehot":
+                if self.rm.data_parallel_size > 1:
+                    fn = shard_map(
+                        functools.partial(self._onehot_bwd_local, g.name),
+                        mesh=self.rm.mesh,
+                        in_specs=(
+                            P(),
+                            jax.tree.map(lambda _: P(), opt_state[g.name]),
+                            P(DATA_AXIS, None),
+                            P(DATA_AXIS, None),
+                            P(),
+                            P(),
+                        ),
+                        out_specs=(
+                            P(),
+                            jax.tree.map(lambda _: P(), opt_state[g.name]),
+                        ),
+                        check_vma=False,
+                    )
+                    new_tables[g.name], new_state[g.name] = fn(
+                        tables[g.name], opt_state[g.name], keys, d_group, lr, step
+                    )
+                else:
+                    new_tables[g.name], new_state[g.name] = self._onehot_bwd_local(
+                        g.name, tables[g.name], opt_state[g.name], keys,
+                        d_group, lr, step,
+                    )
+            elif g.is_model_parallel and self.rm.data_parallel_size > 1:
                 fn = shard_map(
                     functools.partial(self._mp_bwd_local, g.name),
                     mesh=self.rm.mesh,

@@ -45,7 +45,7 @@ def init_state(opt: OptParams, rows: int, ev: int, dtype=jnp.float32) -> State:
 
 def dedup_rows(
     idx: Array, src: Array, dsrc: Array, sentinel: int, k_limit: int = 0
-) -> Tuple[Array, Array, bool]:
+) -> Tuple[Array, Array, Array, bool]:
     """Combine gradients of duplicate rows.
 
     The gradient of the key at flat position i is ROW ``src[i]`` OF ``dsrc``
@@ -63,7 +63,15 @@ def dedup_rows(
       sentinel: out-of-range row id marking invalid entries.
 
     Returns:
-      (unique_idx [K] sorted+unique, summed_grads [K, E]).
+      (row_idx, summed_grads, tail, is_unique):
+        xla mode:  row_idx sorted+UNIQUE, summed = per-segment sums,
+                   tail=None, is_unique=True.
+        scan mode: row_idx = the sorted (DUPLICATED) row ids, summed =
+                   inclusive segment scans (full sums at tail positions),
+                   tail = bool mask of segment tails, is_unique=False.
+                   Consumers must tail-mask and use ADD-form scatters —
+                   sorted-with-duplicates keeps XLA's fast sorted-scatter
+                   path (the unsorted-unique form regressed 3x).
     """
     import os
 
@@ -78,9 +86,7 @@ def dedup_rows(
 
     if os.environ.get("HCTR_TPU_SEGSUM", "xla") == "scan":
         # Streaming Pallas segmented scan: ONE sequential pass instead of the
-        # scatter-add XLA lowers segment_sum to. Tail rows carry full segment
-        # sums; every other row gets a distinct out-of-range id so downstream
-        # scatters drop it (unique but unsorted indices).
+        # scatter-add XLA lowers segment_sum to.
         from ..ops.pallas.segscan import segmented_sum_sorted
 
         block = 512
@@ -100,14 +106,7 @@ def dedup_rows(
         )
         summed = segmented_sum_sorted(sgrads, head, block=block)
         tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
-        kp = k + pad
-        urow = jnp.where(
-            tail & (sidx_p < sentinel),
-            sidx_p,
-            jnp.asarray(sentinel + 1, sidx.dtype)
-            + jnp.arange(kp, dtype=sidx.dtype),
-        )
-        return urow, summed, False  # unique but NOT sorted
+        return sidx_p, summed, tail, False
 
     sgrads = dsrc.at[ssrc].get(mode="fill", fill_value=0)
     head = jnp.concatenate(
@@ -129,7 +128,84 @@ def dedup_rows(
         jnp.asarray(sentinel, urow.dtype) + jnp.arange(k, dtype=urow.dtype),
         urow,
     )
-    return urow, summed, True
+    return urow, summed, None, True
+
+
+def apply_dense(
+    opt: OptParams,
+    table: Array,
+    state: State,
+    grad: Array,
+    touched: Array,
+    lr: Array,
+    step: Array,
+) -> Tuple[Array, State]:
+    """Dense full-table update with lazy-row semantics.
+
+    Used by the one-hot MXU engine: `grad` is the dense [R, E] gradient
+    (countsᵀ @ d_out) and `touched` a [R] bool marking rows hit this step.
+    Rows with touched=False keep table AND state bit-identical — matching the
+    reference's per-touched-row sparse kernels (optimizers.cuh:29-230) while
+    the touched rows update as one fused element-wise sweep (VPU, no
+    gather/scatter)."""
+    kind = opt.optimizer
+    g = grad.astype(table.dtype)
+    t_mask = touched[:, None]
+
+    def sel(new: Array, old: Array) -> Array:
+        return jnp.where(t_mask, new, old)
+
+    if kind == Optimizer_t.SGD:
+        return table - lr * g, state
+
+    if kind == Optimizer_t.MomentumSGD:
+        m = opt.momentum_factor * state["m"] - lr * g
+        return sel(table + m, table), {"m": sel(m, state["m"])}
+
+    if kind == Optimizer_t.Nesterov:
+        m = opt.momentum_factor * state["m"] - lr * g
+        delta = opt.momentum_factor * m - lr * g
+        return sel(table + delta, table), {"m": sel(m, state["m"])}
+
+    if kind == Optimizer_t.AdaGrad:
+        accum = state["accum"] + g * g
+        delta = -lr * g / (jnp.sqrt(accum) + opt.epsilon)
+        return table + delta, {"accum": accum}
+
+    if kind == Optimizer_t.RMSProp:
+        v = opt.beta * state["v"] + (1.0 - opt.beta) * g * g
+        delta = -lr * g / (jnp.sqrt(v) + opt.epsilon)
+        return sel(table + delta, table), {"v": sel(v, state["v"])}
+
+    if kind == Optimizer_t.Adam:
+        t = step.astype(table.dtype)
+        m = opt.beta1 * state["m"] + (1.0 - opt.beta1) * g
+        v = opt.beta2 * state["v"] + (1.0 - opt.beta2) * g * g
+        mhat = m / (1.0 - opt.beta1**t)
+        vhat = v / (1.0 - opt.beta2**t)
+        delta = -lr * mhat / (jnp.sqrt(vhat) + opt.epsilon)
+        return sel(table + delta, table), {
+            "m": sel(m, state["m"]),
+            "v": sel(v, state["v"]),
+        }
+
+    if kind == Optimizer_t.FTRL:
+        w = table
+        n_new = state["n"] + g * g
+        sigma = (jnp.sqrt(n_new) - jnp.sqrt(state["n"])) / lr
+        z_new = state["z"] + g - sigma * w
+        denom = (opt.ftrl_beta + jnp.sqrt(n_new)) / lr + opt.lambda2
+        w_new = jnp.where(
+            jnp.abs(z_new) > opt.lambda1,
+            -(z_new - jnp.sign(z_new) * opt.lambda1) / denom,
+            jnp.zeros_like(z_new),
+        )
+        return sel(w_new, table), {
+            "z": sel(z_new, state["z"]),
+            "n": sel(n_new, state["n"]),
+        }
+
+    raise ValueError(f"unsupported sparse optimizer {kind}")
 
 
 def apply_sparse(
@@ -176,63 +252,88 @@ def apply_sparse(
             state,
         )
 
-    uidx, g, idx_sorted = dedup_rows(
+    uidx, g, tail, is_unique = dedup_rows(
         idx, src, dsrc, sentinel=rows, k_limit=k_limit
     )
+    # In dup mode (Pallas segscan), uidx is sorted WITH duplicates and only
+    # tail positions carry full segment sums; every write is expressed as a
+    # tail-masked scatter-ADD so indices stay sorted (XLA's fast path) and
+    # non-tail positions contribute zero.
+    mask = None if is_unique else tail[:, None]
 
     def gather(a: Array) -> Array:
         return a.at[uidx].get(
             mode="fill",
             fill_value=0,
-            indices_are_sorted=idx_sorted,
-            unique_indices=True,
-        )
-
-    def scatter_set(a: Array, vals: Array) -> Array:
-        return a.at[uidx].set(
-            vals, mode="drop", indices_are_sorted=idx_sorted, unique_indices=True
+            indices_are_sorted=True,
+            unique_indices=is_unique,
         )
 
     def scatter_add(a: Array, vals: Array) -> Array:
+        if mask is not None:
+            vals = jnp.where(mask, vals, jnp.zeros_like(vals))
         return a.at[uidx].add(
-            vals, mode="drop", indices_are_sorted=idx_sorted, unique_indices=True
+            vals, mode="drop", indices_are_sorted=True, unique_indices=is_unique
         )
 
+    def scatter_set(a: Array, vals: Array, old: Array) -> Array:
+        """Overwrite rows: exact set in unique mode; add-of-delta in dup
+        mode (old = gather(a), already computed by every caller)."""
+        if is_unique:
+            return a.at[uidx].set(
+                vals, mode="drop", indices_are_sorted=True, unique_indices=True
+            )
+        return scatter_add(a, vals - old)
+
     if kind == Optimizer_t.MomentumSGD:
-        m_rows = opt.momentum_factor * gather(state["m"]) - lr * g
-        return scatter_add(table, m_rows), {"m": scatter_set(state["m"], m_rows)}
+        m_old = gather(state["m"])
+        m_rows = opt.momentum_factor * m_old - lr * g
+        return (
+            scatter_add(table, m_rows),
+            {"m": scatter_set(state["m"], m_rows, m_old)},
+        )
 
     if kind == Optimizer_t.Nesterov:
         m_old = gather(state["m"])
         m_new = opt.momentum_factor * m_old - lr * g
         delta = opt.momentum_factor * m_new - lr * g
-        return scatter_add(table, delta), {"m": scatter_set(state["m"], m_new)}
+        return (
+            scatter_add(table, delta),
+            {"m": scatter_set(state["m"], m_new, m_old)},
+        )
 
     if kind == Optimizer_t.AdaGrad:
-        accum = gather(state["accum"]) + g * g
+        accum_old = gather(state["accum"])
+        accum = accum_old + g * g
         delta = -lr * g / (jnp.sqrt(accum) + opt.epsilon)
         return (
             scatter_add(table, delta),
-            {"accum": scatter_set(state["accum"], accum)},
+            {"accum": scatter_set(state["accum"], accum, accum_old)},
         )
 
     if kind == Optimizer_t.RMSProp:
-        v = opt.beta * gather(state["v"]) + (1.0 - opt.beta) * g * g
+        v_old = gather(state["v"])
+        v = opt.beta * v_old + (1.0 - opt.beta) * g * g
         delta = -lr * g / (jnp.sqrt(v) + opt.epsilon)
-        return scatter_add(table, delta), {"v": scatter_set(state["v"], v)}
+        return (
+            scatter_add(table, delta),
+            {"v": scatter_set(state["v"], v, v_old)},
+        )
 
     if kind == Optimizer_t.Adam:
         # Lazy per-row moments with global-step bias correction
         # (Update_t::LazyGlobal semantics; untouched rows keep stale moments).
         t = step.astype(table.dtype)
-        m = opt.beta1 * gather(state["m"]) + (1.0 - opt.beta1) * g
-        v = opt.beta2 * gather(state["v"]) + (1.0 - opt.beta2) * g * g
+        m_old = gather(state["m"])
+        v_old = gather(state["v"])
+        m = opt.beta1 * m_old + (1.0 - opt.beta1) * g
+        v = opt.beta2 * v_old + (1.0 - opt.beta2) * g * g
         mhat = m / (1.0 - opt.beta1**t)
         vhat = v / (1.0 - opt.beta2**t)
         delta = -lr * mhat / (jnp.sqrt(vhat) + opt.epsilon)
         return scatter_add(table, delta), {
-            "m": scatter_set(state["m"], m),
-            "v": scatter_set(state["v"], v),
+            "m": scatter_set(state["m"], m, m_old),
+            "v": scatter_set(state["v"], v, v_old),
         }
 
     if kind == Optimizer_t.FTRL:
@@ -250,9 +351,9 @@ def apply_sparse(
             -(z_new - jnp.sign(z_new) * opt.lambda1) / denom,
             jnp.zeros_like(z_new),
         )
-        return scatter_set(table, w_new), {
-            "z": scatter_set(state["z"], z_new),
-            "n": scatter_set(state["n"], n_new),
+        return scatter_set(table, w_new, w), {
+            "z": scatter_set(state["z"], z_new, z_old),
+            "n": scatter_set(state["n"], n_new, n_old),
         }
 
     raise ValueError(f"unsupported sparse optimizer {kind}")

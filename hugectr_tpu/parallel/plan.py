@@ -121,7 +121,17 @@ class LookupMeta:
 
 @dataclasses.dataclass
 class GroupPlan:
-    """Compiled static plan for one (placement, ev_size) group."""
+    """Compiled static plan for one (placement, ev_size, compute_kind) group.
+
+    compute_kind:
+      - "rowop": gather/scatter row-granular engine (any vocab).
+      - "onehot": small-vocab MXU engine — forward is a counts-matrix matmul
+        ``counts[B, V] @ table[V, E]`` and backward is ``countsᵀ @ d_out``
+        with a dense touched-masked optimizer sweep. TPU-first replacement
+        for the reference's per-row lookup kernels on small tables (the
+        reference planner likewise special-cases small tables as DP,
+        samples/dlrm/sharding/planner.py); tables are replicated.
+    """
 
     name: str
     placement: TablePlacementStrategy
@@ -140,6 +150,7 @@ class GroupPlan:
     slot_is_dynamic: np.ndarray  # [H] bool, dynamic (hashed) table slot
     hotness_total: int  # H
     out_width: int  # W: group output feature width
+    compute_kind: str = "rowop"  # "rowop" | "onehot"
 
     @property
     def is_model_parallel(self) -> bool:
@@ -188,6 +199,43 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def onehot_vocab_threshold() -> int:
+    """Vocab cutoff below which static sum/mean tables use the MXU one-hot
+    engine (0 disables). Break-even on v5e: a one-hot matmul costs
+    ~vocab*ev*2 flops per key instance vs ~3 row-granular HBM ops; at
+    ev=128 the crossover sits near vocab ~= 32k."""
+    import os
+
+    return int(os.environ.get("HCTR_TPU_ONEHOT_VOCAB", "32768"))
+
+
+def _onehot_eligible(
+    lookups: Sequence[LookupConfig], threshold: int
+) -> Dict[str, bool]:
+    """A table runs on the one-hot MXU engine iff it is static, small, and
+    EVERY lookup into it uses a poolable combiner (sum/mean, or concat with
+    hotness 1 which is equivalent). Mixed-eligibility tables stay rowop so
+    storage is never duplicated across engines."""
+    by_table: Dict[str, List[LookupConfig]] = {}
+    for lk in lookups:
+        by_table.setdefault(lk.table.name, []).append(lk)
+    out: Dict[str, bool] = {}
+    for name, lks in by_table.items():
+        t = lks[0].table
+        ok = (
+            threshold > 0
+            and not t.is_dynamic
+            and 0 < t.vocabulary_size <= threshold
+            and all(
+                lk.combiner in (Combiner_t.Sum, Combiner_t.Mean)
+                or (lk.combiner == Combiner_t.Concat and lk.max_hotness == 1)
+                for lk in lks
+            )
+        )
+        out[name] = ok
+    return out
+
+
 def compile_plan(
     lookups: Sequence[LookupConfig],
     plan: ShardingPlan,
@@ -195,31 +243,42 @@ def compile_plan(
 ) -> CompiledEmbeddingPlan:
     """Compile lookup configs + strategy into grouped static metadata.
 
-    Groups are keyed by (placement, ev_size): all lookups whose tables share a
-    placement and embedding-vector size are fused into a single storage array
-    and a single gather (analog of grouped_lookup_params/grouped table groups,
-    embedding/common.hpp:206-268).
+    Groups are keyed by (placement, ev_size, compute_kind): all lookups whose
+    tables share a placement, embedding-vector size and engine are fused into
+    a single storage array and a single gather/matmul (analog of
+    grouped_lookup_params/grouped table groups, embedding/common.hpp:206-268).
+    Small static tables are peeled into replicated "onehot" MXU groups
+    regardless of declared placement (an implementation placement choice,
+    like the reference planner putting small tables DP).
     """
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
+    eligible = _onehot_eligible(lookups, onehot_vocab_threshold())
     # Group keys in deterministic order of first appearance.
-    group_keys: List[Tuple[TablePlacementStrategy, int]] = []
-    group_lookups: Dict[Tuple[TablePlacementStrategy, int], List[LookupConfig]] = {}
+    group_keys: List[Tuple[TablePlacementStrategy, int, str]] = []
+    group_lookups: Dict[
+        Tuple[TablePlacementStrategy, int, str], List[LookupConfig]
+    ] = {}
     for lk in lookups:
         placement = plan.placement_of(lk.table.name)
         if placement == TablePlacementStrategy.DataParallel and lk.table.is_dynamic:
             raise ValueError(
                 f"dynamic table {lk.table.name} cannot be data-parallel"
             )
-        key = (placement, lk.table.ev_size)
+        if eligible[lk.table.name]:
+            placement = TablePlacementStrategy.DataParallel
+            kind = "onehot"
+        else:
+            kind = "rowop"
+        key = (placement, lk.table.ev_size, kind)
         if key not in group_lookups:
             group_lookups[key] = []
             group_keys.append(key)
         group_lookups[key].append(lk)
 
     groups: List[GroupPlan] = []
-    for placement, ev_size in group_keys:
-        lks = group_lookups[(placement, ev_size)]
+    for placement, ev_size, kind in group_keys:
+        lks = group_lookups[(placement, ev_size, kind)]
         # Unique tables in first-appearance order (multiple lookups may share
         # a table — reference: hugectr_layer_book.md:1138).
         tables: List[EmbeddingTableConfig] = []
@@ -271,7 +330,11 @@ def compile_plan(
 
         groups.append(
             GroupPlan(
-                name=f"{placement.value}_ev{ev_size}",
+                name=(
+                    f"onehot_ev{ev_size}"
+                    if kind == "onehot"
+                    else f"{placement.value}_ev{ev_size}"
+                ),
                 placement=placement,
                 ev_size=ev_size,
                 tables=tables,
@@ -287,6 +350,7 @@ def compile_plan(
                 slot_is_dynamic=slot_is_dynamic,
                 hotness_total=slot_cursor,
                 out_width=out_cursor,
+                compute_kind=kind,
             )
         )
     return CompiledEmbeddingPlan(

@@ -8,6 +8,10 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# Default the suite to the row-op engine so small test vocabs keep exercising
+# the MP/DP gather paths; the one-hot MXU engine has its own dedicated tests
+# (tests/test_onehot_engine.py) that re-enable it per-test.
+os.environ.setdefault("HCTR_TPU_ONEHOT_VOCAB", "0")
 
 import jax  # noqa: E402
 
