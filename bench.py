@@ -16,10 +16,12 @@ BASELINE_EXAMPLES_PER_SEC_PER_CHIP = 2.5e6
 
 
 def main():
-    # bench operating point: bf16 embedding vectors + Pallas segmented-scan
-    # dedup (library defaults stay fp32/XLA; both knobs are documented)
+    # bench operating point: bf16 embedding vectors, xla segment-sum with
+    # unique-prefix compaction (exact — cond fallback when unique rows
+    # exceed the cap), one-hot MXU engine for small tables (lib default)
     os.environ.setdefault("HCTR_TPU_EMB_DTYPE", "bfloat16")
-    os.environ.setdefault("HCTR_TPU_SEGSUM", "scan")
+    os.environ.setdefault("HCTR_TPU_SEGSUM", "xla")
+    os.environ.setdefault("HCTR_TPU_UCAP_FACTOR", "0.4")
     # honor driver environment; default to whatever platform JAX picks
     import jax
 

@@ -12,6 +12,7 @@ fixed-capacity [K] gradient list, not on a dynamic number of unique rows.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -129,6 +130,23 @@ def dedup_rows(
         urow,
     )
     return urow, summed, None, True
+
+
+def unique_cap(k: int) -> int:
+    """Static capacity for the compacted unique-row prefix (xla segsum mode).
+
+    Segment sums occupy a PREFIX of the [K] output (segment ids are a
+    cumsum), so the per-unique-row optimizer ops can run on a sliced
+    [U_cap] window instead of the full K. When the batch's true unique
+    count exceeds the cap, apply_sparse falls back to the full-K path via
+    lax.cond — the slice is a pure speedup, never a gradient drop (unlike
+    the reference's fixed comm-buffer capacities). 0 disables."""
+    import os
+
+    f = float(os.environ.get("HCTR_TPU_UCAP_FACTOR", "0"))
+    if f <= 0 or f >= 1:
+        return 0
+    return min(k, ((int(k * f) + 511) // 512) * 512)
 
 
 def apply_dense(
@@ -255,6 +273,33 @@ def apply_sparse(
     uidx, g, tail, is_unique = dedup_rows(
         idx, src, dsrc, sentinel=rows, k_limit=k_limit
     )
+    run = functools.partial(_apply_rows, opt, table, state, lr, step, is_unique)
+    ucap = unique_cap(int(uidx.shape[0])) if is_unique else 0
+    if ucap and ucap < int(uidx.shape[0]):
+        # Real unique rows occupy a prefix; run the trio on the static cap
+        # when it fits, exact full-K fallback otherwise (runtime cond).
+        u_count = jnp.sum((uidx < rows).astype(jnp.int32))
+        return jax.lax.cond(
+            u_count <= ucap,
+            lambda: run(uidx[:ucap], g[:ucap], None),
+            lambda: run(uidx, g, None),
+        )
+    return run(uidx, g, tail)
+
+
+def _apply_rows(
+    opt: OptParams,
+    table: Array,
+    state: State,
+    lr: Array,
+    step: Array,
+    is_unique: bool,
+    uidx: Array,
+    g: Array,
+    tail,
+) -> Tuple[Array, State]:
+    """Per-row optimizer math + scatters for one (possibly sliced) row set."""
+    kind = opt.optimizer
     # In dup mode (Pallas segscan), uidx is sorted WITH duplicates and only
     # tail positions carry full segment sums; every write is expressed as a
     # tail-masked scatter-ADD so indices stay sorted (XLA's fast path) and

@@ -306,3 +306,36 @@ def test_fwd_partitioned_matches_masked(mesh8):
         np.testing.assert_allclose(
             outs["1"][k], outs["0"][k], rtol=1e-5, atol=1e-5, err_msg=k
         )
+
+
+@pytest.mark.parametrize("unique_kind", ["few", "many"])
+def test_unique_cap_compaction_exact(mesh1, monkeypatch, unique_kind):
+    """HCTR_TPU_UCAP_FACTOR slicing is EXACT: under the cap it runs the
+    compact prefix, over the cap the lax.cond fallback runs full-K —
+    results equal the uncapped path either way."""
+    monkeypatch.setenv("HCTR_TPU_SEGSUM", "xla")
+    t = EmbeddingTableConfig(name="t", max_vocabulary_size=2048, ev_size=8)
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 4)]
+    plan = ShardingPlan(strategy=[("mp", ["t"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    opt = OptParams(Optimizer_t.AdaGrad, lr=0.3, epsilon=1e-7)
+    rng = np.random.default_rng(13)
+    batch = 512  # K = 2048; factor 0.3 -> cap 1024
+    if unique_kind == "few":
+        keys = rng.integers(0, 64, (batch, 4)).astype(np.int32)  # U <= 64
+    else:
+        keys = np.arange(batch * 4, dtype=np.int32).reshape(batch, 4) % 2048
+    d = rng.normal(size=(batch, 8)).astype(np.float32)
+    results = {}
+    for factor in ("0", "0.3"):
+        monkeypatch.setenv("HCTR_TPU_UCAP_FACTOR", factor)
+        ebc = EmbeddingCollection(compiled, mesh1, opt)
+        tables = ebc.init(jax.random.key(4))
+        state = ebc.init_optimizer(tables)
+        tables, state = jax.jit(ebc.backward_and_update)(
+            tables, state, {"f": keys}, {"e": d}, jnp.asarray(0.3), jnp.asarray(1)
+        )
+        results[factor] = ebc.export_table(tables, "t")
+    np.testing.assert_allclose(
+        results["0.3"], results["0"], rtol=1e-6, atol=1e-7
+    )
