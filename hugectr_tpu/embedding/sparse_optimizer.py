@@ -114,6 +114,36 @@ def dedup_rows(
         [jnp.ones((1,), dtype=bool), sidx[1:] != sidx[:-1]]
     )
     seg = jnp.cumsum(head.astype(jnp.int32)) - 1  # [K] segment ids in [0, K)
+    # Fold the representative-row computation into the SAME segment-sum
+    # scatter by appending one column carrying the row id at segment heads
+    # (only the head contributes, so the segment sum IS the row id; exact in
+    # f32 for rows < 2^24 — scatter cost is per-row issue-bound, so one
+    # extra column is ~free while a separate segment_min scatter is not).
+    if sentinel < (1 << 24):
+        ext = jnp.concatenate(
+            [
+                sgrads.astype(jnp.float32),
+                jnp.where(head, sidx, 0).astype(jnp.float32)[:, None],
+            ],
+            axis=1,
+        )
+        summed_ext = jax.ops.segment_sum(
+            ext, seg, num_segments=k, indices_are_sorted=True
+        )
+        summed = summed_ext[:, :-1].astype(dsrc.dtype)
+        urow = summed_ext[:, -1].astype(sidx.dtype)
+        # empty segments (positions >= the segment count) and sentinel rows
+        # get distinct increasing out-of-range ids so the result stays
+        # sorted AND unique
+        nseg = jnp.sum(head.astype(jnp.int32))
+        j = jnp.arange(k, dtype=sidx.dtype)
+        urow = jnp.where(
+            (j < nseg) & (urow < sentinel),
+            urow,
+            jnp.asarray(sentinel, sidx.dtype) + j,
+        )
+        return urow, summed, None, True
+
     summed = jax.ops.segment_sum(
         sgrads, seg, num_segments=k, indices_are_sorted=True
     )
