@@ -176,6 +176,10 @@ def unique_cap(k: int) -> int:
     f = float(os.environ.get("HCTR_TPU_UCAP_FACTOR", "0"))
     if f <= 0 or f >= 1:
         return 0
+    # Optional floor: skip the cond+slice for small groups (HCTR_TPU_UCAP_MIN_K)
+    min_k = int(os.environ.get("HCTR_TPU_UCAP_MIN_K", "0"))
+    if min_k and k < min_k:
+        return 0
     return min(k, ((int(k * f) + 511) // 512) * 512)
 
 
@@ -306,6 +310,13 @@ def apply_sparse(
     run = functools.partial(_apply_rows, opt, table, state, lr, step, is_unique)
     ucap = unique_cap(int(uidx.shape[0])) if is_unique else 0
     if ucap and ucap < int(uidx.shape[0]):
+        import os
+
+        if os.environ.get("HCTR_TPU_UCAP_DROP"):
+            # capacity-drop mode: overflow segments beyond the cap lose
+            # their gradients (reference comm-buffer-capacity semantics);
+            # avoids the cond so scatters stay in-place aliased
+            return run(uidx[:ucap], g[:ucap], None)
         # Real unique rows occupy a prefix; run the trio on the static cap
         # when it fits, exact full-K fallback otherwise (runtime cond).
         u_count = jnp.sum((uidx < rows).astype(jnp.int32))

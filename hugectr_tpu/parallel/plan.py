@@ -199,6 +199,17 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def split_vocab_threshold() -> int:
+    """Vocab above which a rowop table gets its OWN storage group.
+
+    Measured on v5e: XLA scatter/gather cost per row grows with the operand
+    footprint (TLB/page locality) — splitting a multi-GB concatenated group
+    into per-table operands cut the DLRM update scatters ~2x. 0 disables."""
+    import os
+
+    return int(os.environ.get("HCTR_TPU_SPLIT_VOCAB", str(256 * 1024)))
+
+
 def onehot_vocab_threshold() -> int:
     """Vocab cutoff below which static sum/mean tables use the MXU one-hot
     engine (0 disables). Break-even on v5e: a one-hot matmul costs
@@ -268,17 +279,26 @@ def compile_plan(
         if eligible[lk.table.name]:
             placement = TablePlacementStrategy.DataParallel
             kind = "onehot"
+            split = ""
         else:
             kind = "rowop"
-        key = (placement, lk.table.ev_size, kind)
+            thr = split_vocab_threshold()
+            # big tables get a private storage group: smaller scatter/gather
+            # operands are measurably faster per row (TLB locality)
+            split = (
+                lk.table.name
+                if thr and lk.table.vocabulary_size >= thr
+                else ""
+            )
+        key = (placement, lk.table.ev_size, kind, split)
         if key not in group_lookups:
             group_lookups[key] = []
             group_keys.append(key)
         group_lookups[key].append(lk)
 
     groups: List[GroupPlan] = []
-    for placement, ev_size, kind in group_keys:
-        lks = group_lookups[(placement, ev_size, kind)]
+    for placement, ev_size, kind, split in group_keys:
+        lks = group_lookups[(placement, ev_size, kind, split)]
         # Unique tables in first-appearance order (multiple lookups may share
         # a table — reference: hugectr_layer_book.md:1138).
         tables: List[EmbeddingTableConfig] = []
@@ -334,6 +354,7 @@ def compile_plan(
                     f"onehot_ev{ev_size}"
                     if kind == "onehot"
                     else f"{placement.value}_ev{ev_size}"
+                    + (f"_{split}" if split else "")
                 ),
                 placement=placement,
                 ev_size=ev_size,
