@@ -282,7 +282,7 @@ class EmbeddingCollection:
             go = group_outs[g.name]
             for lm in g.lookups:
                 outs[lm.top_name] = go[:, lm.out_begin : lm.out_end]
-        return outs
+        return self._merge_outputs(outs, feature_keys)
 
     def _group_keys(self, g: GroupPlan, feature_keys: Dict[str, Array]) -> Array:
         cols = []
@@ -295,8 +295,52 @@ class EmbeddingCollection:
                     f"feature {lm.bottom_name}: hotness {k.shape[1]} != "
                     f"lookup max_hotness {lm.hotness}"
                 )
+            if lm.key_lo > 0 or lm.key_hi >= 0 or lm.key_shift:
+                # hot/cold key window: out-of-window keys act as padding
+                hi = lm.key_hi if lm.key_hi >= 0 else jnp.iinfo(k.dtype).max
+                in_win = (k >= lm.key_lo) & (k < hi)
+                k = jnp.where(in_win, k - lm.key_shift, INVALID_KEY)
             cols.append(k)
         return jnp.concatenate(cols, axis=1)
+
+    def _merge_outputs(
+        self, outs: Dict[str, Array], feature_keys: Dict[str, Array]
+    ) -> Dict[str, Array]:
+        """Recombine hot/cold sub-lookup tops into the user-level top
+        (out = hot + cold; mean divides by the ORIGINAL valid count)."""
+        for m in self.plan.merges:
+            o = outs.pop(m.hot_top) + outs.pop(m.cold_top)
+            if m.combiner == Combiner_t.Mean:
+                k = feature_keys[m.bottom_name]
+                if k.ndim == 1:
+                    k = k[:, None]
+                cnt = jnp.sum(
+                    (k != INVALID_KEY).astype(o.dtype), axis=1, keepdims=True
+                )
+                o = o / jnp.maximum(cnt, 1.0)
+            outs[m.top_name] = o
+        return outs
+
+    def _expand_d_outs(
+        self, d_outs: Dict[str, Array], feature_keys: Dict[str, Array]
+    ) -> Dict[str, Array]:
+        """Route the user-level cotangent to both hot/cold sub-tops."""
+        if not self.plan.merges:
+            return d_outs
+        d_outs = dict(d_outs)
+        for m in self.plan.merges:
+            d = d_outs.pop(m.top_name)
+            if m.combiner == Combiner_t.Mean:
+                k = feature_keys[m.bottom_name]
+                if k.ndim == 1:
+                    k = k[:, None]
+                cnt = jnp.sum(
+                    (k != INVALID_KEY).astype(d.dtype), axis=1, keepdims=True
+                )
+                d = d / jnp.maximum(cnt, 1.0)
+            d_outs[m.hot_top] = d
+            d_outs[m.cold_top] = d
+        return d_outs
 
     def _mp_fwd_local(self, gname: str, table_shard: Array, keys_loc: Array) -> Array:
         import os
@@ -471,7 +515,7 @@ class EmbeddingCollection:
         grad = jnp.zeros((g.total_local_rows, g.ev_size), table_dtype)
         colsum = jnp.zeros((g.total_local_rows,), jnp.float32)
         for li, lm in enumerate(g.lookups):
-            if g.tables[lm.table_index].name in self.frozen_tables:
+            if self._is_frozen(g.tables[lm.table_index].name):
                 continue
             ti = lm.table_index
             off = int(g.local_offsets[ti])
@@ -530,6 +574,7 @@ class EmbeddingCollection:
         new_state = dict(opt_state)
         lr = jnp.asarray(lr, dtype=self.dtype)
         step = jnp.asarray(step)
+        d_outs = self._expand_d_outs(d_outs, feature_keys)
         for g in self.plan.groups:
             keys = self._group_keys(g, feature_keys)
             d_group = jnp.concatenate(
@@ -623,7 +668,7 @@ class EmbeddingCollection:
         if self.frozen_tables:
             unfrozen = jnp.asarray(
                 np.array(
-                    [g.tables[ti].name not in self.frozen_tables
+                    [not self._is_frozen(g.tables[ti].name)
                      for ti in g.slot_table]
                 )
             )
@@ -681,14 +726,27 @@ class EmbeddingCollection:
         )
 
     # ------------------------------------------------------------- IO paths
+    def _is_frozen(self, table_name: str) -> bool:
+        return (
+            table_name in self.frozen_tables
+            or table_name.split("::", 1)[0] in self.frozen_tables
+        )
+
     def export_table(
         self, tables: Dict[str, Array], table_name: str
     ) -> np.ndarray:
         """Gather one logical table to a dense [vocab, ev] host array.
 
         Analog of EmbeddingParameterIO dump
-        (embedding_storage/weight_io/parameter_IO.cpp).
+        (embedding_storage/weight_io/parameter_IO.cpp). Hot/cold split
+        tables are reassembled into the user-level [vocab, ev] view.
         """
+        if table_name in self.plan.table_splits:
+            parts = [
+                self.export_table(tables, sub)
+                for sub, _off in self.plan.table_splits[table_name]
+            ]
+            return np.concatenate(parts, axis=0)
         g, ti = self._find_table(table_name)
         vocab = int(g.table_vocab[ti])
         idx = self._table_storage_rows(g, ti, vocab)
@@ -697,6 +755,12 @@ class EmbeddingCollection:
     def import_table(
         self, tables: Dict[str, Array], table_name: str, values: np.ndarray
     ) -> Dict[str, Array]:
+        if table_name in self.plan.table_splits:
+            subs = self.plan.table_splits[table_name]
+            for i, (sub, off) in enumerate(subs):
+                end = subs[i + 1][1] if i + 1 < len(subs) else values.shape[0]
+                tables = self.import_table(tables, sub, values[off:end])
+            return tables
         g, ti = self._find_table(table_name)
         vocab = int(g.table_vocab[ti])
         if values.shape != (vocab, g.ev_size):
@@ -726,6 +790,18 @@ class EmbeddingCollection:
         DynamicEmbeddingTable::evict, embedding_storage/dynamic_embedding.cu).
         Works on static tables too (row reset)."""
 
+        if table_name in self.plan.table_splits:
+            subs = dict(self.plan.table_splits[table_name])
+            hot_name = f"{table_name}::hot"
+            cold_name = f"{table_name}::cold"
+            hot_rows = subs[cold_name]
+            k = np.asarray(keys).reshape(-1)
+            tables, opt_state = self.evict(
+                tables, opt_state, hot_name, k[k < hot_rows]
+            )
+            return self.evict(
+                tables, opt_state, cold_name, k[k >= hot_rows] - hot_rows
+            )
         g, ti = self._find_table(table_name)
         n = g.num_shards if g.is_model_parallel else 1
         k32 = jnp.asarray(keys).reshape(-1).astype(jnp.int32)

@@ -65,7 +65,14 @@ class EmbeddingTableConfig:
 @dataclasses.dataclass
 class LookupConfig:
     """One embedding lookup (reference: LookupParam,
-    embedding/common.hpp:155-168)."""
+    embedding/common.hpp:155-168).
+
+    key_lo/key_hi/key_shift implement hot/cold key windows (reference
+    lineage: HybridEmbedding frequent/infrequent split; snapshot analog:
+    frequent-key hash table in
+    embedding/data_distributor/data_compression_operators.cu:213): a key k
+    participates iff key_lo <= k < key_hi and is looked up as k - key_shift;
+    other keys act as padding for THIS lookup."""
 
     lookup_id: int
     table: EmbeddingTableConfig
@@ -73,6 +80,9 @@ class LookupConfig:
     top_name: str  # output tensor name
     combiner: Combiner_t
     max_hotness: int
+    key_lo: int = 0
+    key_hi: int = -1  # -1: no upper bound
+    key_shift: int = 0
 
     @property
     def out_width(self) -> int:
@@ -96,8 +106,9 @@ class ShardingPlan:
     column_factors: Dict[str, int] = dataclasses.field(default_factory=dict)
 
     def placement_of(self, table_name: str) -> TablePlacementStrategy:
+        base = table_name.split("::", 1)[0]  # hot/cold sub-tables inherit
         for kind, names in self.strategy:
-            if table_name in names:
+            if base in names:
                 return TablePlacementStrategy(kind)
         # default: model parallel (safe for any size)
         return TablePlacementStrategy.ModelParallel
@@ -116,6 +127,21 @@ class LookupMeta:
     out_begin: int  # window in the group's output feature axis
     out_end: int
     top_name: str
+    bottom_name: str
+    key_lo: int = 0
+    key_hi: int = -1
+    key_shift: int = 0
+
+
+@dataclasses.dataclass
+class MergeMeta:
+    """Hot/cold output merge: the user-visible top is the sum of the two
+    sub-lookup tops (mean divides by the ORIGINAL per-sample valid count)."""
+
+    top_name: str  # original user-level top
+    hot_top: str
+    cold_top: str
+    combiner: Combiner_t
     bottom_name: str
 
 
@@ -182,6 +208,11 @@ class CompiledEmbeddingPlan:
     groups: List[GroupPlan]
     lookups: List[LookupConfig]  # in lookup_id order
     num_shards: int
+    merges: List[MergeMeta] = dataclasses.field(default_factory=list)
+    # user table name -> [(internal table name, row offset)] for split tables
+    table_splits: Dict[str, List[Tuple[str, int]]] = dataclasses.field(
+        default_factory=dict
+    )
 
     def group_of_lookup(self, lookup_id: int) -> Tuple[GroupPlan, LookupMeta]:
         for g in self.groups:
@@ -197,6 +228,101 @@ class CompiledEmbeddingPlan:
 
 def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def hot_split_rows() -> int:
+    """Frequent/infrequent split size (0 = off).
+
+    When > 0, big static sum/mean tables are split into a replicated "hot"
+    sub-table holding the first N vocabulary rows (served by the one-hot
+    MXU engine) and a sharded "cold" remainder on the rowop engine. With a
+    frequency-ordered vocabulary (power-law id ordering; see
+    tools/criteo_preprocess.py --frequency-remap) the hot rows absorb most
+    key instances, cutting row-granular gather/scatter volume several-fold.
+    TPU-first analog of the reference's frequent-key machinery
+    (data_compression_operators.cu:213 frequent-key hash table;
+    HybridEmbedding lineage). Results are EXACT regardless of the actual
+    key distribution — ordering only affects speed."""
+    import os
+
+    return int(os.environ.get("HCTR_TPU_HOT_ROWS", "0"))
+
+
+def _split_hot_cold(
+    lookups: Sequence[LookupConfig], plan: ShardingPlan
+) -> Tuple[List[LookupConfig], List[MergeMeta], Dict[str, List[Tuple[str, int]]]]:
+    """Rewrite eligible lookups into hot+cold sub-lookup pairs."""
+    hot = hot_split_rows()
+    if not hot:
+        return list(lookups), [], {}
+    by_table: Dict[str, List[LookupConfig]] = {}
+    for lk in lookups:
+        by_table.setdefault(lk.table.name, []).append(lk)
+
+    def eligible(t: EmbeddingTableConfig) -> bool:
+        return (
+            not t.is_dynamic
+            and t.vocabulary_size >= max(4 * hot, 2 * onehot_vocab_threshold())
+            and all(
+                lk.combiner in (Combiner_t.Sum, Combiner_t.Mean)
+                for lk in by_table[t.name]
+            )
+            and t.name not in plan.column_factors
+        )
+
+    out: List[LookupConfig] = []
+    merges: List[MergeMeta] = []
+    splits: Dict[str, List[Tuple[str, int]]] = {}
+    sub_tables: Dict[str, Tuple[EmbeddingTableConfig, EmbeddingTableConfig]] = {}
+    next_id = max(lk.lookup_id for lk in lookups) + 1 if lookups else 0
+    for lk in lookups:
+        t = lk.table
+        if not eligible(t):
+            out.append(lk)
+            continue
+        if t.name not in sub_tables:
+            t_hot = dataclasses.replace(
+                t, name=f"{t.name}::hot", max_vocabulary_size=hot
+            )
+            t_cold = dataclasses.replace(
+                t,
+                name=f"{t.name}::cold",
+                max_vocabulary_size=t.vocabulary_size - hot,
+            )
+            sub_tables[t.name] = (t_hot, t_cold)
+            splits[t.name] = [(t_hot.name, 0), (t_cold.name, hot)]
+        t_hot, t_cold = sub_tables[t.name]
+        hot_lk = dataclasses.replace(
+            lk,
+            table=t_hot,
+            top_name=f"{lk.top_name}::hot",
+            combiner=Combiner_t.Sum,
+            key_lo=0,
+            key_hi=hot,
+            key_shift=0,
+        )
+        cold_lk = dataclasses.replace(
+            lk,
+            lookup_id=next_id,
+            table=t_cold,
+            top_name=f"{lk.top_name}::cold",
+            combiner=Combiner_t.Sum,
+            key_lo=hot,
+            key_hi=t.vocabulary_size,
+            key_shift=hot,
+        )
+        next_id += 1
+        out.extend([hot_lk, cold_lk])
+        merges.append(
+            MergeMeta(
+                top_name=lk.top_name,
+                hot_top=hot_lk.top_name,
+                cold_top=cold_lk.top_name,
+                combiner=lk.combiner,
+                bottom_name=lk.bottom_name,
+            )
+        )
+    return out, merges, splits
 
 
 def split_vocab_threshold() -> int:
@@ -264,6 +390,8 @@ def compile_plan(
     """
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
+    orig_lookups = list(lookups)
+    lookups, merges, table_splits = _split_hot_cold(lookups, plan)
     eligible = _onehot_eligible(lookups, onehot_vocab_threshold())
     # Group keys in deterministic order of first appearance.
     group_keys: List[Tuple[TablePlacementStrategy, int, str]] = []
@@ -335,6 +463,9 @@ def compile_plan(
                 out_end=out_cursor + lk.out_width,
                 top_name=lk.top_name,
                 bottom_name=lk.bottom_name,
+                key_lo=lk.key_lo,
+                key_hi=lk.key_hi,
+                key_shift=lk.key_shift,
             )
             lookup_metas.append(lm)
             slot_table.extend([ti] * lk.max_hotness)
@@ -375,5 +506,9 @@ def compile_plan(
             )
         )
     return CompiledEmbeddingPlan(
-        groups=groups, lookups=list(lookups), num_shards=num_shards
+        groups=groups,
+        lookups=orig_lookups,
+        num_shards=num_shards,
+        merges=merges,
+        table_splits=table_splits,
     )

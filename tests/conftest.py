@@ -12,6 +12,7 @@ os.environ["XLA_FLAGS"] = (
 # the MP/DP gather paths; the one-hot MXU engine has its own dedicated tests
 # (tests/test_onehot_engine.py) that re-enable it per-test.
 os.environ.setdefault("HCTR_TPU_ONEHOT_VOCAB", "0")
+os.environ.setdefault("HCTR_TPU_HOT_ROWS", "0")
 
 import jax  # noqa: E402
 
