@@ -23,6 +23,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 EV_AXIS = "ev"
+DCN_AXIS = "dcn"  # inter-slice axis of a hierarchical (multi-slice) mesh
+ICI_AXIS = "ici"  # intra-slice axis
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,13 +51,24 @@ class ResourceManager:
         cls,
         num_devices: int = 0,
         ev_parallelism: int = 1,
+        num_slices: int = 1,
         devices: Optional[Sequence[jax.Device]] = None,
     ) -> "ResourceManager":
+        """Build the mesh.
+
+        num_slices > 1 requests a hierarchical 2-D ("dcn", "ici") mesh for
+        multi-slice topologies (slow DCN between slices, fast ICI within) —
+        the TPU analog of the reference's multi-node NVLink-island layout
+        (hier_model_parallel_embedding.cpp). Batch and MP rows shard over
+        BOTH axes; the embedding engine can decompose its collectives
+        slice-first (CommunicationStrategy.Hierarchical)."""
         if devices is None:
             devices = jax.devices()
         if num_devices <= 0:
             num_devices = len(devices)
         devices = list(devices)[:num_devices]
+        if ev_parallelism > 1 and num_slices > 1:
+            raise ValueError("ev_parallelism and num_slices are exclusive")
         if ev_parallelism > 1:
             if num_devices % ev_parallelism:
                 raise ValueError(
@@ -66,6 +79,16 @@ class ResourceManager:
                 num_devices // ev_parallelism, ev_parallelism
             )
             mesh = Mesh(dev_array, (DATA_AXIS, EV_AXIS))
+        elif num_slices > 1:
+            if num_devices % num_slices:
+                raise ValueError(
+                    f"num_devices={num_devices} not divisible by "
+                    f"num_slices={num_slices}"
+                )
+            dev_array = np.asarray(devices).reshape(
+                num_slices, num_devices // num_slices
+            )
+            mesh = Mesh(dev_array, (DCN_AXIS, ICI_AXIS))
         else:
             mesh = Mesh(np.asarray(devices), (DATA_AXIS,))
         return cls(mesh)
@@ -76,7 +99,29 @@ class ResourceManager:
         return self.mesh.size
 
     @property
+    def is_hierarchical(self) -> bool:
+        return DCN_AXIS in self.mesh.shape
+
+    @property
+    def data_axes(self):
+        """Mesh axis name(s) carrying the batch dimension: "data" on a flat
+        mesh, ("dcn", "ici") on a hierarchical one."""
+        if self.is_hierarchical:
+            return (DCN_AXIS, ICI_AXIS)
+        return DATA_AXIS
+
+    @property
+    def num_slices(self) -> int:
+        return self.mesh.shape.get(DCN_AXIS, 1)
+
+    @property
+    def slice_size(self) -> int:
+        return self.mesh.shape.get(ICI_AXIS, self.data_parallel_size)
+
+    @property
     def data_parallel_size(self) -> int:
+        if self.is_hierarchical:
+            return self.mesh.shape[DCN_AXIS] * self.mesh.shape[ICI_AXIS]
         return self.mesh.shape[DATA_AXIS]
 
     @property
@@ -108,14 +153,14 @@ class ResourceManager:
 
     def batch_sharding(self) -> NamedSharding:
         """Batch-dim sharded over the data axis (activations, inputs)."""
-        return self.sharding(P(DATA_AXIS))
+        return self.sharding(P(self.data_axes))
 
     def replicated_sharding(self) -> NamedSharding:
         return self.sharding(P())
 
     def row_sharding(self) -> NamedSharding:
         """Row-sharded over the data axis (MP embedding shards)."""
-        return self.sharding(P(DATA_AXIS, None))
+        return self.sharding(P(self.data_axes, None))
 
 
 def init_distributed(

@@ -41,7 +41,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from ..core.mesh import DATA_AXIS, ResourceManager
+from ..core.mesh import DATA_AXIS, DCN_AXIS, ICI_AXIS, ResourceManager
 from ..core.types import Combiner_t, INVALID_KEY
 from ..optim.params import OptParams
 from ..parallel.plan import CompiledEmbeddingPlan, GroupPlan
@@ -87,11 +87,17 @@ class EmbeddingCollection:
         rm: ResourceManager,
         opt: OptParams,
         dtype=jnp.float32,
+        comm_strategy=None,
     ):
+        from ..core.types import CommunicationStrategy
+
         self.plan = plan
         self.rm = rm
         self.opt = opt
         self.dtype = dtype
+        self.comm_strategy = CommunicationStrategy(
+            comm_strategy or CommunicationStrategy.Uniform
+        )
         self._meta = {g.name: _GroupMeta(g) for g in plan.groups}
         # per-group optimizer (table-level override must be group-uniform)
         self.group_opt: Dict[str, OptParams] = {}
@@ -160,6 +166,42 @@ class EmbeddingCollection:
                 lambda x: jax.device_put(x, sharding), st
             )
         return state
+
+    # ----------------------------------------------------------- collectives
+    def _psum_scatter_batch(self, partial: Array) -> Array:
+        """Reduce-scatter pooled partials over the data axes.
+
+        On a hierarchical ("dcn", "ici") mesh with
+        CommunicationStrategy.Hierarchical this decomposes into an
+        intra-slice reduce-scatter FIRST and an inter-slice one after, so
+        the slow DCN link carries 1/ici_size of the volume — the TPU analog
+        of the reference's 2-level node-first exchange
+        (hier_model_parallel_embedding.cpp:183-226,
+        operators/hier_model_forward.cu). Bitwise-equal to the flat scatter
+        (verified in tests); Uniform leaves the decomposition to XLA."""
+        from ..core.types import CommunicationStrategy
+
+        if (
+            self.comm_strategy == CommunicationStrategy.Hierarchical
+            and self.rm.is_hierarchical
+        ):
+            d, i = self.rm.num_slices, self.rm.slice_size
+            bg, w = partial.shape
+            bl = bg // (d * i)
+            t = (
+                partial.reshape(d, i, bl, w)
+                .transpose(1, 0, 2, 3)
+                .reshape(bg, w)
+            )
+            y = jax.lax.psum_scatter(
+                t, ICI_AXIS, scatter_dimension=0, tiled=True
+            )
+            return jax.lax.psum_scatter(
+                y, DCN_AXIS, scatter_dimension=0, tiled=True
+            )
+        return jax.lax.psum_scatter(
+            partial, self.rm.data_axes, scatter_dimension=0, tiled=True
+        )
 
     # ------------------------------------------------------------- slot math
     def _slot_placement(
@@ -268,8 +310,8 @@ class EmbeddingCollection:
                 fn = shard_map(
                     functools.partial(self._mp_fwd_local, g.name),
                     mesh=self.rm.mesh,
-                    in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
-                    out_specs=P(DATA_AXIS, None),
+                    in_specs=(P(self.rm.data_axes, None), P(self.rm.data_axes, None)),
+                    out_specs=P(self.rm.data_axes, None),
                     check_vma=False,
                 )
                 group_outs[g.name] = fn(tables[g.name], keys)
@@ -348,8 +390,8 @@ class EmbeddingCollection:
         g = self._meta[gname].plan
         meta = self._meta[gname]
         n = self.rm.data_parallel_size
-        my = jax.lax.axis_index(DATA_AXIS)
-        keys = jax.lax.all_gather(keys_loc, DATA_AXIS, axis=0, tiled=True)
+        my = jax.lax.axis_index(self.rm.data_axes)
+        keys = jax.lax.all_gather(keys_loc, self.rm.data_axes, axis=0, tiled=True)
         valid, owner, local_row = self._slot_placement(meta, keys, n)
         mine = valid & (owner == my)
         if os.environ.get("HCTR_TPU_FWD_PARTITION", "1") != "0":
@@ -368,9 +410,7 @@ class EmbeddingCollection:
         safe = jnp.where(mine, local_row, 0)
         rows = table_shard[safe] * mine[..., None].astype(table_shard.dtype)
         partial = self._pool(g, rows, valid)
-        return jax.lax.psum_scatter(
-            partial, DATA_AXIS, scatter_dimension=0, tiled=True
-        )
+        return self._psum_scatter_batch(partial)
 
     def _mp_fwd_partitioned(
         self, gname, table_shard, keys, valid, mine, local_row, n
@@ -404,9 +444,7 @@ class EmbeddingCollection:
         pooled = pooled.reshape(bg, s_slots, g.ev_size)
         pooled = self._apply_mean_scaling(g, pooled, valid)
         partial = pooled.reshape(bg, g.out_width)
-        return jax.lax.psum_scatter(
-            partial, DATA_AXIS, scatter_dimension=0, tiled=True
-        )
+        return self._psum_scatter_batch(partial)
 
     def _fwd_gsrc(self, g: GroupPlan) -> np.ndarray:
         """Per-slot pooled-accumulator slot id (identical construction to the
@@ -540,8 +578,8 @@ class EmbeddingCollection:
     def _onehot_bwd_local(self, gname, table, state, keys_loc, d_loc, lr, step):
         grad, colsum = self._onehot_grad(gname, table.dtype, keys_loc, d_loc)
         if self.rm.data_parallel_size > 1:
-            grad = jax.lax.psum(grad, DATA_AXIS)
-            colsum = jax.lax.psum(colsum, DATA_AXIS)
+            grad = jax.lax.psum(grad, self.rm.data_axes)
+            colsum = jax.lax.psum(colsum, self.rm.data_axes)
         touched = colsum > 0
         opt = self.group_opt[gname]
         return sparse_optimizer.apply_dense(
@@ -588,8 +626,8 @@ class EmbeddingCollection:
                         in_specs=(
                             P(),
                             jax.tree.map(lambda _: P(), opt_state[g.name]),
-                            P(DATA_AXIS, None),
-                            P(DATA_AXIS, None),
+                            P(self.rm.data_axes, None),
+                            P(self.rm.data_axes, None),
                             P(),
                             P(),
                         ),
@@ -612,16 +650,16 @@ class EmbeddingCollection:
                     functools.partial(self._mp_bwd_local, g.name),
                     mesh=self.rm.mesh,
                     in_specs=(
-                        P(DATA_AXIS, None),
-                        jax.tree.map(lambda _: P(DATA_AXIS, None), opt_state[g.name]),
-                        P(DATA_AXIS, None),
-                        P(DATA_AXIS, None),
+                        P(self.rm.data_axes, None),
+                        jax.tree.map(lambda _: P(self.rm.data_axes, None), opt_state[g.name]),
+                        P(self.rm.data_axes, None),
+                        P(self.rm.data_axes, None),
                         P(),
                         P(),
                     ),
                     out_specs=(
-                        P(DATA_AXIS, None),
-                        jax.tree.map(lambda _: P(DATA_AXIS, None), opt_state[g.name]),
+                        P(self.rm.data_axes, None),
+                        jax.tree.map(lambda _: P(self.rm.data_axes, None), opt_state[g.name]),
                     ),
                     check_vma=False,
                 )
@@ -635,8 +673,8 @@ class EmbeddingCollection:
                     in_specs=(
                         P(),
                         jax.tree.map(lambda _: P(), opt_state[g.name]),
-                        P(DATA_AXIS, None),
-                        P(DATA_AXIS, None),
+                        P(self.rm.data_axes, None),
+                        P(self.rm.data_axes, None),
                         P(),
                         P(),
                     ),
@@ -686,10 +724,10 @@ class EmbeddingCollection:
     def _mp_bwd_local(self, gname, table_shard, state, keys_loc, d_loc, lr, step):
         import os
 
-        my = jax.lax.axis_index(DATA_AXIS)
+        my = jax.lax.axis_index(self.rm.data_axes)
         n = self.rm.data_parallel_size
-        keys = jax.lax.all_gather(keys_loc, DATA_AXIS, axis=0, tiled=True)
-        d_group = jax.lax.all_gather(d_loc, DATA_AXIS, axis=0, tiled=True)
+        keys = jax.lax.all_gather(keys_loc, self.rm.data_axes, axis=0, tiled=True)
+        d_group = jax.lax.all_gather(d_loc, self.rm.data_axes, axis=0, tiled=True)
         idx, src, dsrc = self._row_grads(gname, keys, d_group, n, my)
         opt = self.group_opt[gname]
         # owner-partition capacity: each shard's owned entries are a sorted
@@ -710,8 +748,8 @@ class EmbeddingCollection:
     def _dp_bwd_local(self, gname, table, state, keys_loc, d_loc, lr, step):
         # Replicated tables: every device applies the update for the GLOBAL
         # batch so replicas stay bit-identical (analog of DP wgrad allreduce).
-        keys = jax.lax.all_gather(keys_loc, DATA_AXIS, axis=0, tiled=True)
-        d_group = jax.lax.all_gather(d_loc, DATA_AXIS, axis=0, tiled=True)
+        keys = jax.lax.all_gather(keys_loc, self.rm.data_axes, axis=0, tiled=True)
+        d_group = jax.lax.all_gather(d_loc, self.rm.data_axes, axis=0, tiled=True)
         idx, src, dsrc = self._row_grads(gname, keys, d_group, 1, None)
         opt = self.group_opt[gname]
         return sparse_optimizer.apply_sparse(

@@ -297,8 +297,13 @@ class Model:
                 if s.embedding_vec_dtype in ("bfloat16", "bf16")
                 else jnp.float32
             )
+            comm = None
+            for ebc in self.ebc_configs:
+                comm = ebc.comm_strategy
+                break
             self.ec = EmbeddingCollection(
-                plan, self.rm, self.opt_params, dtype=emb_dtype
+                plan, self.rm, self.opt_params, dtype=emb_dtype,
+                comm_strategy=comm,
             )
 
         # ---- dense network -------------------------------------------------

@@ -37,6 +37,7 @@ def build_dlrm_dcnv2(
     top_mlp=(1024, 1024, 512, 256, 1),
     projection_dim: int = 512,
     num_cross_layers: int = 3,
+    comm_strategy=None,
 ):
     """DLRM-DCNv2 on synthetic power-law data; returns a compiled Model."""
     table_sizes = [min(v, vocab_cap) for v in MLPERF_TABLE_SIZES]
@@ -83,7 +84,9 @@ def build_dlrm_dcnv2(
         )
         for i in range(NUM_TABLE)
     ]
-    ebc = hugectr.EmbeddingCollectionConfig()
+    ebc = hugectr.EmbeddingCollectionConfig(
+        comm_strategy=comm_strategy or "uniform"
+    )
     ebc.embedding_lookup(
         table_config=tables,
         bottom_name=[f"data{i}" for i in range(NUM_TABLE)],
@@ -143,11 +146,12 @@ def build_dlrm_dcnv2(
     return model
 
 
-def build_tiny_dlrm(rm, batchsize: int = 32):
+def build_tiny_dlrm(rm, batchsize: int = 32, comm_strategy=None):
     """Tiny-shape variant for compile checks / multi-chip dry runs."""
     return build_dlrm_dcnv2(
         rm,
         batchsize=batchsize,
+        comm_strategy=comm_strategy,
         ev_size=16,
         vocab_cap=1000,
         synthetic_batches=4,
