@@ -128,9 +128,18 @@ class EmbeddingCollection:
             scales = self._row_init_scales(g)
 
             def make(sub=sub, rows=rows, g=g, scales=scales):
+                # partial placement: generate the f-shard base then tile it
+                # so every replica group holds bit-identical shard content
+                base_rows = rows // g.num_replicas
                 t = jax.random.uniform(
-                    sub, (rows, g.ev_size), dtype=self.dtype, minval=-1.0, maxval=1.0
+                    sub,
+                    (base_rows, g.ev_size),
+                    dtype=self.dtype,
+                    minval=-1.0,
+                    maxval=1.0,
                 )
+                if g.num_replicas > 1:
+                    t = jnp.tile(t, (g.num_replicas, 1))
                 return t * jnp.asarray(scales, dtype=self.dtype)[:, None]
 
             tables[g.name] = jax.jit(make, out_shardings=sharding)()
@@ -139,7 +148,7 @@ class EmbeddingCollection:
     def _row_init_scales(self, g: GroupPlan) -> np.ndarray:
         """Per-row uniform init scale; default 1/sqrt(ev_size) per table."""
         scales = np.zeros(g.total_storage_rows, dtype=np.float32)
-        n_rep = g.num_shards if g.is_model_parallel else 1
+        n_rep = g.mesh_size if g.is_model_parallel else 1
         for ti, t in enumerate(g.tables):
             s = t.init_scale if t.init_scale is not None else 1.0 / np.sqrt(t.ev_size)
             for shard in range(n_rep):
@@ -390,10 +399,21 @@ class EmbeddingCollection:
         g = self._meta[gname].plan
         meta = self._meta[gname]
         n = self.rm.data_parallel_size
+        f = g.num_shards  # partial placement: f logical shards, n/f replicas
         my = jax.lax.axis_index(self.rm.data_axes)
         keys = jax.lax.all_gather(keys_loc, self.rm.data_axes, axis=0, tiled=True)
-        valid, owner, local_row = self._slot_placement(meta, keys, n)
-        mine = valid & (owner == my)
+        valid, owner, local_row = self._slot_placement(meta, keys, f)
+        mine = valid & (owner == (my % f))
+        if g.num_replicas > 1:
+            # replica r of each shard serves a disjoint block of the global
+            # batch so forward work still splits n ways (contributions are
+            # disjoint; psum recombines them)
+            bg = keys.shape[0]
+            block = bg // g.num_replicas
+            row_block = (
+                jnp.arange(bg, dtype=jnp.int32) // jnp.int32(block)
+            )[:, None]
+            mine = mine & (row_block == (my // f).astype(jnp.int32))
         if os.environ.get("HCTR_TPU_FWD_PARTITION", "1") != "0":
             # NOTE: with a finite HCTR_TPU_MP_CAPACITY_FACTOR, hot-key skew
             # can overflow a shard's capacity window and DROP owned rows —
@@ -725,22 +745,24 @@ class EmbeddingCollection:
         import os
 
         my = jax.lax.axis_index(self.rm.data_axes)
-        n = self.rm.data_parallel_size
+        f = self._meta[gname].plan.num_shards  # partial placement shard count
         keys = jax.lax.all_gather(keys_loc, self.rm.data_axes, axis=0, tiled=True)
         d_group = jax.lax.all_gather(d_loc, self.rm.data_axes, axis=0, tiled=True)
-        idx, src, dsrc = self._row_grads(gname, keys, d_group, n, my)
+        # every replica of shard s applies the FULL update for s, keeping
+        # replica groups bit-identical (like DP wgrad allreduce)
+        idx, src, dsrc = self._row_grads(gname, keys, d_group, f, my % f)
         opt = self.group_opt[gname]
         # owner-partition capacity: each shard's owned entries are a sorted
-        # prefix, bounded by K/N x capacity factor (TPU analog of the
+        # prefix, bounded by K/f x capacity factor (TPU analog of the
         # reference's all2all capacity buffers). EXACT by default (factor 0 =
         # no slicing): a finite factor trades hot-key-overflow gradient drops
-        # for ~N x less row-granular work per chip — opt in via
+        # for ~f x less row-granular work per chip — opt in via
         # HCTR_TPU_MP_CAPACITY_FACTOR when the skew budget is understood.
         k_limit = 0
         factor = float(os.environ.get("HCTR_TPU_MP_CAPACITY_FACTOR", "0"))
-        if n > 1 and factor > 0:
+        if f > 1 and factor > 0:
             k = int(idx.shape[0])
-            k_limit = min(k, ((int(k * factor / n) + 511) // 512) * 512)
+            k_limit = min(k, ((int(k * factor / f) + 511) // 512) * 512)
         return sparse_optimizer.apply_sparse(
             opt, table_shard, state, idx, src, dsrc, lr, step, k_limit=k_limit
         )
@@ -807,16 +829,19 @@ class EmbeddingCollection:
                 f"got {values.shape}"
             )
         idx = self._table_storage_rows(g, ti, vocab)
-        sharding = (
-            self.rm.row_sharding()
-            if g.is_model_parallel
-            else self.rm.replicated_sharding()
-        )
+        vals = np.asarray(values)
+        if g.is_model_parallel and g.num_replicas > 1:
+            # partial placement: write every replica group identically
+            stride = g.num_shards * g.total_local_rows
+            idx = np.concatenate(
+                [idx + r * stride for r in range(g.num_replicas)]
+            )
+            vals = np.tile(vals, (g.num_replicas, 1))
         new = dict(tables)
         new[g.name] = self._import_fn(g.is_model_parallel)(
             tables[g.name],
             jnp.asarray(idx),
-            jnp.asarray(values, dtype=self.dtype),
+            jnp.asarray(vals, dtype=self.dtype),
         )
         return new
 
@@ -855,11 +880,17 @@ class EmbeddingCollection:
             row = kk // jnp.int32(max(n, 1))
             owner = kk % jnp.int32(max(n, 1))
         local = row + jnp.int32(int(g.local_offsets[ti]))
-        storage_row = (
-            owner * jnp.int32(g.total_local_rows) + local
-            if g.is_model_parallel
-            else local
-        )
+        if g.is_model_parallel:
+            storage_row = owner * jnp.int32(g.total_local_rows) + local
+            if g.num_replicas > 1:
+                stride = jnp.int32(g.num_shards * g.total_local_rows)
+                storage_row = (
+                    storage_row[None, :]
+                    + jnp.arange(g.num_replicas, dtype=jnp.int32)[:, None]
+                    * stride
+                ).reshape(-1)
+        else:
+            storage_row = local
         new_tables = dict(tables)
         new_tables[g.name] = tables[g.name].at[storage_row].set(0.0, mode="drop")
         new_state = dict(opt_state)

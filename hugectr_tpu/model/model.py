@@ -159,6 +159,7 @@ class Model:
         self._top3d: Dict[str, Tuple[int, int]] = {}  # user top -> (slots, ev)
         strategy: List[Tuple[str, List[str]]] = []
         column_factors: Dict[str, int] = {}
+        shard_counts: Dict[str, int] = {}
 
         from ..parallel.plan import EmbeddingTableConfig as _ETC
 
@@ -232,6 +233,20 @@ class Model:
                         expanded.append(n)
                 strategy.append((kind, expanded))
             column_factors.update(plan.column_factors)
+            # partial placement: per-table device count from shard_matrix
+            # (embedding/common.hpp:253-267; planner output is honored)
+            if ebc.shard_matrix:
+                for name in {
+                    n for row in ebc.shard_matrix for n in row
+                }:
+                    f = sum(1 for row in ebc.shard_matrix if name in row)
+                    targets = (
+                        [t.name for t in split_tables[name]]
+                        if name in split_tables
+                        else [name]
+                    )
+                    for t in targets:
+                        shard_counts[t] = f
 
         for se in self.sparse_embeddings:
             feat = self._sparse_by_name.get(se.bottom_name)
@@ -291,6 +306,7 @@ class Model:
                 lookup_cfgs,
                 ShardingPlan(strategy=strategy, column_factors=column_factors),
                 num_shards=self.rm.data_parallel_size,
+                shard_counts=shard_counts,
             )
             emb_dtype = (
                 jnp.bfloat16

@@ -177,16 +177,34 @@ class GroupPlan:
     hotness_total: int  # H
     out_width: int  # W: group output feature width
     compute_kind: str = "rowop"  # "rowop" | "onehot"
+    # mesh devices (>= num_shards). num_shards = f is the table's logical
+    # shard count from shard_matrix (embedding/common.hpp:253-267 partial
+    # placement): key k lives in shard k % f at local row k // f, and each
+    # shard is replicated mesh_size/f times across the mesh (device d serves
+    # shard d % f) — per-device memory is vocab/f rows, exactly the
+    # reference's per-device footprint for a table on f devices.
+    mesh_size: int = 0
+
+    def __post_init__(self):
+        if not self.mesh_size:
+            self.mesh_size = self.num_shards
 
     @property
     def is_model_parallel(self) -> bool:
         return self.placement == TablePlacementStrategy.ModelParallel
 
     @property
+    def num_replicas(self) -> int:
+        """Replica groups per shard on the mesh (1 for full sharding)."""
+        if not self.is_model_parallel:
+            return 1
+        return self.mesh_size // self.num_shards
+
+    @property
     def total_storage_rows(self) -> int:
         """Global rows of the concatenated storage array."""
         if self.is_model_parallel:
-            return self.total_local_rows * self.num_shards
+            return self.total_local_rows * self.mesh_size
         return self.total_local_rows
 
     @property
@@ -373,20 +391,41 @@ def _onehot_eligible(
     return out
 
 
+def _shard_count_of(
+    table: EmbeddingTableConfig,
+    shard_counts: Optional[Dict[str, int]],
+    num_shards: int,
+) -> int:
+    """Per-table logical shard count f from the shard_matrix (partial
+    placement, embedding/common.hpp:253-267). f must divide the mesh size;
+    other values widen to the next divisor. Absent/0 -> full mesh."""
+    if not shard_counts:
+        return num_shards
+    base = table.name.split("::", 1)[0].split("#col", 1)[0]
+    f = int(shard_counts.get(base, 0) or num_shards)
+    f = max(1, min(f, num_shards))
+    while num_shards % f:
+        f += 1
+    return f
+
+
 def compile_plan(
     lookups: Sequence[LookupConfig],
     plan: ShardingPlan,
     num_shards: int,
+    shard_counts: Optional[Dict[str, int]] = None,
 ) -> CompiledEmbeddingPlan:
     """Compile lookup configs + strategy into grouped static metadata.
 
-    Groups are keyed by (placement, ev_size, compute_kind): all lookups whose
-    tables share a placement, embedding-vector size and engine are fused into
-    a single storage array and a single gather/matmul (analog of
-    grouped_lookup_params/grouped table groups, embedding/common.hpp:206-268).
-    Small static tables are peeled into replicated "onehot" MXU groups
-    regardless of declared placement (an implementation placement choice,
-    like the reference planner putting small tables DP).
+    Groups are keyed by (placement, ev_size, compute_kind, shard_count): all
+    lookups whose tables share a placement, embedding-vector size and engine
+    are fused into a single storage array and a single gather/matmul (analog
+    of grouped_lookup_params/grouped table groups,
+    embedding/common.hpp:206-268). Small static tables are peeled into
+    replicated "onehot" MXU groups regardless of declared placement (an
+    implementation placement choice, like the reference planner putting
+    small tables DP). `shard_counts` carries the per-table device counts
+    derived from shard_matrix (partial placement).
     """
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
@@ -394,10 +433,8 @@ def compile_plan(
     lookups, merges, table_splits = _split_hot_cold(lookups, plan)
     eligible = _onehot_eligible(lookups, onehot_vocab_threshold())
     # Group keys in deterministic order of first appearance.
-    group_keys: List[Tuple[TablePlacementStrategy, int, str]] = []
-    group_lookups: Dict[
-        Tuple[TablePlacementStrategy, int, str], List[LookupConfig]
-    ] = {}
+    group_keys: List[Tuple] = []
+    group_lookups: Dict[Tuple, List[LookupConfig]] = {}
     for lk in lookups:
         placement = plan.placement_of(lk.table.name)
         if placement == TablePlacementStrategy.DataParallel and lk.table.is_dynamic:
@@ -408,6 +445,7 @@ def compile_plan(
             placement = TablePlacementStrategy.DataParallel
             kind = "onehot"
             split = ""
+            f = 1
         else:
             kind = "rowop"
             thr = split_vocab_threshold()
@@ -418,15 +456,20 @@ def compile_plan(
                 if thr and lk.table.vocabulary_size >= thr
                 else ""
             )
-        key = (placement, lk.table.ev_size, kind, split)
+            f = (
+                _shard_count_of(lk.table, shard_counts, num_shards)
+                if placement == TablePlacementStrategy.ModelParallel
+                else 1
+            )
+        key = (placement, lk.table.ev_size, kind, split, f)
         if key not in group_lookups:
             group_lookups[key] = []
             group_keys.append(key)
         group_lookups[key].append(lk)
 
     groups: List[GroupPlan] = []
-    for placement, ev_size, kind, split in group_keys:
-        lks = group_lookups[(placement, ev_size, kind, split)]
+    for placement, ev_size, kind, split, f in group_keys:
+        lks = group_lookups[(placement, ev_size, kind, split, f)]
         # Unique tables in first-appearance order (multiple lookups may share
         # a table — reference: hugectr_layer_book.md:1138).
         tables: List[EmbeddingTableConfig] = []
@@ -436,7 +479,7 @@ def compile_plan(
                 table_index[lk.table.name] = len(tables)
                 tables.append(lk.table)
 
-        shards = num_shards if placement == TablePlacementStrategy.ModelParallel else 1
+        shards = f if placement == TablePlacementStrategy.ModelParallel else 1
         table_vocab = np.array([t.vocabulary_size for t in tables], dtype=np.int64)
         rows_per_shard = np.array(
             [_ceil_div(int(v), shards) for v in table_vocab], dtype=np.int64
@@ -486,12 +529,23 @@ def compile_plan(
                     if kind == "onehot"
                     else f"{placement.value}_ev{ev_size}"
                     + (f"_{split}" if split else "")
+                    + (
+                        f"_x{f}"
+                        if placement == TablePlacementStrategy.ModelParallel
+                        and f != num_shards
+                        else ""
+                    )
                 ),
                 placement=placement,
                 ev_size=ev_size,
                 tables=tables,
                 lookups=lookup_metas,
-                num_shards=num_shards,
+                num_shards=shards,
+                mesh_size=(
+                    num_shards
+                    if placement == TablePlacementStrategy.ModelParallel
+                    else shards
+                ),
                 table_vocab=table_vocab,
                 rows_per_shard=rows_per_shard,
                 local_offsets=local_offsets,
