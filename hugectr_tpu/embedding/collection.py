@@ -143,6 +143,19 @@ class EmbeddingCollection:
                 return t * jnp.asarray(scales, dtype=self.dtype)[:, None]
 
             tables[g.name] = jax.jit(make, out_shardings=sharding)()
+            if self._meta[g.name].any_dynamic:
+                # exact dynamic-table key store, row-aligned with storage
+                ks_sharding = (
+                    self.rm.sharding(P(self.rm.data_axes))
+                    if g.is_model_parallel
+                    else self.rm.replicated_sharding()
+                )
+                tables[f"{g.name}#keys"] = jax.jit(
+                    lambda rows=rows: jnp.full(
+                        (rows,), int(self.EMPTY_KEY), jnp.int32
+                    ),
+                    out_shardings=ks_sharding,
+                )()
         return tables
 
     def _row_init_scales(self, g: GroupPlan) -> np.ndarray:
@@ -214,7 +227,7 @@ class EmbeddingCollection:
 
     # ------------------------------------------------------------- slot math
     def _slot_placement(
-        self, meta: _GroupMeta, keys: Array, num_shards: int
+        self, meta: _GroupMeta, keys: Array, num_shards: int, key_store=None
     ) -> Tuple[Array, Array, Array]:
         """Compute (valid, owner_shard, local_row) for [B, H] keys."""
         g = meta.plan
@@ -226,19 +239,88 @@ class EmbeddingCollection:
         owner_s = (k_static % num_shards).astype(jnp.int32)
         row_s = (k_static // num_shards).astype(jnp.int32)
         if meta.any_dynamic:
-            h = _hash_mix(keys)
-            owner_d = (h % jnp.uint32(num_shards)).astype(jnp.int32)
-            row_d = (
-                (h // jnp.uint32(num_shards))
-                % meta.slot_rows[None, :].astype(jnp.uint32)
-            ).astype(jnp.int32)
             dyn = meta.slot_dynamic[None, :]
+            owner_d, row_d, found = self._dynamic_probe(
+                meta, keys, num_shards, key_store
+            )
             owner = jnp.where(dyn, owner_d, owner_s)
             row = jnp.where(dyn, row_d, row_s)
+            if key_store is not None:
+                # exact store: unplaced dynamic keys act as padding
+                valid = valid & (~dyn | found)
         else:
             owner, row = owner_s, row_s
         local_row = row + meta.slot_local_offset[None, :]
         return valid, owner, local_row
+
+    # ----------------------------------------------- exact dynamic tables
+    # Reference: DynamicEmbeddingTable (embedding_storage/dynamic_embedding.cu
+    # :1-588) — an exact growable device hash map. The TPU analog is a probed
+    # open-addressing key store aligned row-for-row with the table storage:
+    # key k hashes to a shard (owner) and a probe sequence of NUM_PROBES
+    # consecutive local slots within its table's capacity; lookups compare
+    # the stored keys, misses read as padding, and inserts (on the backward
+    # pass) claim empty slots via scatter-min arbitration — collision-FREE
+    # up to the probe depth, unlike the old hashing-trick aliasing.
+    NUM_PROBES = 8
+    EMPTY_KEY = np.int32(2**31 - 1)
+
+    def _dynamic_probe(
+        self, meta: _GroupMeta, keys: Array, num_shards: int, key_store
+    ) -> Tuple[Array, Array, Array]:
+        """(owner, local-table row, found) for dynamic slots.
+
+        Without a key store (legacy hashing-trick mode) the hash IS the row
+        and `found` is all-true."""
+        h = _hash_mix(keys)
+        owner = (h % jnp.uint32(num_shards)).astype(jnp.int32)
+        rows_t = meta.slot_rows[None, :].astype(jnp.uint32)
+        base = ((h // jnp.uint32(num_shards)) % rows_t).astype(jnp.int32)
+        if key_store is None:
+            return owner, base, jnp.ones_like(owner, dtype=bool)
+        k32 = keys.astype(jnp.int32)
+        row = base
+        found = jnp.zeros(keys.shape, dtype=bool)
+        for j in range(self.NUM_PROBES):
+            cand = (base + j) % meta.slot_rows[None, :]
+            slot = cand + meta.slot_local_offset[None, :]
+            stored = key_store.at[slot].get(mode="fill", fill_value=-1)
+            hit = (~found) & (stored == k32)
+            row = jnp.where(hit, cand, row)
+            found = found | hit
+        return owner, row, found
+
+    def _dynamic_insert(
+        self, meta: _GroupMeta, key_store: Array, keys: Array, mine_valid: Array,
+        num_shards: int,
+    ) -> Array:
+        """Claim store slots for this shard's unplaced dynamic keys.
+
+        scatter-min arbitration per probe round: contenders write their key
+        into an empty slot with `min`, then re-read to learn the winner;
+        losers move to the next probe. Keys still unplaced after NUM_PROBES
+        rounds are dropped this step (capacity pressure — grow the table)."""
+        k32 = keys.astype(jnp.int32)
+        h = _hash_mix(keys)
+        rows_t = meta.slot_rows[None, :].astype(jnp.uint32)
+        base = ((h // jnp.uint32(num_shards)) % rows_t).astype(jnp.int32)
+        dyn = meta.slot_dynamic[None, :]
+        sentinel = key_store.shape[0]
+        need = mine_valid & dyn
+        for j in range(self.NUM_PROBES):
+            cand = (base + j) % meta.slot_rows[None, :]
+            slot = cand + meta.slot_local_offset[None, :]
+            stored = key_store.at[slot].get(mode="fill", fill_value=-1)
+            need = need & (stored != k32)  # already resident here
+            empty = stored == int(self.EMPTY_KEY)
+            tryslot = jnp.where(need & empty, slot, sentinel).reshape(-1)
+            key_store = key_store.at[tryslot].min(
+                k32.reshape(-1), mode="drop"
+            )
+            # re-read: arbitration winners leave the pool, losers probe on
+            stored2 = key_store.at[slot].get(mode="fill", fill_value=-1)
+            need = need & (stored2 != k32)
+        return key_store
 
     # ------------------------------------------------------------ pooling
     def _pool(self, g: GroupPlan, rows: Array, valid: Array) -> Array:
@@ -316,17 +398,38 @@ class EmbeddingCollection:
                     g.name, tables[g.name], keys
                 )
             elif g.is_model_parallel and self.rm.data_parallel_size > 1:
-                fn = shard_map(
-                    functools.partial(self._mp_fwd_local, g.name),
-                    mesh=self.rm.mesh,
-                    in_specs=(P(self.rm.data_axes, None), P(self.rm.data_axes, None)),
-                    out_specs=P(self.rm.data_axes, None),
-                    check_vma=False,
-                )
-                group_outs[g.name] = fn(tables[g.name], keys)
+                ks = tables.get(f"{g.name}#keys")
+                if ks is None:
+                    fn = shard_map(
+                        functools.partial(self._mp_fwd_local, g.name),
+                        mesh=self.rm.mesh,
+                        in_specs=(
+                            P(self.rm.data_axes, None),
+                            P(self.rm.data_axes, None),
+                        ),
+                        out_specs=P(self.rm.data_axes, None),
+                        check_vma=False,
+                    )
+                    group_outs[g.name] = fn(tables[g.name], keys)
+                else:
+                    fn = shard_map(
+                        functools.partial(self._mp_fwd_local, g.name),
+                        mesh=self.rm.mesh,
+                        in_specs=(
+                            P(self.rm.data_axes, None),
+                            P(self.rm.data_axes, None),
+                            P(self.rm.data_axes),
+                        ),
+                        out_specs=P(self.rm.data_axes, None),
+                        check_vma=False,
+                    )
+                    group_outs[g.name] = fn(tables[g.name], keys, ks)
             else:
                 # single shard or data-parallel: purely local
-                group_outs[g.name] = self._dp_fwd(g.name, tables[g.name], keys)
+                group_outs[g.name] = self._dp_fwd(
+                    g.name, tables[g.name], keys,
+                    tables.get(f"{g.name}#keys"),
+                )
         # slice per-lookup tops
         outs: Dict[str, Array] = {}
         for g in self.plan.groups:
@@ -393,7 +496,9 @@ class EmbeddingCollection:
             d_outs[m.cold_top] = d
         return d_outs
 
-    def _mp_fwd_local(self, gname: str, table_shard: Array, keys_loc: Array) -> Array:
+    def _mp_fwd_local(
+        self, gname: str, table_shard: Array, keys_loc: Array, key_store=None
+    ) -> Array:
         import os
 
         g = self._meta[gname].plan
@@ -402,7 +507,7 @@ class EmbeddingCollection:
         f = g.num_shards  # partial placement: f logical shards, n/f replicas
         my = jax.lax.axis_index(self.rm.data_axes)
         keys = jax.lax.all_gather(keys_loc, self.rm.data_axes, axis=0, tiled=True)
-        valid, owner, local_row = self._slot_placement(meta, keys, f)
+        valid, owner, local_row = self._slot_placement(meta, keys, f, key_store)
         mine = valid & (owner == (my % f))
         if g.num_replicas > 1:
             # replica r of each shard serves a disjoint block of the global
@@ -606,10 +711,12 @@ class EmbeddingCollection:
             opt, table, state, grad, touched, lr, step
         )
 
-    def _dp_fwd(self, gname: str, table: Array, keys: Array) -> Array:
+    def _dp_fwd(
+        self, gname: str, table: Array, keys: Array, key_store=None
+    ) -> Array:
         g = self._meta[gname].plan
         meta = self._meta[gname]
-        valid, _owner, local_row = self._slot_placement(meta, keys, 1)
+        valid, _owner, local_row = self._slot_placement(meta, keys, 1, key_store)
         safe = jnp.where(valid, local_row, 0)
         rows = table[safe] * valid[..., None].astype(table.dtype)
         return self._pool(g, rows, valid)
@@ -666,62 +773,86 @@ class EmbeddingCollection:
                         d_group, lr, step,
                     )
             elif g.is_model_parallel and self.rm.data_parallel_size > 1:
+                ks = tables.get(f"{g.name}#keys")
+                st_spec = jax.tree.map(
+                    lambda _: P(self.rm.data_axes, None), opt_state[g.name]
+                )
+                in_specs = [
+                    P(self.rm.data_axes, None),
+                    st_spec,
+                    P(self.rm.data_axes, None),
+                    P(self.rm.data_axes, None),
+                    P(),
+                    P(),
+                ]
+                out_specs = [P(self.rm.data_axes, None), st_spec]
+                args = [tables[g.name], opt_state[g.name], keys, d_group, lr, step]
+                if ks is not None:
+                    in_specs.append(P(self.rm.data_axes))
+                    out_specs.append(P(self.rm.data_axes))
+                    args.append(ks)
                 fn = shard_map(
                     functools.partial(self._mp_bwd_local, g.name),
                     mesh=self.rm.mesh,
-                    in_specs=(
-                        P(self.rm.data_axes, None),
-                        jax.tree.map(lambda _: P(self.rm.data_axes, None), opt_state[g.name]),
-                        P(self.rm.data_axes, None),
-                        P(self.rm.data_axes, None),
-                        P(),
-                        P(),
-                    ),
-                    out_specs=(
-                        P(self.rm.data_axes, None),
-                        jax.tree.map(lambda _: P(self.rm.data_axes, None), opt_state[g.name]),
-                    ),
+                    in_specs=tuple(in_specs),
+                    out_specs=tuple(out_specs),
                     check_vma=False,
                 )
-                new_tables[g.name], new_state[g.name] = fn(
-                    tables[g.name], opt_state[g.name], keys, d_group, lr, step
-                )
+                out = fn(*args)
+                new_tables[g.name], new_state[g.name] = out[0], out[1]
+                if ks is not None:
+                    new_tables[f"{g.name}#keys"] = out[2]
             elif self.rm.data_parallel_size > 1:
+                ks = tables.get(f"{g.name}#keys")
+                st_spec = jax.tree.map(lambda _: P(), opt_state[g.name])
+                in_specs = [
+                    P(),
+                    st_spec,
+                    P(self.rm.data_axes, None),
+                    P(self.rm.data_axes, None),
+                    P(),
+                    P(),
+                ]
+                out_specs = [P(), st_spec]
+                args = [tables[g.name], opt_state[g.name], keys, d_group, lr, step]
+                if ks is not None:
+                    in_specs.append(P())
+                    out_specs.append(P())
+                    args.append(ks)
                 fn = shard_map(
                     functools.partial(self._dp_bwd_local, g.name),
                     mesh=self.rm.mesh,
-                    in_specs=(
-                        P(),
-                        jax.tree.map(lambda _: P(), opt_state[g.name]),
-                        P(self.rm.data_axes, None),
-                        P(self.rm.data_axes, None),
-                        P(),
-                        P(),
-                    ),
-                    out_specs=(
-                        P(),
-                        jax.tree.map(lambda _: P(), opt_state[g.name]),
-                    ),
+                    in_specs=tuple(in_specs),
+                    out_specs=tuple(out_specs),
                     check_vma=False,
                 )
-                new_tables[g.name], new_state[g.name] = fn(
-                    tables[g.name], opt_state[g.name], keys, d_group, lr, step
-                )
+                out = fn(*args)
+                new_tables[g.name], new_state[g.name] = out[0], out[1]
+                if ks is not None:
+                    new_tables[f"{g.name}#keys"] = out[2]
             else:
-                new_tables[g.name], new_state[g.name] = self._bwd_single(
-                    g.name, tables[g.name], opt_state[g.name], keys, d_group, lr, step
+                ks = tables.get(f"{g.name}#keys")
+                out = self._bwd_single(
+                    g.name, tables[g.name], opt_state[g.name], keys, d_group,
+                    lr, step, key_store=ks,
                 )
+                new_tables[g.name], new_state[g.name] = out[0], out[1]
+                if ks is not None:
+                    new_tables[f"{g.name}#keys"] = out[2]
         return new_tables, new_state
 
     def _row_grads(
-        self, gname: str, keys: Array, d_group: Array, num_shards: int, my
+        self, gname: str, keys: Array, d_group: Array, num_shards: int, my,
+        key_store=None,
     ) -> Tuple[Array, Array, Array]:
         """Shared bwd math: (flat row idx with sentinel, grad source row ids,
         compact grad source). Foreign/invalid keys carry the sentinel row and
         are dropped as whole segments downstream (no [K, E] mask multiply)."""
         meta = self._meta[gname]
         g = meta.plan
-        valid, owner, local_row = self._slot_placement(meta, keys, num_shards)
+        valid, owner, local_row = self._slot_placement(
+            meta, keys, num_shards, key_store
+        )
         mine = valid if my is None else (valid & (owner == my))
         if self.frozen_tables:
             unfrozen = jnp.asarray(
@@ -741,16 +872,29 @@ class EmbeddingCollection:
         idx = jnp.where(mine, local_row, g.total_local_rows).reshape(-1)
         return idx, src.reshape(-1), dsrc
 
-    def _mp_bwd_local(self, gname, table_shard, state, keys_loc, d_loc, lr, step):
+    def _mp_bwd_local(
+        self, gname, table_shard, state, keys_loc, d_loc, lr, step,
+        key_store=None,
+    ):
         import os
 
         my = jax.lax.axis_index(self.rm.data_axes)
-        f = self._meta[gname].plan.num_shards  # partial placement shard count
+        meta = self._meta[gname]
+        f = meta.plan.num_shards  # partial placement shard count
         keys = jax.lax.all_gather(keys_loc, self.rm.data_axes, axis=0, tiled=True)
         d_group = jax.lax.all_gather(d_loc, self.rm.data_axes, axis=0, tiled=True)
+        if key_store is not None:
+            # insert-on-backward for exact dynamic tables: every replica of
+            # a shard computes the identical insertion (deterministic
+            # scatter-min arbitration), keeping stores bit-identical
+            _, owner, _ = self._slot_placement(meta, keys, f, None)
+            mine_valid = (keys != INVALID_KEY) & (owner == (my % f))
+            key_store = self._dynamic_insert(meta, key_store, keys, mine_valid, f)
         # every replica of shard s applies the FULL update for s, keeping
         # replica groups bit-identical (like DP wgrad allreduce)
-        idx, src, dsrc = self._row_grads(gname, keys, d_group, f, my % f)
+        idx, src, dsrc = self._row_grads(
+            gname, keys, d_group, f, my % f, key_store
+        )
         opt = self.group_opt[gname]
         # owner-partition capacity: each shard's owned entries are a sorted
         # prefix, bounded by K/f x capacity factor (TPU analog of the
@@ -763,27 +907,50 @@ class EmbeddingCollection:
         if f > 1 and factor > 0:
             k = int(idx.shape[0])
             k_limit = min(k, ((int(k * factor / f) + 511) // 512) * 512)
-        return sparse_optimizer.apply_sparse(
+        new_t, new_s = sparse_optimizer.apply_sparse(
             opt, table_shard, state, idx, src, dsrc, lr, step, k_limit=k_limit
         )
+        if key_store is not None:
+            return new_t, new_s, key_store
+        return new_t, new_s
 
-    def _dp_bwd_local(self, gname, table, state, keys_loc, d_loc, lr, step):
+    def _dp_bwd_local(
+        self, gname, table, state, keys_loc, d_loc, lr, step, key_store=None
+    ):
         # Replicated tables: every device applies the update for the GLOBAL
         # batch so replicas stay bit-identical (analog of DP wgrad allreduce).
         keys = jax.lax.all_gather(keys_loc, self.rm.data_axes, axis=0, tiled=True)
         d_group = jax.lax.all_gather(d_loc, self.rm.data_axes, axis=0, tiled=True)
-        idx, src, dsrc = self._row_grads(gname, keys, d_group, 1, None)
+        if key_store is not None:
+            meta = self._meta[gname]
+            key_store = self._dynamic_insert(
+                meta, key_store, keys, keys != INVALID_KEY, 1
+            )
+        idx, src, dsrc = self._row_grads(gname, keys, d_group, 1, None, key_store)
         opt = self.group_opt[gname]
-        return sparse_optimizer.apply_sparse(
+        new_t, new_s = sparse_optimizer.apply_sparse(
             opt, table, state, idx, src, dsrc, lr, step
         )
+        if key_store is not None:
+            return new_t, new_s, key_store
+        return new_t, new_s
 
-    def _bwd_single(self, gname, table, state, keys, d_group, lr, step):
-        idx, src, dsrc = self._row_grads(gname, keys, d_group, 1, None)
+    def _bwd_single(
+        self, gname, table, state, keys, d_group, lr, step, key_store=None
+    ):
+        if key_store is not None:
+            meta = self._meta[gname]
+            key_store = self._dynamic_insert(
+                meta, key_store, keys, keys != INVALID_KEY, 1
+            )
+        idx, src, dsrc = self._row_grads(gname, keys, d_group, 1, None, key_store)
         opt = self.group_opt[gname]
-        return sparse_optimizer.apply_sparse(
+        new_t, new_s = sparse_optimizer.apply_sparse(
             opt, table, state, idx, src, dsrc, lr, step
         )
+        if key_store is not None:
+            return new_t, new_s, key_store
+        return new_t, new_s
 
     # ------------------------------------------------------------- IO paths
     def _is_frozen(self, table_name: str) -> bool:
@@ -868,6 +1035,13 @@ class EmbeddingCollection:
         g, ti = self._find_table(table_name)
         n = g.num_shards if g.is_model_parallel else 1
         k32 = jnp.asarray(keys).reshape(-1).astype(jnp.int32)
+        if g.tables[ti].is_dynamic and f"{g.name}#keys" in tables:
+            # exact store: probe host-side for each key's slot, clear the
+            # row, state AND store entry — collision-free (the old hashing
+            # trick could clobber other keys' rows)
+            return self._evict_dynamic_exact(
+                tables, opt_state, g, ti, np.asarray(k32)
+            )
         if g.tables[ti].is_dynamic:
             h = _hash_mix(k32)
             row = (
@@ -900,6 +1074,205 @@ class EmbeddingCollection:
                 for k, v in opt_state[g.name].items()
             }
         return new_tables, new_state
+
+    def _host_key_store(self, tables, g: GroupPlan) -> np.ndarray:
+        rep = jax.jit(lambda x: x, out_shardings=self.rm.replicated_sharding())
+        return np.asarray(rep(tables[f"{g.name}#keys"]))
+
+    def _dynamic_host_slots(
+        self, ks_host: np.ndarray, g: GroupPlan, ti: int, keys: np.ndarray
+    ) -> np.ndarray:
+        """Host-side probe: storage slot (within shard-0 replica) per key;
+        -1 if absent."""
+        f = g.num_shards if g.is_model_parallel else 1
+        k = keys.astype(np.int64)
+        ku = keys.astype(np.uint32)
+        h = ku ^ (ku >> 16)
+        h = (h * np.uint32(0x85EBCA6B)) & 0xFFFFFFFF
+        h = h ^ (h >> 13)
+        h = (h * np.uint32(0xC2B2AE35)) & 0xFFFFFFFF
+        h = (h ^ (h >> 16)).astype(np.uint64)
+        rows_t = np.uint64(int(g.rows_per_shard[ti]))
+        owner = (h % np.uint64(f)).astype(np.int64)
+        base = ((h // np.uint64(f)) % rows_t).astype(np.int64)
+        off = int(g.local_offsets[ti])
+        out = np.full(keys.shape, -1, dtype=np.int64)
+        for j in range(self.NUM_PROBES):
+            cand = (base + j) % int(rows_t)
+            local = off + cand
+            storage = (
+                owner * g.total_local_rows + local
+                if g.is_model_parallel
+                else local
+            )
+            hit = (out < 0) & (ks_host[storage] == keys.astype(np.int32))
+            out = np.where(hit, storage, out)
+        return out
+
+    def _evict_dynamic_exact(self, tables, opt_state, g, ti, keys):
+        ks_host = self._host_key_store(tables, g)
+        slots = self._dynamic_host_slots(ks_host, g, ti, keys)
+        slots = slots[slots >= 0]
+        if g.is_model_parallel and g.num_replicas > 1:
+            stride = g.num_shards * g.total_local_rows
+            slots = np.concatenate(
+                [slots + r * stride for r in range(g.num_replicas)]
+            )
+        srow = jnp.asarray(slots, jnp.int32)
+        new_tables = dict(tables)
+        new_tables[g.name] = tables[g.name].at[srow].set(0.0, mode="drop")
+        new_tables[f"{g.name}#keys"] = (
+            tables[f"{g.name}#keys"]
+            .at[srow]
+            .set(int(self.EMPTY_KEY), mode="drop")
+        )
+        new_state = dict(opt_state)
+        if g.name in opt_state:
+            new_state[g.name] = {
+                k: v.at[srow].set(0.0, mode="drop")
+                for k, v in opt_state[g.name].items()
+            }
+        return new_tables, new_state
+
+    def grow_dynamic_capacity(
+        self, tables, opt_state, table_name: str, new_capacity: int
+    ):
+        """Grow a dynamic table's capacity by host-side rehash.
+
+        Returns (new_collection, new_tables, new_opt_state): the plan is
+        recompiled with the larger capacity (shapes are static under jit, so
+        growth happens BETWEEN passes — reference DynamicEmbeddingTable
+        grows inside the kernel, dynamic_embedding.cu, which has no
+        compiled-world analog), all resident keys are re-inserted and their
+        rows + optimizer state carried over."""
+        g, ti = self._find_table(table_name)
+        if not g.tables[ti].is_dynamic:
+            raise ValueError(f"{table_name} is not a dynamic table")
+        old_cap = int(g.table_vocab[ti])
+        if new_capacity <= old_cap:
+            raise ValueError("new_capacity must exceed the current capacity")
+        # collect resident keys + rows from the old store
+        ks_host = self._host_key_store(tables, g)
+        lo = int(g.local_offsets[ti])
+        rows_t = int(g.rows_per_shard[ti])
+        f = g.num_shards if g.is_model_parallel else 1
+        resident = []
+        for shard in range(f):
+            base = (shard * g.total_local_rows if g.is_model_parallel else 0)
+            seg = ks_host[base + lo : base + lo + rows_t]
+            live = np.where(seg != int(self.EMPTY_KEY))[0]
+            resident.append((base + lo + live, seg[live]))
+        slots = np.concatenate([s for s, _ in resident])
+        live_keys = np.concatenate([k for _, k in resident])
+        rep = jax.jit(
+            lambda x: x, out_shardings=self.rm.replicated_sharding()
+        )
+        old_table_host = np.asarray(rep(tables[g.name]))[slots]
+        old_state_host = {
+            k: np.asarray(rep(v))[slots]
+            for k, v in opt_state.get(g.name, {}).items()
+        }
+        # rebuild the plan with the larger capacity
+        import dataclasses as _dc
+
+        new_lookups = []
+        for lk in self.plan.lookups:
+            if lk.table.name == table_name:
+                t2 = _dc.replace(lk.table, dynamic_capacity=int(new_capacity))
+                new_lookups.append(_dc.replace(lk, table=t2))
+            else:
+                new_lookups.append(lk)
+        from ..parallel.plan import ShardingPlan, compile_plan
+
+        strategy = []
+        for gg in self.plan.groups:
+            kind = "mp" if gg.is_model_parallel else "dp"
+            strategy.append((kind, [t.name for t in gg.tables]))
+        new_plan = compile_plan(
+            new_lookups,
+            ShardingPlan(strategy=strategy),
+            num_shards=self.plan.num_shards,
+        )
+        new_ec = EmbeddingCollection(
+            new_plan, self.rm, self.opt, dtype=self.dtype,
+            comm_strategy=self.comm_strategy,
+        )
+        new_ec.frozen_tables = set(self.frozen_tables)
+        new_tables = new_ec.init(jax.random.key(0))
+        new_state = new_ec.init_optimizer(new_tables)
+        # copy non-dynamic groups wholesale
+        for gg in self.plan.groups:
+            if table_name not in [t.name for t in gg.tables]:
+                for name in (gg.name, f"{gg.name}#keys"):
+                    if name in tables:
+                        new_tables[name] = tables[name]
+                if gg.name in opt_state:
+                    new_state[gg.name] = opt_state[gg.name]
+        # re-insert live keys into the grown store (host probing)
+        ng, nti = new_ec._find_table(table_name)
+        nks = np.array(new_ec._host_key_store(new_tables, ng))
+        # host insertion with linear probing beyond NUM_PROBES never needed:
+        # place with the same probe discipline
+        placed = np.full(live_keys.shape, -1, dtype=np.int64)
+        nf = ng.num_shards if ng.is_model_parallel else 1
+        ku = live_keys.astype(np.uint32)
+        h = ku ^ (ku >> 16)
+        h = (h * np.uint32(0x85EBCA6B)) & 0xFFFFFFFF
+        h = h ^ (h >> 13)
+        h = (h * np.uint32(0xC2B2AE35)) & 0xFFFFFFFF
+        h = (h ^ (h >> 16)).astype(np.uint64)
+        nrows = np.uint64(int(ng.rows_per_shard[nti]))
+        owner = (h % np.uint64(nf)).astype(np.int64)
+        base = ((h // np.uint64(nf)) % nrows).astype(np.int64)
+        noff = int(ng.local_offsets[nti])
+        for i in range(live_keys.shape[0]):
+            for j in range(new_ec.NUM_PROBES):
+                cand = int((base[i] + j) % int(nrows))
+                local = noff + cand
+                storage = (
+                    int(owner[i]) * ng.total_local_rows + local
+                    if ng.is_model_parallel
+                    else local
+                )
+                if nks[storage] == int(new_ec.EMPTY_KEY):
+                    nks[storage] = live_keys[i]
+                    placed[i] = storage
+                    break
+        ok = placed >= 0
+        dst = placed[ok]
+        reps = ng.num_replicas if ng.is_model_parallel else 1
+        stride = ng.num_shards * ng.total_local_rows
+        all_dst = np.concatenate([dst + r * stride for r in range(reps)])
+        tile = lambda a: np.concatenate([a[ok]] * reps, axis=0)
+        imp = jax.jit(
+            lambda t, i, v: t.at[i].set(v),
+            out_shardings=new_tables[ng.name].sharding,
+        )
+        new_tables[ng.name] = imp(
+            new_tables[ng.name],
+            jnp.asarray(all_dst, jnp.int32),
+            jnp.asarray(tile(old_table_host), dtype=self.dtype),
+        )
+        ks_sharding = new_tables[f"{ng.name}#keys"].sharding
+        imp_k = jax.jit(
+            lambda t, i, v: t.at[i].set(v), out_shardings=ks_sharding
+        )
+        new_tables[f"{ng.name}#keys"] = imp_k(
+            new_tables[f"{ng.name}#keys"],
+            jnp.asarray(all_dst, jnp.int32),
+            jnp.asarray(np.concatenate([live_keys[ok]] * reps), jnp.int32),
+        )
+        for slot_name, host_vals in old_state_host.items():
+            sh = new_state[ng.name][slot_name].sharding
+            imp_s = jax.jit(
+                lambda t, i, v: t.at[i].set(v), out_shardings=sh
+            )
+            new_state[ng.name][slot_name] = imp_s(
+                new_state[ng.name][slot_name],
+                jnp.asarray(all_dst, jnp.int32),
+                jnp.asarray(tile(host_vals), dtype=self.dtype),
+            )
+        return new_ec, new_tables, new_state
 
     @functools.lru_cache(maxsize=None)
     def _export_fn(self):

@@ -838,6 +838,22 @@ class Model:
                     if write:
                         os.makedirs(tdir, exist_ok=True)
                         np.save(os.path.join(tdir, "emb_vector.npy"), arr)
+            # dynamic-table key stores (exact key -> slot assignments)
+            for name, arr in self.state["emb_tables"].items():
+                if name.endswith("#keys"):
+                    host = np.asarray(
+                        jax.jit(
+                            lambda x: x,
+                            out_shardings=self.rm.replicated_sharding(),
+                        )(arr)
+                    )
+                    if write:
+                        np.save(
+                            os.path.join(
+                                out_dir, f"keystore_{name.replace('#keys','')}.npy"
+                            ),
+                            host,
+                        )
         if write:
             with open(os.path.join(out_dir, "meta.json"), "w") as f:
                 json.dump(
@@ -871,6 +887,17 @@ class Model:
                     if os.path.exists(path):
                         self.state["emb_tables"] = self.ec.import_table(
                             self.state["emb_tables"], t.name, np.load(path)
+                        )
+        if self.ec is not None:
+            for name in list(self.state["emb_tables"]):
+                if name.endswith("#keys"):
+                    p = os.path.join(
+                        out_dir, f"keystore_{name.replace('#keys','')}.npy"
+                    )
+                    if os.path.exists(p):
+                        self.state["emb_tables"][name] = jax.device_put(
+                            jnp.asarray(np.load(p)),
+                            self.state["emb_tables"][name].sharding,
                         )
         edir = os.path.join(out_dir, "emb_opt_states")
         if self.ec is not None and os.path.isdir(edir):

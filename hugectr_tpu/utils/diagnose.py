@@ -77,6 +77,8 @@ def check_embedding_overflow(model) -> Dict[str, float]:
     if getattr(model, "ec", None) is None:
         return out
     for gname, arr in model.state["emb_tables"].items():
+        if gname.endswith("#keys"):
+            continue  # dynamic-table key stores are int ids, not values
         out[gname] = float(jnp.max(jnp.abs(arr)))
         if not np.isfinite(out[gname]) or out[gname] > 1e4:
             logger.warning(

@@ -1,0 +1,176 @@
+"""Exact dynamic embedding tables (reference: DynamicEmbeddingTable,
+embedding_storage/dynamic_embedding.cu:1-588).
+
+The TPU analog is a probed open-addressing key store aligned with the table
+rows: collision-FREE lookups/updates up to the probe depth (the old hashing
+trick silently aliased colliding keys onto one row), insert-on-backward,
+exact eviction, and capacity growth by host-side rehash between passes.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hugectr_tpu.core.types import Combiner_t, Optimizer_t, INVALID_KEY
+from hugectr_tpu.optim.params import OptParams
+from hugectr_tpu.parallel.plan import (
+    EmbeddingTableConfig,
+    LookupConfig,
+    ShardingPlan,
+    compile_plan,
+)
+from hugectr_tpu.embedding.collection import EmbeddingCollection
+
+
+def _build(rm, capacity=64, opt_kind=Optimizer_t.SGD):
+    t = EmbeddingTableConfig(
+        name="dyn", max_vocabulary_size=-1, ev_size=8, dynamic_capacity=capacity
+    )
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 2)]
+    plan = ShardingPlan(strategy=[("mp", ["dyn"])])
+    compiled = compile_plan(lookups, plan, num_shards=rm.data_parallel_size)
+    opt = OptParams(opt_kind, lr=0.5, initial_accu_value=0.0, epsilon=1e-7)
+    ebc = EmbeddingCollection(compiled, rm, opt)
+    tables = ebc.init(jax.random.key(0))
+    state = ebc.init_optimizer(tables)
+    return ebc, tables, state
+
+
+def _step(ebc, tables, state, keys, d):
+    return jax.jit(ebc.backward_and_update)(
+        tables, state, {"f": keys}, {"e": d}, jnp.asarray(0.5), jnp.asarray(1)
+    )
+
+
+def test_colliding_keys_get_distinct_rows(mesh1):
+    """Find two keys that alias under the HASHING trick; the exact store
+    must give them independent rows (the VERDICT's acceptance test)."""
+    from hugectr_tpu.embedding.collection import _hash_mix
+
+    cap = 16
+    # search keys whose hash maps to the same base slot
+    h = np.asarray(_hash_mix(jnp.arange(10_000))).astype(np.uint64) % cap
+    base = None
+    for slot in range(cap):
+        ks = np.where(h == slot)[0]
+        if len(ks) >= 2:
+            base = (int(ks[0]), int(ks[1]))
+            break
+    assert base is not None
+    k1, k2 = base
+
+    ebc, tables, state = _build(mesh1, capacity=cap)
+    d = np.ones((2, 8), dtype=np.float32)
+    keys = np.array([[k1, INVALID_KEY], [k2, INVALID_KEY]], dtype=np.int32)
+    # insert both (backward pass inserts + applies SGD update)
+    tables, state = _step(ebc, tables, state, keys, d)
+    gname = ebc.plan.groups[0].name
+    ks_store = np.asarray(tables[f"{gname}#keys"])
+    slot1 = np.where(ks_store == k1)[0]
+    slot2 = np.where(ks_store == k2)[0]
+    assert len(slot1) >= 1 and len(slot2) >= 1
+    assert slot1[0] != slot2[0], "colliding keys share a row"
+    # updating k1 must not touch k2's row
+    raw_before = np.asarray(tables[gname])
+    keys1 = np.array([[k1, INVALID_KEY]], dtype=np.int32)
+    tables, state = _step(ebc, tables, state, keys1, np.ones((1, 8), np.float32))
+    raw_after = np.asarray(tables[gname])
+    assert not np.allclose(raw_after[slot1[0]], raw_before[slot1[0]])
+    np.testing.assert_array_equal(raw_after[slot2[0]], raw_before[slot2[0]])
+
+
+def test_forward_miss_then_hit(mesh1):
+    ebc, tables, state = _build(mesh1, capacity=32)
+    keys = np.array([[7, 9]], dtype=np.int32)
+    # before insertion: lookups miss -> zero output
+    out0 = jax.jit(ebc.forward)(tables, {"f": keys})
+    np.testing.assert_array_equal(np.asarray(out0["e"]), 0.0)
+    # backward inserts; forward now returns the (updated) rows
+    tables, state = _step(ebc, tables, state, keys, np.ones((1, 8), np.float32))
+    out1 = jax.jit(ebc.forward)(tables, {"f": keys})
+    assert np.abs(np.asarray(out1["e"])).sum() > 0
+
+
+def test_dynamic_adagrad_dedup(mesh1):
+    """Duplicate dynamic keys see ONE summed-gradient update (exact store +
+    segment dedup compose)."""
+    ebc, tables, state = _build(mesh1, capacity=32, opt_kind=Optimizer_t.AdaGrad)
+    keys = np.array([[5, 5]], dtype=np.int32)
+    d = np.ones((1, 8), dtype=np.float32)
+    tables, state = _step(ebc, tables, state, keys, d)
+    gname = ebc.plan.groups[0].name
+    ks_store = np.asarray(tables[f"{gname}#keys"])
+    slot = np.where(ks_store == 5)[0]
+    assert len(slot) == 1
+    row = np.asarray(tables[gname])[slot[0]]
+    # grad = 2 summed; accum = 4; delta = -0.5*2/sqrt(4) = -0.5 from init 0...
+    # (row was random-init then claimed; delta applied on top)
+    # verify via the accumulator instead: exactly (2g)^2 once
+    accum = np.asarray(state[gname]["accum"])[slot[0]]
+    np.testing.assert_allclose(accum, 4.0, rtol=1e-6)
+
+
+def test_exact_evict_does_not_clobber(mesh1):
+    ebc, tables, state = _build(mesh1, capacity=32)
+    keys = np.array([[3, 11]], dtype=np.int32)
+    tables, state = _step(ebc, tables, state, keys, np.ones((1, 8), np.float32))
+    gname = ebc.plan.groups[0].name
+    ks_store = np.asarray(tables[f"{gname}#keys"])
+    s3 = np.where(ks_store == 3)[0][0]
+    s11 = np.where(ks_store == 11)[0][0]
+    before11 = np.asarray(tables[gname])[s11].copy()
+    tables, state = ebc.evict(tables, state, "dyn", np.array([3]))
+    raw = np.asarray(tables[gname])
+    np.testing.assert_array_equal(raw[s3], 0.0)
+    np.testing.assert_array_equal(raw[s11], before11)  # untouched
+    ks2 = np.asarray(tables[f"{gname}#keys"])
+    assert 3 not in ks2 and 11 in ks2
+
+
+def test_capacity_growth_preserves_rows(mesh1):
+    ebc, tables, state = _build(mesh1, capacity=32, opt_kind=Optimizer_t.AdaGrad)
+    keys = np.array([[1, 2], [3, INVALID_KEY]], dtype=np.int32)
+    d = np.ones((2, 8), dtype=np.float32)
+    tables, state = _step(ebc, tables, state, keys, d)
+    gname = ebc.plan.groups[0].name
+    ks = np.asarray(tables[f"{gname}#keys"])
+    rows_before = {
+        int(k): np.asarray(tables[gname])[np.where(ks == k)[0][0]].copy()
+        for k in (1, 2, 3)
+    }
+    ec2, tables2, state2 = ebc.grow_dynamic_capacity(
+        tables, state, "dyn", 128
+    )
+    g2 = ec2.plan.groups[0]
+    assert int(g2.table_vocab[0]) == 128
+    ks2 = np.asarray(tables2[f"{g2.name}#keys"])
+    raw2 = np.asarray(tables2[g2.name])
+    for k, row in rows_before.items():
+        slot = np.where(ks2 == k)[0]
+        assert len(slot) == 1, f"key {k} lost in growth"
+        np.testing.assert_allclose(raw2[slot[0]], row, rtol=1e-6)
+    # the grown table keeps training
+    tables2, state2 = jax.jit(ec2.backward_and_update)(
+        tables2, state2, {"f": keys}, {"e": d}, jnp.asarray(0.5), jnp.asarray(2)
+    )
+
+
+def test_dynamic_multichip_matches_single(mesh8, mesh1):
+    """8-way sharded dynamic table == single-device result."""
+    rng = np.random.default_rng(31)
+    keys = rng.integers(0, 1000, (16, 2)).astype(np.int32)
+    d = rng.normal(size=(16, 8)).astype(np.float32)
+    outs = {}
+    for rm in (mesh8, mesh1):
+        ebc, tables, state = _build(rm, capacity=256)
+        # zero the init so values are comparable across mesh sizes
+        gname = ebc.plan.groups[0].name
+        tables[gname] = jnp.zeros_like(tables[gname])
+        kd = jax.device_put(keys, rm.batch_sharding())
+        dd = jax.device_put(d, rm.batch_sharding())
+        tables, state = jax.jit(ebc.backward_and_update)(
+            tables, state, {"f": kd}, {"e": dd}, jnp.asarray(0.5), jnp.asarray(1)
+        )
+        fwd = jax.jit(ebc.forward)(tables, {"f": kd})
+        outs[rm] = np.asarray(fwd["e"])
+    np.testing.assert_allclose(outs[mesh8], outs[mesh1], rtol=1e-5, atol=1e-6)
