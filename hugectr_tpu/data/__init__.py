@@ -4,6 +4,7 @@ from .reader import (
     Batch,
     BatchSpec,
     DeviceFeeder,
+    AsyncParquetReader,
     ParquetReader,
     RawReader,
     SparseFeatureSpec,

@@ -154,7 +154,11 @@ class DataGenerator:
                     cols.append(pa.array(list(k)))
                 names.append(c)
             fpath = os.path.join(data_dir, f"gen_{fi}.parquet")
-            pq.write_table(pa.table(cols, names=names), fpath)
+            # bounded row groups so readers can stream/parallelize at
+            # row-group granularity (reference datasets ship multi-RG files)
+            pq.write_table(
+                pa.table(cols, names=names), fpath, row_group_size=65536
+            )
             file_stats.append({"file_name": f"gen_{fi}.parquet", "num_rows": n})
             paths.append(fpath)
 

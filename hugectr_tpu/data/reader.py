@@ -354,9 +354,40 @@ class ParquetReader(BaseReader):
                 f"wants {spec.dense_dim}"
             )
 
-    def __iter__(self) -> Iterator[Batch]:
+    def _decode_table(self, tbl) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Columnar table -> (labels, dense, cats) ndarray triple (the
+        split_3_way analog for Parquet columns)."""
+        lab = np.stack(
+            [tbl[c].to_numpy(zero_copy_only=False) for c in self.label_cols],
+            axis=1,
+        ).astype(np.float32)
+        dense = np.stack(
+            [tbl[c].to_numpy(zero_copy_only=False) for c in self.cont_cols],
+            axis=1,
+        ).astype(np.float32)
+        cat_parts = []
+        for c in self.cat_cols:
+            col = tbl[c].to_numpy(zero_copy_only=False)
+            if col.dtype == object:  # list<int> multi-hot column
+                col = np.stack([np.asarray(v) for v in col])
+            else:
+                col = col[:, None]
+            cat_parts.append(col.astype(self.spec.key_dtype))
+        cat = np.concatenate(cat_parts, axis=1)
+        return lab, dense, cat
+
+    def _chunk_stream(self, paths):
+        """Yield decoded (lab, dense, cat) chunks for one epoch.
+
+        Base implementation: synchronous whole-file reads.
+        AsyncParquetReader overrides this with threaded row-group
+        streaming."""
         import pyarrow.parquet as pq
 
+        for path in paths:
+            yield self._decode_table(pq.read_table(path))
+
+    def __iter__(self) -> Iterator[Batch]:
         s = self.spec
         epoch = 0
         while True:
@@ -368,30 +399,11 @@ class ParquetReader(BaseReader):
             pend_lab, pend_dense, pend_cat = [], [], []
             pending = 0
             yielded = 0
-            for path in paths:
-                tbl = pq.read_table(path)
-                n = tbl.num_rows
-                lab = np.stack(
-                    [tbl[c].to_numpy(zero_copy_only=False) for c in self.label_cols],
-                    axis=1,
-                ).astype(np.float32)
-                dense = np.stack(
-                    [tbl[c].to_numpy(zero_copy_only=False) for c in self.cont_cols],
-                    axis=1,
-                ).astype(np.float32)
-                cat_parts = []
-                for c in self.cat_cols:
-                    col = tbl[c].to_numpy(zero_copy_only=False)
-                    if col.dtype == object:  # list<int> multi-hot column
-                        col = np.stack([np.asarray(v) for v in col])
-                    else:
-                        col = col[:, None]
-                    cat_parts.append(col.astype(self.spec.key_dtype))
-                cat = np.concatenate(cat_parts, axis=1)
+            for lab, dense, cat in self._chunk_stream(paths):
                 pend_lab.append(lab)
                 pend_dense.append(dense)
                 pend_cat.append(cat)
-                pending += n
+                pending += lab.shape[0]
                 while pending >= s.batch_size and yielded < self.num_batches:
                     lab_a = np.concatenate(pend_lab) if len(pend_lab) > 1 else pend_lab[0]
                     dn_a = np.concatenate(pend_dense) if len(pend_dense) > 1 else pend_dense[0]
@@ -439,6 +451,64 @@ class ParquetReader(BaseReader):
             b[f.name] = block
             off_c += take
         return b
+
+
+class AsyncParquetReader(ParquetReader):
+    """Threaded row-group-streaming Parquet reader.
+
+    Analog of the reference's threaded Parquet worker group
+    (parquet_data_reader_worker.cpp:1-469, row_group_reading_thread.cpp:
+    1-263): a thread pool decodes ROW GROUPS (never whole files) while the
+    consumer stitches fixed batches, keeping `prefetch` row groups in
+    flight — IO and Arrow decode overlap training with a bounded memory
+    footprint. Row-group order is deterministic, so batches are identical
+    to the synchronous ParquetReader's (tested)."""
+
+    def __init__(self, *args, n_threads: int = 4, prefetch: int = 8, **kw):
+        super().__init__(*args, **kw)
+        self.n_threads = n_threads
+        self.prefetch = prefetch
+
+    def _chunk_stream(self, paths):
+        import concurrent.futures as cf
+
+        import pyarrow.parquet as pq
+
+        tasks = []
+        for path in paths:
+            pf = pq.ParquetFile(path)
+            for rg in range(pf.metadata.num_row_groups):
+                tasks.append((path, rg))
+            pf.close()
+
+        import threading
+
+        tls = threading.local()
+
+        def read_rg(task):
+            path, rg = task
+            # thread-local file handle cache: one open ParquetFile per
+            # (worker, path) — avoids footer re-reads per row group
+            cache = getattr(tls, "files", None)
+            if cache is None:
+                cache = tls.files = {}
+            pf = cache.get(path)
+            if pf is None:
+                for old in cache.values():
+                    old.close()
+                cache.clear()
+                pf = cache[path] = pq.ParquetFile(path)
+            return self._decode_table(pf.read_row_group(rg))
+
+        with cf.ThreadPoolExecutor(max_workers=self.n_threads) as pool:
+            inflight = []
+            cursor = 0
+            while cursor < len(tasks) or inflight:
+                while cursor < len(tasks) and len(inflight) < self.prefetch:
+                    inflight.append(pool.submit(read_rg, tasks[cursor]))
+                    cursor += 1
+                fut = inflight.pop(0)  # consume IN ORDER (deterministic)
+                yield fut.result()
 
 
 class DeviceFeeder:

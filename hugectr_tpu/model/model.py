@@ -457,13 +457,24 @@ class Model:
                 num_processes=self.rm.num_processes,
             )
         if kind == DataReaderType_t.Parquet:
-            return ParquetReader(
+            from ..data.reader import AsyncParquetReader
+
+            cls = (
+                ParquetReader
+                if os.environ.get("HCTR_TPU_SYNC_PARQUET")
+                else AsyncParquetReader
+            )
+            kw = {}
+            if cls is AsyncParquetReader:
+                kw["n_threads"] = max(rp.num_workers, 1)
+            return cls(
                 src,
                 spec,
                 repeat=self.solver.repeat_dataset if train else False,
                 drop_incomplete=self.solver.drop_incomplete_batch,
                 process_index=self.rm.process_index,
                 num_processes=self.rm.num_processes,
+                **kw,
             )
         raise NotImplementedError(f"reader {kind}")
 

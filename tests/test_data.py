@@ -158,3 +158,48 @@ def test_parquet_shuffle_epochs(tmp_path):
         assert key(b1) == key(b2)  # same multiset of batches
         reordered |= any((x != y).any() for x, y in zip(b1, b2))
     assert reordered
+
+
+def test_async_parquet_matches_sync(tmp_path):
+    """Threaded row-group streaming yields IDENTICAL batches to the
+    synchronous reader (parquet_data_reader_worker.cpp analog)."""
+    from hugectr_tpu.data import AsyncParquetReader
+
+    p = DataGeneratorParams(
+        format=DataReaderType_t.Parquet,
+        label_dim=1,
+        dense_dim=4,
+        num_slot=3,
+        source=str(tmp_path / "train.txt"),
+        eval_source=str(tmp_path / "eval.txt"),
+        slot_size_array=[50, 60, 70],
+        nnz_array=[1, 2, 1],
+        num_files=3,
+        eval_num_files=1,
+        num_samples_per_file=100,
+    )
+    DataGenerator(p).generate()
+    spec = BatchSpec(
+        batch_size=32,
+        label_dims=(1,),
+        label_names=("label",),
+        dense_dim=4,
+        dense_name="dense",
+        sparse=(
+            SparseFeatureSpec("data0", (1,)),
+            SparseFeatureSpec("data1", (2,)),
+            SparseFeatureSpec("data2", (1,)),
+        ),
+    )
+    sync = ParquetReader(str(tmp_path / "train.txt"), spec, repeat=False)
+    anc = AsyncParquetReader(
+        str(tmp_path / "train.txt"), spec, repeat=False, n_threads=3, prefetch=4
+    )
+    bs, ba = list(sync), list(anc)
+    assert len(bs) == len(ba) == sync.num_batches
+    for b1, b2 in zip(bs, ba):
+        for k in b1:
+            np.testing.assert_array_equal(b1[k], b2[k], err_msg=k)
+    # re-iterable (eval path)
+    ba2 = list(anc)
+    assert len(ba2) == len(ba)
