@@ -63,49 +63,151 @@ def _rm() -> ResourceManager:
     return _RM
 
 
-@dataclasses.dataclass
 class Variable:
     """Distributed (row-sharded mod-P) embedding table
     (reference: sok.Variable / DistributedVariable, distributed_variable.py).
 
-    Attributes:
-      table: [rows, ev] sharded jax array (storage, includes shard padding).
-      config: table metadata.
-    """
+    A stateful single-table wrapper over a private LookupEngine — the TF
+    reference's Variables are stateful resources, so this object owns its
+    storage + optimizer state and exposes lookup/apply/assign/to_numpy.
+    `mode="localized:<i>"` maps to partial placement with one logical shard
+    (the whole table resident per replica group), `"distributed"` to full
+    mod-P row sharding."""
 
-    collection: EmbeddingCollection
-    name: str
-
-    @property
-    def table(self) -> jax.Array:
-        return self._storage[self._group]
-
-    # storage pytree is kept externally; Variable is a view helper.
-
-    @classmethod
-    def create(
-        cls,
+    def __init__(
+        self,
         rows: int,
         ev: int,
-        key: jax.Array,
+        key: Optional[jax.Array] = None,
         name: str = "sok_var",
         max_hotness: int = 1,
         combiner: str = "sum",
         mode: str = "distributed",  # "distributed" | "localized:<gpu>"
         opt_params: Optional[OptParams] = None,
+        rm: Optional[ResourceManager] = None,
+        _table_cfg: Optional[EmbeddingTableConfig] = None,
     ):
-        raise NotImplementedError("use sok.lookup_sparse builder instead")
+        from ..core.types import Optimizer_t
+
+        self.name = name
+        self.rows = rows
+        self.ev = ev
+        cfg = _table_cfg or EmbeddingTableConfig(
+            name=name, max_vocabulary_size=rows, ev_size=ev
+        )
+        opt = opt_params or OptParams(Optimizer_t.SGD, lr=1.0)
+        self.engine = LookupEngine(
+            [cfg], [max_hotness], [combiner], opt, rm=rm,
+            shard_counts=(
+                {name: 1} if mode.startswith("localized") else None
+            ),
+        )
+        self.tables = self.engine.init(key if key is not None else jax.random.key(0))
+        self.opt_state = self.engine.init_optimizer(self.tables)
+
+    @classmethod
+    def create(cls, rows: int, ev: int, key: Optional[jax.Array] = None, **kw):
+        return cls(rows, ev, key, **kw)
+
+    # ------------------------------------------------------------- compute
+    def lookup(self, keys: jax.Array) -> jax.Array:
+        """Pooled lookup ([B, hotness] -1-padded keys -> [B, ev])."""
+        if keys.ndim == 1:
+            keys = keys.reshape(-1, 1)
+        return self.engine.lookup(self.tables, [keys])[0]
+
+    def apply_gradients(self, keys, d_out, lr, step: int = 1) -> None:
+        if keys.ndim == 1:
+            keys = keys.reshape(-1, 1)
+        self.tables, self.opt_state = self.engine.apply_gradients(
+            self.tables, self.opt_state, [keys], [d_out], lr, step
+        )
+
+    # ------------------------------------------------------------------ IO
+    def to_numpy(self) -> np.ndarray:
+        return self.engine.ec.export_table(self.tables, self._table_name)
+
+    def assign(self, values: np.ndarray) -> None:
+        self.tables = self.engine.ec.import_table(
+            self.tables, self._table_name, values
+        )
+
+    @property
+    def _table_name(self) -> str:
+        return self.engine.compiled.lookups[0].table.name
+
+    @property
+    def shape(self):
+        return (self.rows, self.ev)
 
 
-class DynamicVariable:
-    """Hash-capacity table (reference: sok.DynamicVariable,
-    dynamic_variable.py:34-305 with DET/HKV backends). On TPU the compiled
-    analog is a fixed-capacity hashing-trick table
-    (max_vocabulary_size=-1 semantics of the embedding collection)."""
+class DynamicVariable(Variable):
+    """Growable exact-key table (reference: sok.DynamicVariable,
+    dynamic_variable.py:34-305 with DET/HKV backends). Backed by the
+    collection's exact dynamic table: a probed device key store with
+    insert-on-backward, collision-free evict, and capacity growth by
+    host-side rehash (`reserve`)."""
 
-    def __init__(self, dimension: int, initial_capacity: int = 2**20, **kw):
+    def __init__(
+        self,
+        dimension: int,
+        initial_capacity: int = 2**20,
+        key: Optional[jax.Array] = None,
+        name: str = "sok_dyn_var",
+        max_hotness: int = 1,
+        combiner: str = "sum",
+        opt_params: Optional[OptParams] = None,
+        rm: Optional[ResourceManager] = None,
+        **kw,
+    ):
+        cfg = EmbeddingTableConfig(
+            name=name,
+            max_vocabulary_size=-1,
+            ev_size=dimension,
+            dynamic_capacity=initial_capacity,
+        )
+        super().__init__(
+            rows=initial_capacity,
+            ev=dimension,
+            key=key,
+            name=name,
+            max_hotness=max_hotness,
+            combiner=combiner,
+            opt_params=opt_params,
+            rm=rm,
+            _table_cfg=cfg,
+        )
         self.dimension = dimension
-        self.initial_capacity = initial_capacity
+
+    @property
+    def capacity(self) -> int:
+        g, ti = self.engine.ec._find_table(self._table_name)
+        return int(g.table_vocab[ti])
+
+    @property
+    def size(self) -> int:
+        """Number of resident keys (reference: DynamicVariable.size)."""
+        g, _ = self.engine.ec._find_table(self._table_name)
+        ks = self.engine.ec._host_key_store(self.tables, g)
+        return int(
+            (ks != int(self.engine.ec.EMPTY_KEY)).sum()
+            // max(g.num_replicas, 1)
+        )
+
+    def reserve(self, new_capacity: int) -> None:
+        """Grow capacity by host-side rehash between passes."""
+        ec2, t2, s2 = self.engine.ec.grow_dynamic_capacity(
+            self.tables, self.opt_state, self._table_name, new_capacity
+        )
+        self.engine.ec = ec2
+        self.engine.compiled = ec2.plan
+        self.tables, self.opt_state = t2, s2
+        self.rows = new_capacity
+
+    def evict(self, keys) -> None:
+        self.tables, self.opt_state = self.engine.ec.evict(
+            self.tables, self.opt_state, self._table_name, keys
+        )
 
 
 class LookupEngine:
@@ -120,6 +222,7 @@ class LookupEngine:
         opt: OptParams,
         rm: Optional[ResourceManager] = None,
         dp_tables: Sequence[str] = (),
+        shard_counts: Optional[Dict[str, int]] = None,
     ):
         self.rm = rm or _rm()
         lookups = [
@@ -136,7 +239,8 @@ class LookupEngine:
         mp = [t.name for t in tables if t.name not in set(dp_tables)]
         plan = ShardingPlan(strategy=[("mp", mp), ("dp", list(dp_tables))])
         self.compiled = compile_plan(
-            lookups, plan, num_shards=self.rm.data_parallel_size
+            lookups, plan, num_shards=self.rm.data_parallel_size,
+            shard_counts=shard_counts,
         )
         self.ec = EmbeddingCollection(self.compiled, self.rm, opt)
         self.n = len(lookups)

@@ -115,3 +115,71 @@ def test_evict_and_incremental_dump(mesh8):
     inc = sok.incremental_model_dump(eng, tables, {"a": np.asarray([5, 7])})
     np.testing.assert_allclose(inc["a"]["values"][0], before[5])
     np.testing.assert_allclose(inc["a"]["values"][1], 0.0)
+
+
+def test_variable_create_and_train(mesh8):
+    """sok.Variable: real distributed table object (distributed_variable.py
+    analog) — lookup, gradient apply, assign/to_numpy round trip."""
+    sok.init(mesh8)
+    v = sok.Variable.create(
+        rows=64, ev=8, key=jax.random.key(3), name="v0", max_hotness=2,
+        opt_params=OptParams(Optimizer_t.SGD, lr=0.5),
+    )
+    assert v.shape == (64, 8)
+    dense = np.random.default_rng(5).normal(size=(64, 8)).astype(np.float32)
+    v.assign(dense)
+    np.testing.assert_allclose(v.to_numpy(), dense, rtol=1e-6)
+    keys = np.full((16, 2), -1, dtype=np.int32)
+    keys[0] = [3, 9]
+    keys[1] = [4, -1]
+    out = np.asarray(v.lookup(keys))
+    np.testing.assert_allclose(out[0], dense[3] + dense[9], rtol=1e-5)
+    np.testing.assert_allclose(out[1], dense[4], rtol=1e-5)
+    d = np.zeros((16, 8), dtype=np.float32)
+    d[:2] = 1.0
+    v.apply_gradients(keys, d, lr=0.5)
+    after = v.to_numpy()
+    np.testing.assert_allclose(after[3], dense[3] - 0.5, rtol=1e-5)
+    np.testing.assert_allclose(after[0], dense[0], rtol=1e-6)  # untouched
+
+
+def test_localized_variable_mode(mesh8):
+    sok.init(mesh8)
+    v = sok.Variable(
+        rows=40, ev=8, key=jax.random.key(1), name="vloc",
+        mode="localized:0",
+    )
+    g = v.engine.ec.plan.groups[0]
+    assert g.num_shards == 1 and g.num_replicas == 8
+    dense = np.random.default_rng(2).normal(size=(40, 8)).astype(np.float32)
+    v.assign(dense)
+    k = np.full((8, 1), -1, dtype=np.int32)
+    k[0, 0] = 7
+    out = np.asarray(v.lookup(k))
+    np.testing.assert_allclose(out[0], dense[7], rtol=1e-5)
+
+
+def test_dynamic_variable_full_lifecycle(mesh1):
+    """sok.DynamicVariable: exact store, size/capacity, evict, reserve
+    (dynamic_variable.py:34-305 analog)."""
+    sok.init(mesh1)
+    v = sok.DynamicVariable(
+        dimension=8, initial_capacity=32, key=jax.random.key(0),
+        max_hotness=2,
+        opt_params=OptParams(Optimizer_t.SGD, lr=0.5),
+    )
+    assert v.capacity == 32 and v.size == 0
+    keys = np.array([[1000001, 7], [42, -1]], dtype=np.int32)
+    # first lookup misses (not yet inserted)
+    np.testing.assert_array_equal(np.asarray(v.lookup(keys)), 0.0)
+    v.apply_gradients(keys, np.ones((2, 8), np.float32), lr=0.5)
+    assert v.size == 3
+    out = np.asarray(v.lookup(keys))
+    assert np.abs(out).sum() > 0
+    v.evict(np.array([42]))
+    assert v.size == 2
+    v.reserve(128)
+    assert v.capacity == 128 and v.size == 2
+    out2 = np.asarray(v.lookup(keys))
+    # rows for keys 1000001 and 7 survived the growth
+    assert np.abs(out2[0]).sum() > 0
