@@ -181,11 +181,24 @@ class _Converter:
         except KeyError:
             pass
         wn = self.init_const("W", w)
-        ins = [x, wn]
-        if b is not None:
-            ins.append(self.init_const("B", b))
         pre = self.g.uname("gemm") if (act or relu) else top
-        self.g.add_node("Gemm", ins, [pre])
+        in_shape = self.shapes.get(x)
+        if in_shape is not None and len(in_shape) == 3:
+            # 3-D input (BST-style per-position projection): ONNX Gemm is
+            # 2-D only, so emit MatMul (+ broadcast Add for bias) —
+            # reference graph_builder.py does the same shape split
+            mm = pre if b is None else self.g.uname("mm")
+            self.g.add_node("MatMul", [x, wn], [mm])
+            if b is not None:
+                self.g.add_node("Add", [mm, self.init_const("B", b)], [pre])
+            self.shapes[pre] = (in_shape[0], in_shape[1], w.shape[1])
+            self.shapes[top] = self.shapes[pre]
+        else:
+            ins = [x, wn]
+            if b is not None:
+                ins.append(self.init_const("B", b))
+            self.g.add_node("Gemm", ins, [pre])
+            self.shapes[top] = (self.batch, w.shape[1])
         if relu or act == "relu":
             self.g.add_node("Relu", [pre], [top])
         elif act == "sigmoid":
@@ -270,7 +283,14 @@ class _Converter:
         return []
 
     def _op_Concat(self, li, cfg, bots, tops):
-        self.g.add_node("Concat", bots, [tops[0]], axis=cfg.get("axis", 1))
+        axis = cfg.get("axis", 1)
+        self.g.add_node("Concat", bots, [tops[0]], axis=axis)
+        shp = [self.shapes.get(b) for b in bots]
+        if all(s is not None for s in shp) and len({len(s) for s in shp}) == 1:
+            out = list(shp[0])
+            ax = axis if axis >= 0 else len(out) + axis
+            out[ax] = sum(s[ax] for s in shp)
+            self.shapes[tops[0]] = tuple(out)
         return []
 
     def _op_Reshape(self, li, cfg, bots, tops):
@@ -316,6 +336,8 @@ class _Converter:
             y = tops[0] if i == len(bots) - 2 else self.g.uname("add")
             self.g.add_node("Add", [x, b], [y])
             x = y
+        if bots[0] in self.shapes:
+            self.shapes[tops[0]] = self.shapes[bots[0]]
         return []
 
     def _op_Sub(self, li, cfg, bots, tops):
@@ -474,8 +496,8 @@ class _Converter:
         # [B,1] lengths -> [B,1,F,T] boolean-ish mask (float 0/1)
         F = int(cfg["max_sequence_len_from"])
         T = int(cfg["max_sequence_len_to"])
-        i_idx = self.init_const("i", np.arange(F, np.float32).reshape(1, 1, F, 1))
-        j_idx = self.init_const("j", np.arange(T, np.float32).reshape(1, 1, 1, T))
+        i_idx = self.init_const("i", np.arange(F, dtype=np.float32).reshape(1, 1, F, 1))
+        j_idx = self.init_const("j", np.arange(T, dtype=np.float32).reshape(1, 1, 1, T))
         lf = self.g.uname("lf")
         axs = self.init_const("sq_ax", np.asarray([1, 2], np.int64))
         self.g.add_node("Unsqueeze", [bots[0], axs], [lf])  # [B,1,1,1]
@@ -580,6 +602,45 @@ class _Converter:
             epsilon=float(cfg.get("eps", 1e-5)),
             axis=-1,
         )
+        if bots[0] in self.shapes:
+            self.shapes[tops[0]] = self.shapes[bots[0]]
+        return []
+
+    def _op_GRU(self, li, cfg, bots, tops):
+        """GRU export (reference: graph_builder.py GRU path). Our layer
+        stores w [V, 3H] / u [H, 3H] with gates stacked (z, r, n) — matching
+        ONNX's (z, r, h) order with linear_before_reset=1 (the layer applies
+        the reset gate AFTER the hidden projection, gru_layer semantics)."""
+        S, V, H = cfg["SeqLength"], cfg["vector_size"], cfg["num_output"]
+        w = self.w(li, "w")      # [V, 3H]
+        u = self.w(li, "u")      # [H, 3H]
+        bw = self.w(li, "bw")    # [3H]
+        bu = self.w(li, "bu")    # [3H]
+        W = self.init_const("gru_W", w.T[None])          # [1, 3H, V]
+        R = self.init_const("gru_R", u.T[None])          # [1, 3H, H]
+        B = self.init_const(
+            "gru_B", np.concatenate([bw, bu])[None]       # [1, 6H]
+        )
+        shp = self.init_const("gru_in", np.asarray([-1, S, V], np.int64))
+        x3 = self.g.uname("gru_x3")
+        self.g.add_node("Reshape", [bots[0], shp], [x3], allowzero=0)
+        xt = self.g.uname("gru_xt")
+        self.g.add_node("Transpose", [x3], [xt], perm=[1, 0, 2])
+        y = self.g.uname("gru_y")
+        yh = self.g.uname("gru_yh")
+        self.g.add_node(
+            "GRU",
+            [xt, W, R, B],
+            [y, yh],
+            hidden_size=int(H),
+            linear_before_reset=1,
+        )
+        # Y: [S, 1, B, H] -> [B, S*H]
+        yt = self.g.uname("gru_yt")
+        self.g.add_node("Transpose", [y], [yt], perm=[2, 0, 1, 3])
+        out_shp = self.init_const("gru_out", np.asarray([-1, S * H], np.int64))
+        self.g.add_node("Reshape", [yt, out_shp], [tops[0]], allowzero=0)
+        self.shapes[tops[0]] = (self.batch, S * H)
         return []
 
     def _op_BinaryCrossEntropyLoss(self, li, cfg, bots, tops):

@@ -452,3 +452,325 @@ def test_din_style_attention_export(mesh1, tmp_path):
     # standardization in the export (reference converter approximation), so
     # compare loosely on ordering + closeness
     np.testing.assert_allclose(onnx_pred, want, rtol=0.2, atol=0.05)
+
+
+def _extend_interpreter():
+    """Add LayerNormalization + GRU to run_model (numpy semantics)."""
+    # implemented inline in run_model_ext below
+
+
+def run_model_ext(nodes, inits, feeds):
+    """run_model + LayerNormalization/GRU/Tanh support."""
+    env = dict(inits)
+    env.update(feeds)
+    remaining = []
+    for n in nodes:
+        op, ins, outs, a = n["op"], n["inputs"], n["outputs"], n["attrs"]
+        if op == "LayerNormalization":
+            x, g, b = (env[i] for i in ins)
+            mu = x.mean(-1, keepdims=True)
+            var = x.var(-1, keepdims=True)
+            env[outs[0]] = (x - mu) / np.sqrt(var + a.get("epsilon", 1e-5)) * g + b
+        elif op == "Tanh":
+            env[outs[0]] = np.tanh(env[ins[0]])
+        elif op == "Less":
+            env[outs[0]] = env[ins[0]] < env[ins[1]]
+        elif op == "Greater":
+            env[outs[0]] = env[ins[0]] > env[ins[1]]
+        elif op == "And":
+            env[outs[0]] = env[ins[0]] & env[ins[1]]
+        elif op == "Not":
+            env[outs[0]] = ~env[ins[0]]
+        elif op == "Cast":
+            env[outs[0]] = env[ins[0]].astype(np.float32)
+        elif op == "Where":
+            env[outs[0]] = np.where(env[ins[0]], env[ins[1]], env[ins[2]])
+        elif op == "Div":
+            env[outs[0]] = env[ins[0]] / env[ins[1]]
+        elif op == "GRU":
+            X, W, R, B = (env[i] for i in ins)  # [S,Bt,V],[1,3H,V],[1,3H,H],[1,6H]
+            S, Bt, V = X.shape
+            H = R.shape[2]
+            Wz, Wr, Wn = np.split(W[0], 3, axis=0)
+            Rz, Rr, Rn = np.split(R[0], 3, axis=0)
+            bw, bu = B[0][: 3 * H], B[0][3 * H :]
+            bwz, bwr, bwn = np.split(bw, 3)
+            buz, bur, bun = np.split(bu, 3)
+            h = np.zeros((Bt, H), np.float32)
+            ys = []
+            for t in range(S):
+                x = X[t]
+                z = 1 / (1 + np.exp(-(x @ Wz.T + bwz + h @ Rz.T + buz)))
+                r = 1 / (1 + np.exp(-(x @ Wr.T + bwr + h @ Rr.T + bur)))
+                nn = np.tanh(x @ Wn.T + bwn + r * (h @ Rn.T + bun))
+                h = (1 - z) * nn + z * h
+                ys.append(h)
+            Y = np.stack(ys)[:, None]  # [S,1,B,H]
+            env[outs[0]] = Y
+            if len(outs) > 1:
+                env[outs[1]] = h[None]
+        else:
+            sub_env = run_model([n], {}, env)
+            env.update(sub_env)
+    return env
+
+
+def test_bst_style_export(mesh1, tmp_path):
+    """BST transformer block (SequenceMask + 3-D InnerProduct projections +
+    MultiHeadAttention + Add/LayerNorm + ReduceMean) exports and matches
+    numerically (reference graph_builder.py MHA/SequenceMask paths)."""
+    import jax
+    import hugectr_tpu as hugectr
+    from hugectr_tpu.core.types import DataReaderType_t
+
+    SEQ, EV = 3, 8
+    solver = hugectr.CreateSolver(
+        max_eval_batches=1, batchsize_eval=16, batchsize=16, lr=0.01
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=2
+    )
+    model = hugectr.Model(
+        solver,
+        reader,
+        hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.SGD),
+        resource_manager=mesh1,
+    )
+    model.add(
+        hugectr.Input(
+            label_dim=1,
+            label_name="label",
+            dense_dim=1,
+            dense_name="dense",
+            data_reader_sparse_param_array=[
+                hugectr.DataReaderSparseParam("GoodID", 1, True, SEQ),
+                hugectr.DataReaderSparseParam("CateID", 1, True, SEQ),
+            ],
+        )
+    )
+    for name, bottom in (
+        ("emb_good", "GoodID"),
+        ("emb_cate", "CateID"),
+    ):
+        model.add(
+            hugectr.SparseEmbedding(
+                embedding_type=hugectr.Embedding_t.DistributedSlotSparseEmbeddingHash,
+                workspace_size_per_gpu_in_mb=1,
+                embedding_vec_size=EV,
+                combiner="sum",
+                sparse_embedding_name=name,
+                bottom_name=bottom,
+                max_vocabulary_size=40,
+            )
+        )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.SequenceMask,
+            bottom_names=["dense", "dense"],
+            top_names=["seq_mask"],
+            max_sequence_len_from=SEQ,
+            max_sequence_len_to=SEQ,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Concat,
+            bottom_names=["emb_cate", "emb_good"],
+            top_names=["hist"],
+            axis=2,
+        )
+    )
+    for proj in ("q", "k", "v"):
+        model.add(
+            hugectr.DenseLayer(
+                layer_type=hugectr.Layer_t.InnerProduct,
+                bottom_names=["hist"],
+                top_names=[proj],
+                num_output=16,
+            )
+        )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.MultiHeadAttention,
+            bottom_names=["q", "k", "v", "seq_mask"],
+            top_names=["attn"],
+            num_attention_heads=2,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Add,
+            bottom_names=["attn", "q"],
+            top_names=["attn_res"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.LayerNorm,
+            bottom_names=["attn_res"],
+            top_names=["attn_ln"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.ReduceMean,
+            bottom_names=["attn_ln"],
+            top_names=["attn_pool"],
+            axis=1,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Reshape,
+            bottom_names=["attn_pool"],
+            top_names=["attn_flat"],
+            leading_dim=16,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Concat,
+            bottom_names=["attn_flat", "dense"],
+            top_names=["feat"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=["feat"],
+            top_names=["logit"],
+            num_output=1,
+            act_type=hugectr.Activation_t.Non,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+            bottom_names=["logit", "label"],
+            top_names=["loss"],
+        )
+    )
+    model.compile()
+    model.train()
+    prefix = str(tmp_path / "snap")
+    model.download_params_to_files(prefix, 1)
+    gpath = str(tmp_path / "graph.json")
+    model.graph_to_json(gpath)
+    onnx_path = str(tmp_path / "bst.onnx")
+    hugectr2onnx.convert(onnx_path, gpath, f"{prefix}_iter1", batch_size=16)
+
+    nodes, inits, inputs, outputs = parse_model(open(onnx_path, "rb").read())
+    rng = np.random.default_rng(4)
+    feeds = {
+        "dense": np.full((16, 1), SEQ, dtype=np.float32),
+        "GoodID": rng.integers(0, 40, (16, SEQ)).astype(np.int64),
+        "CateID": rng.integers(0, 40, (16, SEQ)).astype(np.int64),
+    }
+    env = run_model_ext(nodes, inits, feeds)
+    onnx_pred = env[outputs[0]].reshape(-1)
+    batch = {
+        "label": np.zeros((16, 1), np.float32),
+        "dense": feeds["dense"],
+        "GoodID": feeds["GoodID"].astype(np.int32),
+        "CateID": feeds["CateID"].astype(np.int32),
+    }
+    logits = model.check_out_tensor("logit", batch)
+    want = 1.0 / (1.0 + np.exp(-logits.reshape(-1)))
+    np.testing.assert_allclose(onnx_pred, want, rtol=1e-3, atol=1e-4)
+
+
+def test_gru_export(mesh1, tmp_path):
+    """GRU layer exports to an ONNX GRU node and matches numerically."""
+    import jax
+    import hugectr_tpu as hugectr
+    from hugectr_tpu.core.types import DataReaderType_t
+
+    SEQ, V, H = 4, 8, 6
+    solver = hugectr.CreateSolver(
+        max_eval_batches=1, batchsize_eval=8, batchsize=8, lr=0.01
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=2
+    )
+    model = hugectr.Model(
+        solver,
+        reader,
+        hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.SGD),
+        resource_manager=mesh1,
+    )
+    model.add(
+        hugectr.Input(
+            label_dim=1,
+            label_name="label",
+            dense_dim=SEQ * V,
+            dense_name="dense",
+            data_reader_sparse_param_array=[
+                hugectr.DataReaderSparseParam("d0", 1, True, 1)
+            ],
+        )
+    )
+    tables = [
+        hugectr.EmbeddingTableConfig(name="t0", max_vocabulary_size=20, ev_size=4)
+    ]
+    ebc = hugectr.EmbeddingCollectionConfig()
+    ebc.embedding_lookup(tables, ["d0"], "emb", ["sum"])
+    ebc.shard(shard_matrix=[["t0"]], shard_strategy=[("mp", ["t0"])])
+    model.add(ebc)
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.GRU,
+            bottom_names=["dense"],
+            top_names=["gru_out"],
+            num_output=H,
+            SeqLength=SEQ,
+            vector_size=V,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Concat,
+            bottom_names=["gru_out", "emb"],
+            top_names=["feat"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=["feat"],
+            top_names=["logit"],
+            num_output=1,
+            act_type=hugectr.Activation_t.Non,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+            bottom_names=["logit", "label"],
+            top_names=["loss"],
+        )
+    )
+    model.compile()
+    model.train()
+    prefix = str(tmp_path / "snap")
+    model.download_params_to_files(prefix, 1)
+    gpath = str(tmp_path / "graph.json")
+    model.graph_to_json(gpath)
+    onnx_path = str(tmp_path / "gru.onnx")
+    hugectr2onnx.convert(onnx_path, gpath, f"{prefix}_iter1", batch_size=8)
+    nodes, inits, inputs, outputs = parse_model(open(onnx_path, "rb").read())
+    assert any(n["op"] == "GRU" for n in nodes)
+    rng = np.random.default_rng(6)
+    feeds = {
+        "dense": rng.random((8, SEQ * V), dtype=np.float32),
+        "d0": rng.integers(0, 20, (8, 1)).astype(np.int64),
+    }
+    env = run_model_ext(nodes, inits, feeds)
+    onnx_pred = env[outputs[0]].reshape(-1)
+    batch = {
+        "label": np.zeros((8, 1), np.float32),
+        "dense": feeds["dense"],
+        "d0": feeds["d0"].astype(np.int32),
+    }
+    logits = model.check_out_tensor("logit", batch)
+    want = 1.0 / (1.0 + np.exp(-logits.reshape(-1)))
+    np.testing.assert_allclose(onnx_pred, want, rtol=1e-3, atol=1e-4)
