@@ -52,7 +52,45 @@ class Solver:
     # TPU-specific
     num_devices: int = 0  # 0 = all
     ev_parallelism: int = 1
+    num_slices: int = 1  # >1: hierarchical ("dcn","ici") multi-slice mesh
     embedding_vec_dtype: str = "float32"  # "bfloat16" halves table HBM+traffic
+    # ---- embedding engine performance knobs (None = keep current default).
+    # These mirror the HCTR_TPU_* env vars but live in the config like the
+    # reference's Solver/EBC capacity options:
+    #   mp_capacity_factor: multi-chip owner-partition capacity; a finite
+    #     factor caps per-shard work at K*factor/shards and DROPS overflow
+    #     gradient contributions under hot-key skew (the reference's
+    #     all-to-all comm-buffer capacity semantics). 0 = exact.
+    #   unique_cap_factor: single-pass unique-row compaction window; EXACT —
+    #     a runtime cond falls back to the full path on overflow.
+    #   segsum_mode: "xla" (segment_sum) or "scan" (Pallas segscan).
+    #   onehot_vocab: small-table MXU one-hot engine threshold (0 = off).
+    #   split_vocab: per-table storage-group threshold for big tables.
+    #   hot_rows: frequent/infrequent split size (0 = off).
+    mp_capacity_factor: Optional[float] = None
+    unique_cap_factor: Optional[float] = None
+    segsum_mode: Optional[str] = None
+    onehot_vocab: Optional[int] = None
+    split_vocab: Optional[int] = None
+    hot_rows: Optional[int] = None
+
+    def apply_engine_knobs(self) -> None:
+        """Export configured engine knobs to the HCTR_TPU_* environment
+        (read at trace time by the embedding engine); called by
+        Model.compile()."""
+        import os
+
+        for field, env in (
+            ("mp_capacity_factor", "HCTR_TPU_MP_CAPACITY_FACTOR"),
+            ("unique_cap_factor", "HCTR_TPU_UCAP_FACTOR"),
+            ("segsum_mode", "HCTR_TPU_SEGSUM"),
+            ("onehot_vocab", "HCTR_TPU_ONEHOT_VOCAB"),
+            ("split_vocab", "HCTR_TPU_SPLIT_VOCAB"),
+            ("hot_rows", "HCTR_TPU_HOT_ROWS"),
+        ):
+            v = getattr(self, field)
+            if v is not None:
+                os.environ[env] = str(v)
 
     @property
     def compute_dtype(self):

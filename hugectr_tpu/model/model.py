@@ -26,6 +26,7 @@ from ..core.mesh import ResourceManager, set_default_resource_manager
 from ..core.types import (
     Combiner_t,
     DataReaderType_t,
+    INVALID_KEY,
     Metric_t,
 )
 from ..data.reader import (
@@ -90,7 +91,9 @@ class Model:
         self.reader_params = reader_params
         self.opt_params = optimizer
         self.rm = resource_manager or ResourceManager.create(
-            num_devices=solver.num_devices, ev_parallelism=solver.ev_parallelism
+            num_devices=solver.num_devices,
+            ev_parallelism=solver.ev_parallelism,
+            num_slices=solver.num_slices,
         )
         set_default_resource_manager(self.rm)
         self.input: Optional[Input] = None
@@ -129,6 +132,7 @@ class Model:
         if self.input is None:
             raise ValueError("model needs an Input")
         s = self.solver
+        s.apply_engine_knobs()
         inp = self.input
         if loss_names and loss_weights:
             inp.label_weights = dict(zip(loss_names, loss_weights))
@@ -638,7 +642,59 @@ class Model:
         self._train_step = jax.jit(train_step, donate_argnums=0)
         self._eval_step = jax.jit(eval_step)
 
+    def _build_i64_fold(self) -> Dict[str, list]:
+        """Per-sparse-feature column windows for host-side int64 key folding.
+
+        i64_input_key (reference Solver knob, end-to-end i64 keys through
+        parser.hpp): device-side key math stays int32 for HBM/ICI
+        efficiency, so 64-bit keys fold ON THE HOST while still wide:
+        static tables take table-local `k mod vocab` (exact for in-range
+        keys, the documented wrap otherwise), dynamic tables mix 64 -> 31
+        bits (splitmix) before the exact-store probe."""
+        fold: Dict[str, list] = {}
+        if self.ec is None:
+            return fold
+        for top, ks in self._key_sources.items():
+            g, lm = self.ec.plan.group_of_lookup(int(top.rsplit(":", 1)[1]))
+            t = g.tables[lm.table_index]
+            fold.setdefault(ks.param_name, []).append(
+                (
+                    ks.col_begin,
+                    ks.col_end,
+                    int(t.vocabulary_size) - ks.key_offset,
+                    bool(t.is_dynamic),
+                )
+            )
+        return fold
+
+    def _fold_i64_keys(self, batch):
+        if not getattr(self, "_i64_fold", None):
+            self._i64_fold = self._build_i64_fold()
+        out = dict(batch)
+        for name, windows in self._i64_fold.items():
+            if name not in out:
+                continue
+            k = np.asarray(out[name])
+            if k.dtype != np.int64:
+                continue
+            k32 = np.empty(k.shape, np.int32)
+            for lo, hi, modulo, dynamic in windows:
+                w = k[:, lo:hi]
+                neg = w < 0
+                if dynamic:
+                    m = (w.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                    f = ((m >> np.uint64(33)) & np.uint64(0x7FFFFFFF)).astype(
+                        np.int32
+                    )
+                else:
+                    f = (w % max(modulo, 1)).astype(np.int32)
+                k32[:, lo:hi] = np.where(neg, np.int32(INVALID_KEY), f)
+            out[name] = k32
+        return out
+
     def _put_batch(self, batch) -> Dict[str, jax.Array]:
+        if self.solver.i64_input_key:
+            batch = self._fold_i64_keys(batch)
         sh = self.rm.batch_sharding()
         if self.rm.num_processes > 1:
             # multi-controller: every process supplies ITS batch shard; the

@@ -192,3 +192,81 @@ def test_graph_to_json(mesh8, tmp_path):
     with open(path) as f:
         g = json.load(f)
     assert len(g["dense_layers"]) >= 5
+
+
+def test_i64_input_keys_fold(mesh8):
+    """i64_input_key: 64-bit keys fold host-side to table-local int32
+    (Solver.i64_input_key end-to-end analog); values >= 2^31 no longer wrap
+    silently."""
+    solver = hugectr.CreateSolver(
+        max_eval_batches=2,
+        batchsize_eval=64,
+        batchsize=64,
+        lr=0.01,
+        i64_input_key=True,
+        repeat_dataset=True,
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=4
+    )
+    model = hugectr.Model(
+        solver,
+        reader,
+        hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.SGD),
+        resource_manager=mesh8,
+    )
+    model.add(
+        hugectr.Input(
+            label_dim=1,
+            label_name="label",
+            dense_dim=4,
+            dense_name="dense",
+            data_reader_sparse_param_array=[
+                hugectr.DataReaderSparseParam("d0", 2, True, 1)
+            ],
+        )
+    )
+    tables = [
+        hugectr.EmbeddingTableConfig(name="t0", max_vocabulary_size=100, ev_size=8)
+    ]
+    ebc = hugectr.EmbeddingCollectionConfig()
+    ebc.embedding_lookup(tables, ["d0"], "emb", ["sum"])
+    ebc.shard(shard_matrix=[["t0"]] * 8, shard_strategy=[("mp", ["t0"])])
+    model.add(ebc)
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Concat,
+            bottom_names=["emb", "dense"],
+            top_names=["c"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=["c"],
+            top_names=["logit"],
+            num_output=1,
+            act_type=hugectr.Activation_t.Non,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+            bottom_names=["logit", "label"],
+            top_names=["loss"],
+        )
+    )
+    model.compile()
+    # unit check: >= 2^31 keys fold to k % vocab, padding survives
+    big = np.array(
+        [[2**33 + 7, -1], [2**31 + 101, 5]], dtype=np.int64
+    )
+    folded = model._fold_i64_keys({"d0": big})["d0"]
+    assert folded.dtype == np.int32
+    assert folded[0, 0] == (2**33 + 7) % 100
+    assert folded[0, 1] == -1
+    assert folded[1, 0] == (2**31 + 101) % 100
+    assert folded[1, 1] == 5
+    # e2e: training with the i64 synthetic pipeline stays finite
+    losses = [model.train() for _ in range(5)]
+    assert np.isfinite(losses).all()
