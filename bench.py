@@ -20,6 +20,9 @@ def main():
     # unique-prefix compaction (exact — cond fallback when unique rows
     # exceed the cap), one-hot MXU engine for small tables (lib default)
     os.environ.setdefault("HCTR_TPU_EMB_DTYPE", "bfloat16")
+    # bf16 optimizer state: validated by the AUC convergence gate
+    # (tests/test_convergence.py::test_bf16_optimizer_state_convergence_gate)
+    os.environ.setdefault("HCTR_TPU_EMB_STATE_DTYPE", "bfloat16")
     os.environ.setdefault("HCTR_TPU_SEGSUM", "xla")
     os.environ.setdefault("HCTR_TPU_UCAP_FACTOR", "0.4")
     # honor driver environment; default to whatever platform JAX picks
@@ -78,8 +81,14 @@ def main():
         "iters": iters,
         "sec_per_iter": round(dt / iters, 5),
         "emb_dtype": os.environ["HCTR_TPU_EMB_DTYPE"],
+        "emb_state_dtype": os.environ.get("HCTR_TPU_EMB_STATE_DTYPE", "float32"),
         "segsum": os.environ["HCTR_TPU_SEGSUM"],
         "vocab_cap": vocab_cap,
+        # measurement caveats vs the full MLPerf operating point: per-table
+        # vocab capped (4x40M tables exceed one chip's HBM), synthetic
+        # power-law keys, device-cached batches (input pipeline measured
+        # separately; async readers sustain >2M ex/s host-side)
+        "caveats": "vocab_capped,synthetic_keys,device_cached_batches",
     }
     print(json.dumps(out))
 

@@ -95,6 +95,16 @@ class EmbeddingCollection:
         self.rm = rm
         self.opt = opt
         self.dtype = dtype
+        # optimizer state stays fp32 by default even for bf16 tables:
+        # bf16 cannot accumulate Adam/RMSProp's small moment increments
+        # (reference mixed precision likewise keeps fp32 optimizer math)
+        import os as _os
+
+        self.state_dtype = (
+            jnp.bfloat16
+            if _os.environ.get("HCTR_TPU_EMB_STATE_DTYPE", "") in ("bfloat16", "bf16")
+            else jnp.float32
+        )
         self.comm_strategy = CommunicationStrategy(
             comm_strategy or CommunicationStrategy.Uniform
         )
@@ -181,7 +191,9 @@ class EmbeddingCollection:
             rows = g.total_storage_rows
 
             def make(rows=rows, g=g, opt=opt):
-                return sparse_optimizer.init_state(opt, rows, g.ev_size, self.dtype)
+                return sparse_optimizer.init_state(
+                    opt, rows, g.ev_size, self.state_dtype
+                )
 
             st = jax.jit(make, out_shardings=None)()
             state[g.name] = jax.tree.map(

@@ -201,14 +201,14 @@ def apply_dense(
     the touched rows update as one fused element-wise sweep (VPU, no
     gather/scatter)."""
     kind = opt.optimizer
-    g = grad.astype(table.dtype)
+    g = grad.astype(jnp.promote_types(table.dtype, jnp.float32))
     t_mask = touched[:, None]
 
     def sel(new: Array, old: Array) -> Array:
-        return jnp.where(t_mask, new, old)
+        return jnp.where(t_mask, new.astype(old.dtype), old)
 
     if kind == Optimizer_t.SGD:
-        return table - lr * g, state
+        return (table - lr * g).astype(table.dtype), state
 
     if kind == Optimizer_t.MomentumSGD:
         m = opt.momentum_factor * state["m"] - lr * g
@@ -222,7 +222,9 @@ def apply_dense(
     if kind == Optimizer_t.AdaGrad:
         accum = state["accum"] + g * g
         delta = -lr * g / (jnp.sqrt(accum) + opt.epsilon)
-        return table + delta, {"accum": accum}
+        return (table + delta).astype(table.dtype), {
+            "accum": accum.astype(state["accum"].dtype)
+        }
 
     if kind == Optimizer_t.RMSProp:
         v = opt.beta * state["v"] + (1.0 - opt.beta) * g * g
@@ -230,7 +232,9 @@ def apply_dense(
         return sel(table + delta, table), {"v": sel(v, state["v"])}
 
     if kind == Optimizer_t.Adam:
-        t = step.astype(table.dtype)
+        # bias-correction scalars MUST be fp32: bf16 rounds beta2=0.999
+        # to 0.996 and the early-step correction comes out 4x off (NaN blowup)
+        t = step.astype(jnp.float32)
         m = opt.beta1 * state["m"] + (1.0 - opt.beta1) * g
         v = opt.beta2 * state["v"] + (1.0 - opt.beta2) * g * g
         mhat = m / (1.0 - opt.beta1**t)
@@ -356,6 +360,7 @@ def _apply_rows(
         )
 
     def scatter_add(a: Array, vals: Array) -> Array:
+        vals = vals.astype(a.dtype)  # mixed state/table dtypes (fp32 state)
         if mask is not None:
             vals = jnp.where(mask, vals, jnp.zeros_like(vals))
         return a.at[uidx].add(
@@ -367,7 +372,8 @@ def _apply_rows(
         mode (old = gather(a), already computed by every caller)."""
         if is_unique:
             return a.at[uidx].set(
-                vals, mode="drop", indices_are_sorted=True, unique_indices=True
+                vals.astype(a.dtype), mode="drop",
+                indices_are_sorted=True, unique_indices=True,
             )
         return scatter_add(a, vals - old)
 
@@ -409,7 +415,9 @@ def _apply_rows(
     if kind == Optimizer_t.Adam:
         # Lazy per-row moments with global-step bias correction
         # (Update_t::LazyGlobal semantics; untouched rows keep stale moments).
-        t = step.astype(table.dtype)
+        # bias-correction scalars MUST be fp32: bf16 rounds beta2=0.999
+        # to 0.996 and the early-step correction comes out 4x off (NaN blowup)
+        t = step.astype(jnp.float32)
         m_old = gather(state["m"])
         v_old = gather(state["v"])
         m = opt.beta1 * m_old + (1.0 - opt.beta1) * g
