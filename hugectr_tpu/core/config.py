@@ -74,12 +74,15 @@ class Solver:
     split_vocab: Optional[int] = None
     hot_rows: Optional[int] = None
 
-    def apply_engine_knobs(self) -> None:
-        """Export configured engine knobs to the HCTR_TPU_* environment
-        (read at trace time by the embedding engine); called by
-        Model.compile()."""
+    def apply_engine_knobs(self):
+        """Export configured engine knobs to the HCTR_TPU_* environment for
+        the duration of Model.compile() (the plan compiler and the
+        collection capture them there); returns a restore callable so one
+        model's knobs never leak into models compiled later in the same
+        process."""
         import os
 
+        saved = {}
         for field, env in (
             ("mp_capacity_factor", "HCTR_TPU_MP_CAPACITY_FACTOR"),
             ("unique_cap_factor", "HCTR_TPU_UCAP_FACTOR"),
@@ -90,7 +93,17 @@ class Solver:
         ):
             v = getattr(self, field)
             if v is not None:
+                saved[env] = os.environ.get(env)
                 os.environ[env] = str(v)
+
+        def restore():
+            for env, old in saved.items():
+                if old is None:
+                    os.environ.pop(env, None)
+                else:
+                    os.environ[env] = old
+
+        return restore
 
     @property
     def compute_dtype(self):

@@ -61,6 +61,28 @@ def _hash_mix(k: Array) -> Array:
     return k
 
 
+def _hash_mix_np(k: np.ndarray) -> np.ndarray:
+    """Host (numpy) mirror of _hash_mix — MUST stay bit-identical (used by
+    exact-evict probing and capacity growth)."""
+    h = k.astype(np.uint32)
+    h = h ^ (h >> 16)
+    h = (h * np.uint32(0x85EBCA6B)) & np.uint32(0xFFFFFFFF)
+    h = h ^ (h >> 13)
+    h = (h * np.uint32(0xC2B2AE35)) & np.uint32(0xFFFFFFFF)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _fold_reserved_key(k32):
+    """int32 key 2^31-1 is the store's EMPTY marker and can never be
+    physically inserted (scatter-min keeps EMPTY); remap it to 2^31-2 so it
+    behaves like a normal (possibly colliding) key."""
+    empty = 2**31 - 1
+    if isinstance(k32, np.ndarray):
+        return np.where(k32 == empty, np.int32(empty - 1), k32)
+    return jnp.where(k32 == empty, jnp.int32(empty - 1), k32)
+
+
 class _GroupMeta:
     """Device-side constants for one group (captured into jit)."""
 
@@ -108,6 +130,17 @@ class EmbeddingCollection:
         self.comm_strategy = CommunicationStrategy(
             comm_strategy or CommunicationStrategy.Uniform
         )
+        # Engine knobs are captured ONCE here (not at trace time) so a
+        # Solver's apply-and-restore of the HCTR_TPU_* env cannot leak into
+        # models compiled later in the same process.
+        self.knob_fwd_partition = _os.environ.get("HCTR_TPU_FWD_PARTITION", "1") != "0"
+        self.knob_capacity_factor = float(
+            _os.environ.get("HCTR_TPU_MP_CAPACITY_FACTOR", "0")
+        )
+        self.knob_segsum = _os.environ.get("HCTR_TPU_SEGSUM", "xla")
+        self.knob_ucap_factor = float(_os.environ.get("HCTR_TPU_UCAP_FACTOR", "0"))
+        self.knob_ucap_min_k = int(_os.environ.get("HCTR_TPU_UCAP_MIN_K", "0"))
+        self.knob_ucap_drop = bool(_os.environ.get("HCTR_TPU_UCAP_DROP"))
         self._meta = {g.name: _GroupMeta(g) for g in plan.groups}
         # per-group optimizer (table-level override must be group-uniform)
         self.group_opt: Dict[str, OptParams] = {}
@@ -284,13 +317,17 @@ class EmbeddingCollection:
 
         Without a key store (legacy hashing-trick mode) the hash IS the row
         and `found` is all-true."""
-        h = _hash_mix(keys)
+        if key_store is None:
+            h = _hash_mix(keys)
+            owner = (h % jnp.uint32(num_shards)).astype(jnp.int32)
+            rows_t = meta.slot_rows[None, :].astype(jnp.uint32)
+            base = ((h // jnp.uint32(num_shards)) % rows_t).astype(jnp.int32)
+            return owner, base, jnp.ones_like(owner, dtype=bool)
+        k32 = _fold_reserved_key(keys.astype(jnp.int32))
+        h = _hash_mix(k32)
         owner = (h % jnp.uint32(num_shards)).astype(jnp.int32)
         rows_t = meta.slot_rows[None, :].astype(jnp.uint32)
         base = ((h // jnp.uint32(num_shards)) % rows_t).astype(jnp.int32)
-        if key_store is None:
-            return owner, base, jnp.ones_like(owner, dtype=bool)
-        k32 = keys.astype(jnp.int32)
         row = base
         found = jnp.zeros(keys.shape, dtype=bool)
         for j in range(self.NUM_PROBES):
@@ -312,8 +349,8 @@ class EmbeddingCollection:
         into an empty slot with `min`, then re-read to learn the winner;
         losers move to the next probe. Keys still unplaced after NUM_PROBES
         rounds are dropped this step (capacity pressure — grow the table)."""
-        k32 = keys.astype(jnp.int32)
-        h = _hash_mix(keys)
+        k32 = _fold_reserved_key(keys.astype(jnp.int32))
+        h = _hash_mix(k32)
         rows_t = meta.slot_rows[None, :].astype(jnp.uint32)
         base = ((h // jnp.uint32(num_shards)) % rows_t).astype(jnp.int32)
         dyn = meta.slot_dynamic[None, :]
@@ -531,7 +568,7 @@ class EmbeddingCollection:
                 jnp.arange(bg, dtype=jnp.int32) // jnp.int32(block)
             )[:, None]
             mine = mine & (row_block == (my // f).astype(jnp.int32))
-        if os.environ.get("HCTR_TPU_FWD_PARTITION", "1") != "0":
+        if self.knob_fwd_partition:
             # NOTE: with a finite HCTR_TPU_MP_CAPACITY_FACTOR, hot-key skew
             # can overflow a shard's capacity window and DROP owned rows —
             # exact by default (no slicing); bound capacity only for
@@ -541,12 +578,15 @@ class EmbeddingCollection:
             # bound, gather only ~K/N rows and scatter-add them into the
             # pooled layout. Row-granular work shrinks ~N x per chip (the
             # masked-gather path processes the global K everywhere).
+            # mean counting must use RAW key validity (global, identical on
+            # every shard) — the exact-store `found` mask is shard-LOCAL and
+            # would divide by a different count per shard
             return self._mp_fwd_partitioned(
-                gname, table_shard, keys, valid, mine, local_row, n
+                gname, table_shard, keys, keys != INVALID_KEY, mine, local_row, n
             )
         safe = jnp.where(mine, local_row, 0)
         rows = table_shard[safe] * mine[..., None].astype(table_shard.dtype)
-        partial = self._pool(g, rows, valid)
+        partial = self._pool(g, rows, keys != INVALID_KEY)
         return self._psum_scatter_batch(partial)
 
     def _mp_fwd_partitioned(
@@ -566,7 +606,7 @@ class EmbeddingCollection:
         ).reshape(-1)
         sidx, ssrc = jax.lax.sort((idx.astype(jnp.int32), src), num_keys=1)
         k = sidx.shape[0]
-        factor = float(os.environ.get("HCTR_TPU_MP_CAPACITY_FACTOR", "0"))
+        factor = self.knob_capacity_factor
         if n > 1 and factor > 0:
             k_limit = min(k, ((int(k * factor / n) + 511) // 512) * 512)
             if k_limit < k:
@@ -731,7 +771,9 @@ class EmbeddingCollection:
         valid, _owner, local_row = self._slot_placement(meta, keys, 1, key_store)
         safe = jnp.where(valid, local_row, 0)
         rows = table[safe] * valid[..., None].astype(table.dtype)
-        return self._pool(g, rows, valid)
+        # mean counts use RAW validity (consistent across steps/shards even
+        # when exact-store misses drop rows this step)
+        return self._pool(g, rows, keys != INVALID_KEY)
 
     # ------------------------------------------------- backward + update
     def backward_and_update(
@@ -874,7 +916,7 @@ class EmbeddingCollection:
                 )
             )
             mine = mine & unfrozen[None, :]
-        dsrc, gsrc = self._grad_source(g, d_group, valid)
+        dsrc, gsrc = self._grad_source(g, d_group, keys != INVALID_KEY)
         n_src = g.grad_src_slots
         b = keys.shape[0]
         src = (
@@ -898,9 +940,11 @@ class EmbeddingCollection:
         if key_store is not None:
             # insert-on-backward for exact dynamic tables: every replica of
             # a shard computes the identical insertion (deterministic
-            # scatter-min arbitration), keeping stores bit-identical
-            _, owner, _ = self._slot_placement(meta, keys, f, None)
-            mine_valid = (keys != INVALID_KEY) & (owner == (my % f))
+            # scatter-min arbitration), keeping stores bit-identical.
+            # Ownership comes from the PROBE's (reserved-key-folded) hash so
+            # insert and lookup always agree on the owning shard.
+            owner_d, _, _ = self._dynamic_probe(meta, keys, f, key_store)
+            mine_valid = (keys != INVALID_KEY) & (owner_d == (my % f))
             key_store = self._dynamic_insert(meta, key_store, keys, mine_valid, f)
         # every replica of shard s applies the FULL update for s, keeping
         # replica groups bit-identical (like DP wgrad allreduce)
@@ -915,12 +959,13 @@ class EmbeddingCollection:
         # for ~f x less row-granular work per chip — opt in via
         # HCTR_TPU_MP_CAPACITY_FACTOR when the skew budget is understood.
         k_limit = 0
-        factor = float(os.environ.get("HCTR_TPU_MP_CAPACITY_FACTOR", "0"))
+        factor = self.knob_capacity_factor
         if f > 1 and factor > 0:
             k = int(idx.shape[0])
             k_limit = min(k, ((int(k * factor / f) + 511) // 512) * 512)
         new_t, new_s = sparse_optimizer.apply_sparse(
-            opt, table_shard, state, idx, src, dsrc, lr, step, k_limit=k_limit
+            opt, table_shard, state, idx, src, dsrc, lr, step,
+            k_limit=k_limit, **self._opt_knobs()
         )
         if key_store is not None:
             return new_t, new_s, key_store
@@ -941,7 +986,7 @@ class EmbeddingCollection:
         idx, src, dsrc = self._row_grads(gname, keys, d_group, 1, None, key_store)
         opt = self.group_opt[gname]
         new_t, new_s = sparse_optimizer.apply_sparse(
-            opt, table, state, idx, src, dsrc, lr, step
+            opt, table, state, idx, src, dsrc, lr, step, **self._opt_knobs()
         )
         if key_store is not None:
             return new_t, new_s, key_store
@@ -958,11 +1003,19 @@ class EmbeddingCollection:
         idx, src, dsrc = self._row_grads(gname, keys, d_group, 1, None, key_store)
         opt = self.group_opt[gname]
         new_t, new_s = sparse_optimizer.apply_sparse(
-            opt, table, state, idx, src, dsrc, lr, step
+            opt, table, state, idx, src, dsrc, lr, step, **self._opt_knobs()
         )
         if key_store is not None:
             return new_t, new_s, key_store
         return new_t, new_s
+
+    def _opt_knobs(self):
+        return dict(
+            segsum=self.knob_segsum,
+            ucap_factor=self.knob_ucap_factor,
+            ucap_min_k=self.knob_ucap_min_k,
+            ucap_drop=self.knob_ucap_drop,
+        )
 
     # ------------------------------------------------------------- IO paths
     def _is_frozen(self, table_name: str) -> bool:
@@ -1097,13 +1150,8 @@ class EmbeddingCollection:
         """Host-side probe: storage slot (within shard-0 replica) per key;
         -1 if absent."""
         f = g.num_shards if g.is_model_parallel else 1
-        k = keys.astype(np.int64)
-        ku = keys.astype(np.uint32)
-        h = ku ^ (ku >> 16)
-        h = (h * np.uint32(0x85EBCA6B)) & 0xFFFFFFFF
-        h = h ^ (h >> 13)
-        h = (h * np.uint32(0xC2B2AE35)) & 0xFFFFFFFF
-        h = (h ^ (h >> 16)).astype(np.uint64)
+        keys = _fold_reserved_key(keys.astype(np.int32))
+        h = _hash_mix_np(keys).astype(np.uint64)
         rows_t = np.uint64(int(g.rows_per_shard[ti]))
         owner = (h % np.uint64(f)).astype(np.int64)
         base = ((h // np.uint64(f)) % rows_t).astype(np.int64)
@@ -1146,6 +1194,71 @@ class EmbeddingCollection:
             }
         return new_tables, new_state
 
+    def _collect_dynamic_entries(self, tables, opt_state, g, ti):
+        """Host-side (keys, rows, state-slots) of a dynamic table's resident
+        entries (replica-0 storage rows)."""
+        ks_host = self._host_key_store(tables, g)
+        lo = int(g.local_offsets[ti])
+        rows_t = int(g.rows_per_shard[ti])
+        f = g.num_shards if g.is_model_parallel else 1
+        slots, live = [], []
+        for shard in range(f):
+            base = shard * g.total_local_rows if g.is_model_parallel else 0
+            seg = ks_host[base + lo : base + lo + rows_t]
+            idx = np.where(seg != int(self.EMPTY_KEY))[0]
+            slots.append(base + lo + idx)
+            live.append(seg[idx])
+        slots = np.concatenate(slots) if slots else np.zeros(0, np.int64)
+        live = np.concatenate(live) if live else np.zeros(0, np.int32)
+        rep = jax.jit(lambda x: x, out_shardings=self.rm.replicated_sharding())
+        vals = np.asarray(rep(tables[g.name]))[slots]
+        st = {
+            k: np.asarray(rep(v))[slots]
+            for k, v in opt_state.get(g.name, {}).items()
+        }
+        return live, vals, st
+
+    def _host_insert_keys(self, nks, ng, nti, keys):
+        """Place keys into a host copy of a key store with the device probe
+        discipline; returns replica-0 storage slots (-1 = dropped)."""
+        nf = ng.num_shards if ng.is_model_parallel else 1
+        keys = _fold_reserved_key(keys.astype(np.int32))
+        h = _hash_mix_np(keys).astype(np.uint64)
+        nrows = np.uint64(int(ng.rows_per_shard[nti]))
+        owner = (h % np.uint64(nf)).astype(np.int64)
+        base = ((h // np.uint64(nf)) % nrows).astype(np.int64)
+        noff = int(ng.local_offsets[nti])
+        placed = np.full(keys.shape, -1, dtype=np.int64)
+        for i in range(keys.shape[0]):
+            for j in range(self.NUM_PROBES):
+                cand = int((base[i] + j) % int(nrows))
+                local = noff + cand
+                storage = (
+                    int(owner[i]) * ng.total_local_rows + local
+                    if ng.is_model_parallel
+                    else local
+                )
+                if nks[storage] == int(self.EMPTY_KEY):
+                    nks[storage] = keys[i]
+                    placed[i] = storage
+                    break
+        return placed
+
+    def _scatter_all_replicas(self, arr, g, rows, vals):
+        """Set `vals` at replica-0 storage `rows` in every replica group."""
+        reps = g.num_replicas if g.is_model_parallel else 1
+        stride = g.num_shards * g.total_local_rows
+        all_rows = np.concatenate([rows + r * stride for r in range(reps)])
+        all_vals = np.concatenate([vals] * reps, axis=0)
+        imp = jax.jit(
+            lambda t, i, v: t.at[i].set(v), out_shardings=arr.sharding
+        )
+        return imp(
+            arr,
+            jnp.asarray(all_rows, jnp.int32),
+            jnp.asarray(all_vals, dtype=arr.dtype),
+        )
+
     def grow_dynamic_capacity(
         self, tables, opt_state, table_name: str, new_capacity: int
     ):
@@ -1155,41 +1268,33 @@ class EmbeddingCollection:
         recompiled with the larger capacity (shapes are static under jit, so
         growth happens BETWEEN passes — reference DynamicEmbeddingTable
         grows inside the kernel, dynamic_embedding.cu, which has no
-        compiled-world analog), all resident keys are re-inserted and their
-        rows + optimizer state carried over."""
+        compiled-world analog). EVERY table's weights, optimizer state and
+        key store carry over exactly — the grown table (and any dynamic
+        table whose group layout shifted) is re-inserted key-by-key, static
+        tables copy through export/import."""
         g, ti = self._find_table(table_name)
         if not g.tables[ti].is_dynamic:
             raise ValueError(f"{table_name} is not a dynamic table")
         old_cap = int(g.table_vocab[ti])
         if new_capacity <= old_cap:
             raise ValueError("new_capacity must exceed the current capacity")
-        # collect resident keys + rows from the old store
-        ks_host = self._host_key_store(tables, g)
-        lo = int(g.local_offsets[ti])
-        rows_t = int(g.rows_per_shard[ti])
-        f = g.num_shards if g.is_model_parallel else 1
-        resident = []
-        for shard in range(f):
-            base = (shard * g.total_local_rows if g.is_model_parallel else 0)
-            seg = ks_host[base + lo : base + lo + rows_t]
-            live = np.where(seg != int(self.EMPTY_KEY))[0]
-            resident.append((base + lo + live, seg[live]))
-        slots = np.concatenate([s for s, _ in resident])
-        live_keys = np.concatenate([k for _, k in resident])
-        rep = jax.jit(
-            lambda x: x, out_shardings=self.rm.replicated_sharding()
-        )
-        old_table_host = np.asarray(rep(tables[g.name]))[slots]
-        old_state_host = {
-            k: np.asarray(rep(v))[slots]
-            for k, v in opt_state.get(g.name, {}).items()
-        }
-        # rebuild the plan with the larger capacity
+
+        # collect every dynamic table's resident entries from the OLD layout
+        dyn_entries = {}
+        for gg in self.plan.groups:
+            for tti, tt in enumerate(gg.tables):
+                if tt.is_dynamic:
+                    dyn_entries[tt.name] = (
+                        self._collect_dynamic_entries(tables, opt_state, gg, tti)
+                    )
+
+        # rebuild the plan with the larger capacity, preserving per-table
+        # shard counts (partial placement survives the recompile)
         import dataclasses as _dc
 
         new_lookups = []
         for lk in self.plan.lookups:
-            if lk.table.name == table_name:
+            if lk.table.name.split("::", 1)[0] == table_name.split("::", 1)[0]:
                 t2 = _dc.replace(lk.table, dynamic_capacity=int(new_capacity))
                 new_lookups.append(_dc.replace(lk, table=t2))
             else:
@@ -1197,94 +1302,83 @@ class EmbeddingCollection:
         from ..parallel.plan import ShardingPlan, compile_plan
 
         strategy = []
+        shard_counts = {}
         for gg in self.plan.groups:
             kind = "mp" if gg.is_model_parallel else "dp"
-            strategy.append((kind, [t.name for t in gg.tables]))
+            names = [t.name.split("::", 1)[0] for t in gg.tables]
+            strategy.append((kind, names))
+            if gg.is_model_parallel:
+                for n in names:
+                    shard_counts[n] = gg.num_shards
         new_plan = compile_plan(
             new_lookups,
             ShardingPlan(strategy=strategy),
             num_shards=self.plan.num_shards,
+            shard_counts=shard_counts,
         )
         new_ec = EmbeddingCollection(
             new_plan, self.rm, self.opt, dtype=self.dtype,
             comm_strategy=self.comm_strategy,
         )
         new_ec.frozen_tables = set(self.frozen_tables)
+        # keep the old collection's captured knobs (env may have moved on)
+        for attr in (
+            "state_dtype", "knob_fwd_partition", "knob_capacity_factor",
+            "knob_segsum", "knob_ucap_factor", "knob_ucap_min_k",
+            "knob_ucap_drop",
+        ):
+            setattr(new_ec, attr, getattr(self, attr))
         new_tables = new_ec.init(jax.random.key(0))
         new_state = new_ec.init_optimizer(new_tables)
-        # copy non-dynamic groups wholesale
+
+        # static tables: exact copy via export/import + per-row state copy
         for gg in self.plan.groups:
-            if table_name not in [t.name for t in gg.tables]:
-                for name in (gg.name, f"{gg.name}#keys"):
-                    if name in tables:
-                        new_tables[name] = tables[name]
-                if gg.name in opt_state:
-                    new_state[gg.name] = opt_state[gg.name]
-        # re-insert live keys into the grown store (host probing)
-        ng, nti = new_ec._find_table(table_name)
-        nks = np.array(new_ec._host_key_store(new_tables, ng))
-        # host insertion with linear probing beyond NUM_PROBES never needed:
-        # place with the same probe discipline
-        placed = np.full(live_keys.shape, -1, dtype=np.int64)
-        nf = ng.num_shards if ng.is_model_parallel else 1
-        ku = live_keys.astype(np.uint32)
-        h = ku ^ (ku >> 16)
-        h = (h * np.uint32(0x85EBCA6B)) & 0xFFFFFFFF
-        h = h ^ (h >> 13)
-        h = (h * np.uint32(0xC2B2AE35)) & 0xFFFFFFFF
-        h = (h ^ (h >> 16)).astype(np.uint64)
-        nrows = np.uint64(int(ng.rows_per_shard[nti]))
-        owner = (h % np.uint64(nf)).astype(np.int64)
-        base = ((h // np.uint64(nf)) % nrows).astype(np.int64)
-        noff = int(ng.local_offsets[nti])
-        for i in range(live_keys.shape[0]):
-            for j in range(new_ec.NUM_PROBES):
-                cand = int((base[i] + j) % int(nrows))
-                local = noff + cand
-                storage = (
-                    int(owner[i]) * ng.total_local_rows + local
-                    if ng.is_model_parallel
-                    else local
+            for tti, tt in enumerate(gg.tables):
+                if tt.is_dynamic:
+                    continue
+                vocab = int(gg.table_vocab[tti])
+                new_tables = new_ec.import_table(
+                    new_tables,
+                    tt.name,
+                    self.export_table(tables, tt.name),
                 )
-                if nks[storage] == int(new_ec.EMPTY_KEY):
-                    nks[storage] = live_keys[i]
-                    placed[i] = storage
-                    break
-        ok = placed >= 0
-        dst = placed[ok]
-        reps = ng.num_replicas if ng.is_model_parallel else 1
-        stride = ng.num_shards * ng.total_local_rows
-        all_dst = np.concatenate([dst + r * stride for r in range(reps)])
-        tile = lambda a: np.concatenate([a[ok]] * reps, axis=0)
-        imp = jax.jit(
-            lambda t, i, v: t.at[i].set(v),
-            out_shardings=new_tables[ng.name].sharding,
-        )
-        new_tables[ng.name] = imp(
-            new_tables[ng.name],
-            jnp.asarray(all_dst, jnp.int32),
-            jnp.asarray(tile(old_table_host), dtype=self.dtype),
-        )
-        ks_sharding = new_tables[f"{ng.name}#keys"].sharding
-        imp_k = jax.jit(
-            lambda t, i, v: t.at[i].set(v), out_shardings=ks_sharding
-        )
-        new_tables[f"{ng.name}#keys"] = imp_k(
-            new_tables[f"{ng.name}#keys"],
-            jnp.asarray(all_dst, jnp.int32),
-            jnp.asarray(np.concatenate([live_keys[ok]] * reps), jnp.int32),
-        )
-        for slot_name, host_vals in old_state_host.items():
-            sh = new_state[ng.name][slot_name].sharding
-            imp_s = jax.jit(
-                lambda t, i, v: t.at[i].set(v), out_shardings=sh
+                if gg.name in opt_state:
+                    old_rows = self._table_storage_rows(gg, tti, vocab)
+                    ngg, ntti = new_ec._find_table(tt.name)
+                    new_rows = new_ec._table_storage_rows(ngg, ntti, vocab)
+                    rep = jax.jit(
+                        lambda x: x,
+                        out_shardings=self.rm.replicated_sharding(),
+                    )
+                    for slot, arr in opt_state[gg.name].items():
+                        vals = np.asarray(rep(arr))[old_rows]
+                        new_state[ngg.name][slot] = (
+                            new_ec._scatter_all_replicas(
+                                new_state[ngg.name][slot], ngg, new_rows, vals
+                            )
+                        )
+
+        # dynamic tables: re-insert live keys into the new stores
+        for name, (live, vals, st) in dyn_entries.items():
+            ngg, ntti = new_ec._find_table(name)
+            nks = np.array(new_ec._host_key_store(new_tables, ngg))
+            placed = new_ec._host_insert_keys(nks, ngg, ntti, live)
+            ok = placed >= 0
+            dst = placed[ok]
+            new_tables[ngg.name] = new_ec._scatter_all_replicas(
+                new_tables[ngg.name], ngg, dst, vals[ok]
             )
-            new_state[ng.name][slot_name] = imp_s(
-                new_state[ng.name][slot_name],
-                jnp.asarray(all_dst, jnp.int32),
-                jnp.asarray(tile(host_vals), dtype=self.dtype),
+            ks_name = f"{ngg.name}#keys"
+            new_tables[ks_name] = new_ec._scatter_all_replicas(
+                new_tables[ks_name], ngg, dst,
+                _fold_reserved_key(live[ok].astype(np.int32)),
             )
+            for slot, host_vals in st.items():
+                new_state[ngg.name][slot] = new_ec._scatter_all_replicas(
+                    new_state[ngg.name][slot], ngg, dst, host_vals[ok]
+                )
         return new_ec, new_tables, new_state
+
 
     @functools.lru_cache(maxsize=None)
     def _export_fn(self):

@@ -45,7 +45,8 @@ def init_state(opt: OptParams, rows: int, ev: int, dtype=jnp.float32) -> State:
 
 
 def dedup_rows(
-    idx: Array, src: Array, dsrc: Array, sentinel: int, k_limit: int = 0
+    idx: Array, src: Array, dsrc: Array, sentinel: int, k_limit: int = 0,
+    segsum: str = "xla",
 ) -> Tuple[Array, Array, Array, bool]:
     """Combine gradients of duplicate rows.
 
@@ -74,8 +75,6 @@ def dedup_rows(
                    sorted-with-duplicates keeps XLA's fast sorted-scatter
                    path (the unsorted-unique form regressed 3x).
     """
-    import os
-
     k = idx.shape[0]
     sidx, ssrc = jax.lax.sort((idx, src), num_keys=1)
     if k_limit and k_limit < k:
@@ -85,7 +84,7 @@ def dedup_rows(
         ssrc = ssrc[:k_limit]
         k = k_limit
 
-    if os.environ.get("HCTR_TPU_SEGSUM", "xla") == "scan":
+    if segsum == "scan":
         # Streaming Pallas segmented scan: ONE sequential pass instead of the
         # scatter-add XLA lowers segment_sum to.
         from ..ops.pallas.segscan import segmented_sum_sorted
@@ -162,7 +161,7 @@ def dedup_rows(
     return urow, summed, None, True
 
 
-def unique_cap(k: int) -> int:
+def unique_cap(k: int, factor: float = 0.0, min_k: int = 0) -> int:
     """Static capacity for the compacted unique-row prefix (xla segsum mode).
 
     Segment sums occupy a PREFIX of the [K] output (segment ids are a
@@ -171,16 +170,11 @@ def unique_cap(k: int) -> int:
     count exceeds the cap, apply_sparse falls back to the full-K path via
     lax.cond — the slice is a pure speedup, never a gradient drop (unlike
     the reference's fixed comm-buffer capacities). 0 disables."""
-    import os
-
-    f = float(os.environ.get("HCTR_TPU_UCAP_FACTOR", "0"))
-    if f <= 0 or f >= 1:
+    if factor <= 0 or factor >= 1:
         return 0
-    # Optional floor: skip the cond+slice for small groups (HCTR_TPU_UCAP_MIN_K)
-    min_k = int(os.environ.get("HCTR_TPU_UCAP_MIN_K", "0"))
     if min_k and k < min_k:
         return 0
-    return min(k, ((int(k * f) + 511) // 512) * 512)
+    return min(k, ((int(k * factor) + 511) // 512) * 512)
 
 
 def apply_dense(
@@ -274,6 +268,10 @@ def apply_sparse(
     lr: Array,
     step: Array,
     k_limit: int = 0,
+    segsum: str = "xla",
+    ucap_factor: float = 0.0,
+    ucap_min_k: int = 0,
+    ucap_drop: bool = False,
 ) -> Tuple[Array, State]:
     """Apply one sparse update for (possibly duplicated) row gradients.
 
@@ -309,14 +307,16 @@ def apply_sparse(
         )
 
     uidx, g, tail, is_unique = dedup_rows(
-        idx, src, dsrc, sentinel=rows, k_limit=k_limit
+        idx, src, dsrc, sentinel=rows, k_limit=k_limit, segsum=segsum
     )
     run = functools.partial(_apply_rows, opt, table, state, lr, step, is_unique)
-    ucap = unique_cap(int(uidx.shape[0])) if is_unique else 0
+    ucap = (
+        unique_cap(int(uidx.shape[0]), ucap_factor, ucap_min_k)
+        if is_unique
+        else 0
+    )
     if ucap and ucap < int(uidx.shape[0]):
-        import os
-
-        if os.environ.get("HCTR_TPU_UCAP_DROP"):
+        if ucap_drop:
             # capacity-drop mode: overflow segments beyond the cap lose
             # their gradients (reference comm-buffer-capacity semantics);
             # avoids the cond so scatters stay in-place aliased

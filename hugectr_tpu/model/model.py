@@ -132,7 +132,14 @@ class Model:
         if self.input is None:
             raise ValueError("model needs an Input")
         s = self.solver
-        s.apply_engine_knobs()
+        _restore_knobs = s.apply_engine_knobs()
+        try:
+            self._compile_impl(loss_names, loss_weights)
+        finally:
+            _restore_knobs()
+
+    def _compile_impl(self, loss_names=None, loss_weights=None) -> None:
+        s = self.solver
         inp = self.input
         if loss_names and loss_weights:
             inp.label_weights = dict(zip(loss_names, loss_weights))
@@ -489,8 +496,7 @@ class Model:
             vocabs[f.name] = [1000] * f.slot_num
         if self.ec is not None:
             for top, ks in self._key_sources.items():
-                g, lm = self.ec.plan.group_of_lookup(int(top.rsplit(":", 1)[1]))
-                t = g.tables[lm.table_index]
+                t = self.ec.plan.lookups[int(top.rsplit(":", 1)[1])].table
                 vocab = int(t.vocabulary_size)
                 f = self._sparse_by_name[ks.param_name]
                 # locate slot index by column range
@@ -655,8 +661,10 @@ class Model:
         if self.ec is None:
             return fold
         for top, ks in self._key_sources.items():
-            g, lm = self.ec.plan.group_of_lookup(int(top.rsplit(":", 1)[1]))
-            t = g.tables[lm.table_index]
+            # use the ORIGINAL lookup's table: after a hot/cold split,
+            # group_of_lookup would resolve to the hot sub-table and fold
+            # every key into the hot window
+            t = self.ec.plan.lookups[int(top.rsplit(":", 1)[1])].table
             fold.setdefault(ks.param_name, []).append(
                 (
                     ks.col_begin,

@@ -158,8 +158,11 @@ class DynamicVariable(Variable):
         combiner: str = "sum",
         opt_params: Optional[OptParams] = None,
         rm: Optional[ResourceManager] = None,
+        mode: str = "distributed",
         **kw,
     ):
+        if kw:
+            raise TypeError(f"DynamicVariable: unknown arguments {sorted(kw)}")
         cfg = EmbeddingTableConfig(
             name=name,
             max_vocabulary_size=-1,
@@ -173,6 +176,7 @@ class DynamicVariable(Variable):
             name=name,
             max_hotness=max_hotness,
             combiner=combiner,
+            mode=mode,
             opt_params=opt_params,
             rm=rm,
             _table_cfg=cfg,

@@ -174,3 +174,100 @@ def test_dynamic_multichip_matches_single(mesh8, mesh1):
         fwd = jax.jit(ebc.forward)(tables, {"f": kd})
         outs[rm] = np.asarray(fwd["e"])
     np.testing.assert_allclose(outs[mesh8], outs[mesh1], rtol=1e-5, atol=1e-6)
+
+
+def test_dynamic_mean_combiner_multichip(mesh8, mesh1):
+    """Review regression: mean-combiner counts must be GLOBAL (raw key
+    validity), not the shard-local exact-store found mask."""
+    t = EmbeddingTableConfig(
+        name="dyn", max_vocabulary_size=-1, ev_size=8, dynamic_capacity=256
+    )
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Mean, 3)]
+    plan = ShardingPlan(strategy=[("mp", ["dyn"])])
+    rng = np.random.default_rng(41)
+    keys = rng.integers(0, 500, (16, 3)).astype(np.int32)
+    keys[2, 1] = INVALID_KEY
+    d = rng.normal(size=(16, 8)).astype(np.float32)
+    outs = {}
+    for rm in (mesh8, mesh1):
+        compiled = compile_plan(lookups, plan, num_shards=rm.data_parallel_size)
+        opt = OptParams(Optimizer_t.SGD, lr=0.5)
+        ebc = EmbeddingCollection(compiled, rm, opt)
+        tables = ebc.init(jax.random.key(0))
+        gname = ebc.plan.groups[0].name
+        tables[gname] = jnp.zeros_like(tables[gname])
+        kd = jax.device_put(keys, rm.batch_sharding())
+        dd = jax.device_put(d, rm.batch_sharding())
+        tables, state = jax.jit(ebc.backward_and_update)(
+            tables, ebc.init_optimizer(tables), {"f": kd}, {"e": dd},
+            jnp.asarray(0.5), jnp.asarray(1),
+        )
+        fwd = jax.jit(ebc.forward)(tables, {"f": kd})
+        outs[rm] = np.asarray(fwd["e"])
+    np.testing.assert_allclose(outs[mesh8], outs[mesh1], rtol=1e-5, atol=1e-6)
+
+
+def test_growth_preserves_sibling_tables(mesh1):
+    """Review regression: growing one dynamic table must NOT re-randomize
+    other tables (same group or other groups) or their optimizer state."""
+    td = EmbeddingTableConfig(
+        name="dyn", max_vocabulary_size=-1, ev_size=8, dynamic_capacity=32
+    )
+    td2 = EmbeddingTableConfig(
+        name="dyn2", max_vocabulary_size=-1, ev_size=8, dynamic_capacity=32
+    )
+    ts = EmbeddingTableConfig(name="stat", max_vocabulary_size=40, ev_size=8)
+    lookups = [
+        LookupConfig(0, td, "f0", "e0", Combiner_t.Sum, 2),
+        LookupConfig(1, td2, "f1", "e1", Combiner_t.Sum, 2),
+        LookupConfig(2, ts, "f2", "e2", Combiner_t.Sum, 2),
+    ]
+    plan = ShardingPlan(strategy=[("mp", ["dyn", "dyn2", "stat"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    opt = OptParams(Optimizer_t.AdaGrad, lr=0.5, initial_accu_value=0.0, epsilon=1e-7)
+    ebc = EmbeddingCollection(compiled, mesh1, opt)
+    tables = ebc.init(jax.random.key(0))
+    state = ebc.init_optimizer(tables)
+    feats = {
+        "f0": np.array([[1, 2]], dtype=np.int32),
+        "f1": np.array([[5, 6]], dtype=np.int32),
+        "f2": np.array([[7, 8]], dtype=np.int32),
+    }
+    d = {f"e{i}": np.ones((1, 8), np.float32) for i in range(3)}
+    tables, state = jax.jit(ebc.backward_and_update)(
+        tables, state, feats, d, jnp.asarray(0.5), jnp.asarray(1)
+    )
+    stat_before = ebc.export_table(tables, "stat")
+    # dyn2 rows before growth (via its store)
+    g2, t2i = ebc._find_table("dyn2")
+    ks2 = ebc._host_key_store(tables, g2)
+    import numpy as _np
+    s5 = _np.where(ks2 == 5)[0][0]
+    dyn2_row5 = _np.asarray(tables[g2.name])[s5].copy()
+    accum5 = _np.asarray(state[g2.name]["accum"])[s5].copy()
+    assert accum5.sum() > 0
+
+    ec2, tables2, state2 = ebc.grow_dynamic_capacity(tables, state, "dyn", 128)
+    # static sibling preserved exactly
+    np.testing.assert_allclose(
+        ec2.export_table(tables2, "stat"), stat_before, rtol=1e-6
+    )
+    # dyn2 entry + optimizer state preserved
+    ng2, nt2i = ec2._find_table("dyn2")
+    nks2 = ec2._host_key_store(tables2, ng2)
+    ns5 = _np.where(nks2 == 5)[0]
+    assert len(ns5) == 1
+    np.testing.assert_allclose(
+        _np.asarray(tables2[ng2.name])[ns5[0]], dyn2_row5, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        _np.asarray(state2[ng2.name]["accum"])[ns5[0]], accum5, rtol=1e-6
+    )
+    # static table's optimizer state preserved too
+    gs, tsi = ebc._find_table("stat")
+    ngs, ntsi = ec2._find_table("stat")
+    old_rows = ebc._table_storage_rows(gs, tsi, 40)
+    new_rows = ec2._table_storage_rows(ngs, ntsi, 40)
+    old_acc = _np.asarray(state[gs.name]["accum"])[old_rows]
+    new_acc = _np.asarray(state2[ngs.name]["accum"])[new_rows]
+    np.testing.assert_allclose(new_acc, old_acc, rtol=1e-6)
