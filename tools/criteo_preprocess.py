@@ -23,6 +23,17 @@ def main():
     p.add_argument("--vocab_cap", type=int, default=40_000_000)
     p.add_argument("--rows_per_file", type=int, default=2_000_000)
     p.add_argument("--max_rows", type=int, default=0)
+    p.add_argument(
+        "--frequency-remap",
+        action="store_true",
+        help="second pass that renumbers each categorical vocabulary by "
+        "descending frequency (id 0 = most frequent). Enables the "
+        "frequent/infrequent hot/cold embedding split "
+        "(HCTR_TPU_HOT_ROWS / Solver.hot_rows) to capture most key "
+        "instances in the replicated hot prefix — affects only speed, "
+        "never results (analog of HybridEmbedding's frequency-ordered "
+        "category mapping).",
+    )
     a = p.parse_args()
 
     import pyarrow as pa
@@ -99,6 +110,51 @@ def main():
         f.write(f"{len(paths)}\n")
         f.writelines(p_ + "\n" for p_ in paths)
     print(f"done: {total} rows, {len(paths)} files")
+
+    if a.frequency_remap:
+        _frequency_remap(paths)
+
+
+def _frequency_remap(paths):
+    """Renumber categorical ids by descending frequency (two passes over
+    the written Parquet files; columns CAT0..CAT25)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    print("frequency remap: counting ...")
+    counts = {}
+    for path in paths:
+        tbl = pq.read_table(path)
+        for name in tbl.column_names:
+            if not name.startswith("CAT"):
+                continue
+            col = tbl[name].to_numpy(zero_copy_only=False)
+            u, c = np.unique(col, return_counts=True)
+            acc = counts.setdefault(name, {})
+            for k, n in zip(u, c):
+                acc[int(k)] = acc.get(int(k), 0) + int(n)
+    remap = {}
+    for name, acc in counts.items():
+        order = sorted(acc.items(), key=lambda kv: -kv[1])
+        remap[name] = {k: i for i, (k, _) in enumerate(order)}
+    print("frequency remap: rewriting ...")
+    for path in paths:
+        tbl = pq.read_table(path)
+        cols, names = [], []
+        for name in tbl.column_names:
+            if name.startswith("CAT"):
+                col = tbl[name].to_numpy(zero_copy_only=False)
+                m = remap[name]
+                cols.append(
+                    pa.array(
+                        np.vectorize(m.__getitem__, otypes=[np.int32])(col)
+                    )
+                )
+            else:
+                cols.append(tbl[name])
+            names.append(name)
+        pq.write_table(pa.table(cols, names=names), path, row_group_size=65536)
+    print("frequency remap: done")
 
 
 if __name__ == "__main__":
