@@ -141,6 +141,7 @@ class EmbeddingCollection:
         self.knob_ucap_factor = float(_os.environ.get("HCTR_TPU_UCAP_FACTOR", "0"))
         self.knob_ucap_min_k = int(_os.environ.get("HCTR_TPU_UCAP_MIN_K", "0"))
         self.knob_ucap_drop = bool(_os.environ.get("HCTR_TPU_UCAP_DROP"))
+        self.knob_packed_state = bool(_os.environ.get("HCTR_TPU_PACKED_STATE"))
         self._meta = {g.name: _GroupMeta(g) for g in plan.groups}
         # per-group optimizer (table-level override must be group-uniform)
         self.group_opt: Dict[str, OptParams] = {}
@@ -155,6 +156,20 @@ class EmbeddingCollection:
         # per-table freeze (reference: Model::freeze_embedding(name)):
         # frozen tables' slots are masked out of the backward row list
         self.frozen_tables: set = set()
+        # packed table+optimizer-state storage [R, 2E] (AdaGrad rowop
+        # groups, HCTR_TPU_PACKED_STATE): halves the update's row-granular
+        # op count — gather(accum)+scatter(accum)+scatter(table) becomes
+        # ONE gather + ONE ADD-form scatter of [cap, 2E] rows. State dtype
+        # follows the table dtype in this mode (same buffer).
+        from ..core.types import Optimizer_t as _Opt
+
+        self.packed_groups = {
+            g.name
+            for g in plan.groups
+            if self.knob_packed_state
+            and g.compute_kind == "rowop"
+            and self.group_opt[g.name].optimizer == _Opt.AdaGrad
+        }
 
     # ------------------------------------------------------------------ init
     def init(self, key: Array) -> Dict[str, Array]:
@@ -170,7 +185,11 @@ class EmbeddingCollection:
             rows = g.total_storage_rows
             scales = self._row_init_scales(g)
 
-            def make(sub=sub, rows=rows, g=g, scales=scales):
+            packed = g.name in self.packed_groups
+            accu0 = float(self.group_opt[g.name].initial_accu_value)
+
+            def make(sub=sub, rows=rows, g=g, scales=scales, packed=packed,
+                     accu0=accu0):
                 # partial placement: generate the f-shard base then tile it
                 # so every replica group holds bit-identical shard content
                 base_rows = rows // g.num_replicas
@@ -183,7 +202,12 @@ class EmbeddingCollection:
                 )
                 if g.num_replicas > 1:
                     t = jnp.tile(t, (g.num_replicas, 1))
-                return t * jnp.asarray(scales, dtype=self.dtype)[:, None]
+                t = t * jnp.asarray(scales, dtype=self.dtype)[:, None]
+                if packed:
+                    t = jnp.concatenate(
+                        [t, jnp.full_like(t, accu0)], axis=1
+                    )
+                return t
 
             tables[g.name] = jax.jit(make, out_shardings=sharding)()
             if self._meta[g.name].any_dynamic:
@@ -215,6 +239,9 @@ class EmbeddingCollection:
     def init_optimizer(self, tables: Dict[str, Array]) -> Dict[str, Dict[str, Array]]:
         state = {}
         for g in self.plan.groups:
+            if g.name in self.packed_groups:
+                state[g.name] = {}  # accum lives inside the packed table
+                continue
             sharding = (
                 self.rm.row_sharding()
                 if g.is_model_parallel
@@ -233,6 +260,16 @@ class EmbeddingCollection:
                 lambda x: jax.device_put(x, sharding), st
             )
         return state
+
+    def _is_packed(self, gname: str) -> bool:
+        return gname in self.packed_groups
+
+    def _weights_view(self, gname: str, rows: Array) -> Array:
+        """Leading-E columns of gathered rows (packed groups carry accum in
+        the trailing columns)."""
+        if self._is_packed(gname):
+            return rows[..., : self._meta[gname].plan.ev_size]
+        return rows
 
     # ----------------------------------------------------------- collectives
     def _psum_scatter_batch(self, partial: Array) -> Array:
@@ -585,7 +622,8 @@ class EmbeddingCollection:
                 gname, table_shard, keys, keys != INVALID_KEY, mine, local_row, n
             )
         safe = jnp.where(mine, local_row, 0)
-        rows = table_shard[safe] * mine[..., None].astype(table_shard.dtype)
+        rows = self._weights_view(gname, table_shard[safe])
+        rows = rows * mine[..., None].astype(table_shard.dtype)
         partial = self._pool(g, rows, keys != INVALID_KEY)
         return self._psum_scatter_batch(partial)
 
@@ -612,8 +650,11 @@ class EmbeddingCollection:
             if k_limit < k:
                 sidx = sidx[:k_limit]
                 ssrc = ssrc[:k_limit]
-        rows = table_shard.at[sidx].get(
-            mode="fill", fill_value=0, indices_are_sorted=True
+        rows = self._weights_view(
+            gname,
+            table_shard.at[sidx].get(
+                mode="fill", fill_value=0, indices_are_sorted=True
+            ),
         )
         pooled = jnp.zeros(
             (bg * s_slots, g.ev_size), table_shard.dtype
@@ -770,7 +811,8 @@ class EmbeddingCollection:
         meta = self._meta[gname]
         valid, _owner, local_row = self._slot_placement(meta, keys, 1, key_store)
         safe = jnp.where(valid, local_row, 0)
-        rows = table[safe] * valid[..., None].astype(table.dtype)
+        rows = self._weights_view(gname, table[safe])
+        rows = rows * valid[..., None].astype(table.dtype)
         # mean counts use RAW validity (consistent across steps/shards even
         # when exact-store misses drop rows this step)
         return self._pool(g, rows, keys != INVALID_KEY)
@@ -965,7 +1007,7 @@ class EmbeddingCollection:
             k_limit = min(k, ((int(k * factor / f) + 511) // 512) * 512)
         new_t, new_s = sparse_optimizer.apply_sparse(
             opt, table_shard, state, idx, src, dsrc, lr, step,
-            k_limit=k_limit, **self._opt_knobs()
+            k_limit=k_limit, **self._opt_knobs(gname)
         )
         if key_store is not None:
             return new_t, new_s, key_store
@@ -986,7 +1028,7 @@ class EmbeddingCollection:
         idx, src, dsrc = self._row_grads(gname, keys, d_group, 1, None, key_store)
         opt = self.group_opt[gname]
         new_t, new_s = sparse_optimizer.apply_sparse(
-            opt, table, state, idx, src, dsrc, lr, step, **self._opt_knobs()
+            opt, table, state, idx, src, dsrc, lr, step, **self._opt_knobs(gname)
         )
         if key_store is not None:
             return new_t, new_s, key_store
@@ -1003,18 +1045,19 @@ class EmbeddingCollection:
         idx, src, dsrc = self._row_grads(gname, keys, d_group, 1, None, key_store)
         opt = self.group_opt[gname]
         new_t, new_s = sparse_optimizer.apply_sparse(
-            opt, table, state, idx, src, dsrc, lr, step, **self._opt_knobs()
+            opt, table, state, idx, src, dsrc, lr, step, **self._opt_knobs(gname)
         )
         if key_store is not None:
             return new_t, new_s, key_store
         return new_t, new_s
 
-    def _opt_knobs(self):
+    def _opt_knobs(self, gname: str):
         return dict(
             segsum=self.knob_segsum,
             ucap_factor=self.knob_ucap_factor,
             ucap_min_k=self.knob_ucap_min_k,
             ucap_drop=self.knob_ucap_drop,
+            packed=self._is_packed(gname),
         )
 
     # ------------------------------------------------------------- IO paths
@@ -1042,7 +1085,10 @@ class EmbeddingCollection:
         g, ti = self._find_table(table_name)
         vocab = int(g.table_vocab[ti])
         idx = self._table_storage_rows(g, ti, vocab)
-        return np.asarray(self._export_fn()(tables[g.name], jnp.asarray(idx)))
+        out = np.asarray(self._export_fn()(tables[g.name], jnp.asarray(idx)))
+        if self._is_packed(g.name):
+            out = out[:, : g.ev_size]
+        return out
 
     def import_table(
         self, tables: Dict[str, Array], table_name: str, values: np.ndarray
@@ -1070,11 +1116,18 @@ class EmbeddingCollection:
             )
             vals = np.tile(vals, (g.num_replicas, 1))
         new = dict(tables)
-        new[g.name] = self._import_fn(g.is_model_parallel)(
-            tables[g.name],
-            jnp.asarray(idx),
-            jnp.asarray(vals, dtype=self.dtype),
-        )
+        if self._is_packed(g.name):
+            new[g.name] = self._import_packed_fn(g.is_model_parallel)(
+                tables[g.name],
+                jnp.asarray(idx),
+                jnp.asarray(vals, dtype=self.dtype),
+            )
+        else:
+            new[g.name] = self._import_fn(g.is_model_parallel)(
+                tables[g.name],
+                jnp.asarray(idx),
+                jnp.asarray(vals, dtype=self.dtype),
+            )
         return new
 
     def evict(
@@ -1325,18 +1378,40 @@ class EmbeddingCollection:
         for attr in (
             "state_dtype", "knob_fwd_partition", "knob_capacity_factor",
             "knob_segsum", "knob_ucap_factor", "knob_ucap_min_k",
-            "knob_ucap_drop",
+            "knob_ucap_drop", "knob_packed_state",
         ):
             setattr(new_ec, attr, getattr(self, attr))
+        from ..core.types import Optimizer_t as _Opt
+
+        new_ec.packed_groups = {
+            gg.name
+            for gg in new_plan.groups
+            if new_ec.knob_packed_state
+            and gg.compute_kind == "rowop"
+            and new_ec.group_opt[gg.name].optimizer == _Opt.AdaGrad
+        }
         new_tables = new_ec.init(jax.random.key(0))
         new_state = new_ec.init_optimizer(new_tables)
 
         # static tables: exact copy via export/import + per-row state copy
+        rep_fn = jax.jit(
+            lambda x: x, out_shardings=self.rm.replicated_sharding()
+        )
         for gg in self.plan.groups:
             for tti, tt in enumerate(gg.tables):
                 if tt.is_dynamic:
                     continue
                 vocab = int(gg.table_vocab[tti])
+                if self._is_packed(gg.name):
+                    # copy FULL packed rows (weights + accum columns)
+                    old_rows = self._table_storage_rows(gg, tti, vocab)
+                    ngg, ntti = new_ec._find_table(tt.name)
+                    new_rows = new_ec._table_storage_rows(ngg, ntti, vocab)
+                    full = np.asarray(rep_fn(tables[gg.name]))[old_rows]
+                    new_tables[ngg.name] = new_ec._scatter_all_replicas(
+                        new_tables[ngg.name], ngg, new_rows, full
+                    )
+                    continue
                 new_tables = new_ec.import_table(
                     new_tables,
                     tt.name,
@@ -1389,6 +1464,23 @@ class EmbeddingCollection:
             lambda t, i: jnp.take(t, i, axis=0),
             out_shardings=self.rm.replicated_sharding(),
         )
+
+    @functools.lru_cache(maxsize=None)
+    def _import_packed_fn(self, model_parallel: bool):
+        sharding = (
+            self.rm.row_sharding()
+            if model_parallel
+            else self.rm.replicated_sharding()
+        )
+
+        def imp(t, i, v):
+            # full-row read-modify-write keeps the accum columns (a
+            # column-window scatter would hit XLA's slow path)
+            old = t.at[i].get(mode="fill", fill_value=0)
+            merged = jnp.concatenate([v, old[:, v.shape[1]:]], axis=1)
+            return t.at[i].set(merged)
+
+        return jax.jit(imp, out_shardings=sharding)
 
     @functools.lru_cache(maxsize=None)
     def _import_fn(self, model_parallel: bool):

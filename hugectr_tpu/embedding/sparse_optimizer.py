@@ -272,8 +272,14 @@ def apply_sparse(
     ucap_factor: float = 0.0,
     ucap_min_k: int = 0,
     ucap_drop: bool = False,
+    packed: bool = False,
 ) -> Tuple[Array, State]:
     """Apply one sparse update for (possibly duplicated) row gradients.
+
+    packed=True: `table` is a packed [R, 2E] array (weights ‖ AdaGrad
+    accum) and `state` is empty — the whole update is ONE gather + ONE
+    ADD-form scatter of 2E-wide rows (half the row-granular ops of the
+    separate-array trio).
 
     Args:
       table: [R, E] local table shard.
@@ -309,7 +315,14 @@ def apply_sparse(
     uidx, g, tail, is_unique = dedup_rows(
         idx, src, dsrc, sentinel=rows, k_limit=k_limit, segsum=segsum
     )
-    run = functools.partial(_apply_rows, opt, table, state, lr, step, is_unique)
+    if packed:
+        run = functools.partial(
+            _apply_rows_packed, opt, table, state, lr, is_unique
+        )
+    else:
+        run = functools.partial(
+            _apply_rows, opt, table, state, lr, step, is_unique
+        )
     ucap = (
         unique_cap(int(uidx.shape[0]), ucap_factor, ucap_min_k)
         if is_unique
@@ -330,6 +343,38 @@ def apply_sparse(
             lambda: run(uidx, g, None),
         )
     return run(uidx, g, tail)
+
+
+def _apply_rows_packed(
+    opt: OptParams,
+    table: Array,
+    state: State,
+    lr: Array,
+    is_unique: bool,
+    uidx: Array,
+    g: Array,
+    tail,
+) -> Tuple[Array, State]:
+    """Packed [R, 2E] AdaGrad apply: one gather, one ADD-form scatter."""
+    if opt.optimizer != Optimizer_t.AdaGrad:
+        raise ValueError("packed storage currently supports AdaGrad only")
+    ev = table.shape[1] // 2
+    mask = None if is_unique else tail[:, None]
+    rows = table.at[uidx].get(
+        mode="fill", fill_value=0,
+        indices_are_sorted=True, unique_indices=is_unique,
+    )
+    accum_old = rows[:, ev:]
+    gg = g * g
+    accum = accum_old + gg
+    delta_w = -lr * g / (jnp.sqrt(accum) + opt.epsilon)
+    delta = jnp.concatenate([delta_w, gg], axis=1).astype(table.dtype)
+    if mask is not None:
+        delta = jnp.where(mask, delta, jnp.zeros_like(delta))
+    new_table = table.at[uidx].add(
+        delta, mode="drop", indices_are_sorted=True, unique_indices=is_unique
+    )
+    return new_table, state
 
 
 def _apply_rows(

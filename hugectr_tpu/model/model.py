@@ -913,6 +913,20 @@ class Model:
                     if write:
                         os.makedirs(tdir, exist_ok=True)
                         np.save(os.path.join(tdir, "emb_vector.npy"), arr)
+            # packed table+state groups: persist the full packed array so
+            # the accum columns survive (eopt is empty for these groups)
+            for name, arr in self.state["emb_tables"].items():
+                if name in getattr(self.ec, "packed_groups", ()):
+                    host = np.asarray(
+                        jax.jit(
+                            lambda x: x,
+                            out_shardings=self.rm.replicated_sharding(),
+                        )(arr)
+                    )
+                    if write:
+                        np.save(
+                            os.path.join(out_dir, f"packed_{name}.npy"), host
+                        )
             # dynamic-table key stores (exact key -> slot assignments)
             for name, arr in self.state["emb_tables"].items():
                 if name.endswith("#keys"):
@@ -964,6 +978,14 @@ class Model:
                             self.state["emb_tables"], t.name, np.load(path)
                         )
         if self.ec is not None:
+            for name in list(self.state["emb_tables"]):
+                if name in getattr(self.ec, "packed_groups", ()):
+                    pth = os.path.join(out_dir, f"packed_{name}.npy")
+                    if os.path.exists(pth):
+                        self.state["emb_tables"][name] = jax.device_put(
+                            jnp.asarray(np.load(pth)),
+                            self.state["emb_tables"][name].sharding,
+                        )
             for name in list(self.state["emb_tables"]):
                 if name.endswith("#keys"):
                     p = os.path.join(

@@ -79,6 +79,8 @@ def check_embedding_overflow(model) -> Dict[str, float]:
     for gname, arr in model.state["emb_tables"].items():
         if gname.endswith("#keys"):
             continue  # dynamic-table key stores are int ids, not values
+        if gname in getattr(model.ec, "packed_groups", ()):
+            arr = arr[:, : arr.shape[1] // 2]  # skip accum columns
         out[gname] = float(jnp.max(jnp.abs(arr)))
         if not np.isfinite(out[gname]) or out[gname] > 1e4:
             logger.warning(
