@@ -142,6 +142,11 @@ class EmbeddingCollection:
         self.knob_ucap_min_k = int(_os.environ.get("HCTR_TPU_UCAP_MIN_K", "0"))
         self.knob_ucap_drop = bool(_os.environ.get("HCTR_TPU_UCAP_DROP"))
         self.knob_packed_state = bool(_os.environ.get("HCTR_TPU_PACKED_STATE"))
+        # one-hot engine backend: "xla" (default — measured 90.0k vs the
+        # fused Pallas kernels' 88.7k ex/s on the DLRM bench; XLA's
+        # compare-chain+matmul fusion wins at <=32k vocab, and the engine is
+        # flops-capped at ~32-64k vocab either way) | "pallas" | "auto"
+        self.knob_onehot_kernel = _os.environ.get("HCTR_TPU_ONEHOT_KERNEL", "xla")
         self._meta = {g.name: _GroupMeta(g) for g in plan.groups}
         # per-group optimizer (table-level override must be group-uniform)
         self.group_opt: Dict[str, OptParams] = {}
@@ -735,9 +740,43 @@ class EmbeddingCollection:
             counts[li] = cnt
         return counts, valid
 
+    def _use_onehot_kernel(self) -> bool:
+        k = self.knob_onehot_kernel
+        if k == "pallas":
+            return True
+        if k == "xla":
+            return False
+        return jax.default_backend() == "tpu"
+
+    def _onehot_local_keys(self, meta, keys, lm, g):
+        """Table-local rows for one lookup; negatives act as padding."""
+        valid, _o, local_row = self._slot_placement(meta, keys, 1)
+        off = int(g.local_offsets[lm.table_index])
+        k = local_row[:, lm.slot_begin : lm.slot_end] - off
+        val = valid[:, lm.slot_begin : lm.slot_end]
+        return jnp.where(val, k, -1), val
+
     def _onehot_fwd(self, gname: str, table: Array, keys: Array) -> Array:
         meta = self._meta[gname]
         g = meta.plan
+        if self._use_onehot_kernel():
+            from ..ops.pallas.onehot_matmul import onehot_matmul_fwd
+
+            outs: List[Array] = []
+            for lm in g.lookups:
+                ti = lm.table_index
+                off = int(g.local_offsets[ti])
+                v = int(g.table_vocab[ti])
+                k_rel, val = self._onehot_local_keys(meta, keys, lm, g)
+                vb = min(512, ((v + 127) // 128) * 128)
+                o = onehot_matmul_fwd(k_rel, table[off : off + v], vb=vb)
+                if lm.combiner == Combiner_t.Mean:
+                    nval = jnp.sum(
+                        val.astype(o.dtype), axis=1, keepdims=True
+                    )
+                    o = o / jnp.maximum(nval, 1.0)
+                outs.append(o)
+            return jnp.concatenate(outs, axis=1)
         counts, valid = self._onehot_counts(gname, keys, table.dtype)
         outs: List[Array] = []
         for li, lm in enumerate(g.lookups):

@@ -235,3 +235,52 @@ def test_onehot_freeze_table(mesh1):
         tables, state, {"f": keys}, {"e": d}, jnp.asarray(0.5), jnp.asarray(1)
     )
     np.testing.assert_array_equal(ebc.export_table(tables, "t"), before)
+
+
+def test_pallas_onehot_kernel_matches_xla(mesh1, monkeypatch):
+    """Fused Pallas one-hot kernels == materialized-counts XLA path."""
+    rng = np.random.default_rng(9)
+    batch = 32
+    feats = _feats(rng, batch)
+    d_outs = {
+        "e0": rng.normal(size=(batch, 8)).astype(np.float32),
+        "e1": rng.normal(size=(batch, 8)).astype(np.float32),
+        "e2": rng.normal(size=(batch, 16)).astype(np.float32),
+        "e3": rng.normal(size=(batch, 8)).astype(np.float32),
+    }
+    dense = {
+        n: np.random.default_rng(12).normal(size=(v, 8)).astype(np.float32)
+        for n, v in (("t0", 100), ("t1", 57), ("t2", 31))
+    }
+    results = {}
+    for backend in ("xla", "pallas"):
+        monkeypatch.setenv("HCTR_TPU_ONEHOT_KERNEL", backend)
+        lookups = make_lookups()
+        plan = ShardingPlan(strategy=[("mp", ["t0", "t1", "t2"])])
+        compiled = compile_plan(lookups, plan, num_shards=1)
+        opt = OptParams(
+            Optimizer_t.AdaGrad, lr=0.3, initial_accu_value=0.0, epsilon=1e-7
+        )
+        ebc = EmbeddingCollection(compiled, mesh1, opt)
+        tables = ebc.init(jax.random.key(3))
+        for n, v in dense.items():
+            tables = ebc.import_table(tables, n, v)
+        state = ebc.init_optimizer(tables)
+        fwd = jax.jit(ebc.forward)(tables, feats)
+        tables, state = jax.jit(ebc.backward_and_update)(
+            tables, state, feats, d_outs, jnp.asarray(0.3), jnp.asarray(1)
+        )
+        results[backend] = (
+            {k: np.asarray(v) for k, v in fwd.items()},
+            {n: ebc.export_table(tables, n) for n in dense},
+        )
+    for k in results["pallas"][0]:
+        np.testing.assert_allclose(
+            results["pallas"][0][k], results["xla"][0][k],
+            rtol=1e-4, atol=1e-5, err_msg=f"fwd {k}",
+        )
+    for n in dense:
+        np.testing.assert_allclose(
+            results["pallas"][1][n], results["xla"][1][n],
+            rtol=1e-4, atol=1e-5, err_msg=f"table {n}",
+        )
