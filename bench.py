@@ -24,7 +24,13 @@ def main():
     # (tests/test_convergence.py::test_bf16_optimizer_state_convergence_gate)
     os.environ.setdefault("HCTR_TPU_EMB_STATE_DTYPE", "bfloat16")
     os.environ.setdefault("HCTR_TPU_SEGSUM", "xla")
-    os.environ.setdefault("HCTR_TPU_UCAP_FACTOR", "0.4")
+    # auto: unique-row compaction windows measured from the first batch
+    # (exact — lax.cond falls back to full-K on overflow)
+    os.environ.setdefault("HCTR_TPU_UCAP_FACTOR", "auto")
+    # rowwise_adagrad = the MLPerf DLRM reference implementation's embedding
+    # optimizer (torchrec ROWWISE_ADAGRAD); AUC-gated vs element-wise
+    # AdaGrad in test_convergence.py::test_rowwise_adagrad_convergence_gate
+    os.environ.setdefault("HCTR_BENCH_OPT", "rowwise_adagrad")
     # honor driver environment; default to whatever platform JAX picks
     import jax
 
@@ -83,6 +89,8 @@ def main():
         "emb_dtype": os.environ["HCTR_TPU_EMB_DTYPE"],
         "emb_state_dtype": os.environ.get("HCTR_TPU_EMB_STATE_DTYPE", "float32"),
         "segsum": os.environ["HCTR_TPU_SEGSUM"],
+        "optimizer": os.environ["HCTR_BENCH_OPT"],
+        "ucap": os.environ["HCTR_TPU_UCAP_FACTOR"],
         "vocab_cap": vocab_cap,
         # measurement caveats vs the full MLPerf operating point: per-table
         # vocab capped (4x40M tables exceed one chip's HBM), synthetic

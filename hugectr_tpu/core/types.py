@@ -18,6 +18,13 @@ class Optimizer_t(str, enum.Enum):
     MomentumSGD = "momentum_sgd"
     Nesterov = "nesterov"
     AdaGrad = "adagrad"
+    # Row-wise AdaGrad: ONE accumulator scalar per embedding row (mean of
+    # squared gradients over the row). TPU-native extension matching the
+    # MLPerf DLRM reference implementation's embedding optimizer (torchrec
+    # ROWWISE_ADAGRAD); dense-layer parameters fall back to element-wise
+    # AdaGrad, as in the reference implementation. Cuts the sparse-update
+    # state traffic from [rows, ev] to [rows, 1].
+    RowWiseAdaGrad = "rowwise_adagrad"
     RMSProp = "rmsprop"
     Adam = "adam"
     FTRL = "ftrl"

@@ -138,7 +138,17 @@ class EmbeddingCollection:
             _os.environ.get("HCTR_TPU_MP_CAPACITY_FACTOR", "0")
         )
         self.knob_segsum = _os.environ.get("HCTR_TPU_SEGSUM", "xla")
-        self.knob_ucap_factor = float(_os.environ.get("HCTR_TPU_UCAP_FACTOR", "0"))
+        _ucap = _os.environ.get("HCTR_TPU_UCAP_FACTOR", "0")
+        # "auto": measure each rowop group's true unique-row count on the
+        # first real batch (Model feeds it via auto_unique_caps) and size
+        # the compaction window to measured x headroom. The lax.cond
+        # fallback keeps exactness when a later batch overflows the window.
+        self.knob_ucap_auto = _ucap == "auto"
+        self.knob_ucap_factor = 0.0 if self.knob_ucap_auto else float(_ucap)
+        self.knob_ucap_headroom = float(
+            _os.environ.get("HCTR_TPU_UCAP_HEADROOM", "1.25")
+        )
+        self.unique_caps: Dict[str, int] = {}
         self.knob_ucap_min_k = int(_os.environ.get("HCTR_TPU_UCAP_MIN_K", "0"))
         self.knob_ucap_drop = bool(_os.environ.get("HCTR_TPU_UCAP_DROP"))
         self.knob_packed_state = bool(_os.environ.get("HCTR_TPU_PACKED_STATE"))
@@ -1096,8 +1106,53 @@ class EmbeddingCollection:
             ucap_factor=self.knob_ucap_factor,
             ucap_min_k=self.knob_ucap_min_k,
             ucap_drop=self.knob_ucap_drop,
+            ucap_cap=self.unique_caps.get(gname, 0),
             packed=self._is_packed(gname),
         )
+
+    def auto_unique_caps(self, feature_keys) -> None:
+        """Size each rowop group's unique-row compaction window from a real
+        batch (HCTR_TPU_UCAP_FACTOR=auto). `feature_keys` is the host-side
+        {bottom_name: [B, hotness] np.ndarray} batch. The measured per-shard
+        unique count x headroom becomes the static window; apply_sparse's
+        runtime cond still falls back to the exact full-K path whenever a
+        later batch exceeds it, so this is a pure speedup. TPU analog of the
+        reference's capacity planning for its fixed comm/sort buffers
+        (embedding/data_distributor, max_hotness bounds)."""
+        for g in self.plan.groups:
+            meta = self._meta[g.name]
+            if g.compute_kind != "rowop" or meta.any_dynamic:
+                continue
+            cols = []
+            for lm in g.lookups:
+                k = np.asarray(feature_keys[lm.bottom_name])
+                if k.ndim == 1:
+                    k = k[:, None]
+                if lm.key_lo > 0 or lm.key_hi >= 0 or lm.key_shift:
+                    hi = lm.key_hi if lm.key_hi >= 0 else np.iinfo(np.int64).max
+                    k = np.where(
+                        (k >= lm.key_lo) & (k < hi),
+                        k - lm.key_shift,
+                        int(INVALID_KEY),
+                    )
+                cols.append(k)
+            keys = np.concatenate(cols, axis=1)
+            valid = keys != INVALID_KEY
+            f = g.num_shards if g.is_model_parallel else 1
+            kk = keys.astype(np.int64) % np.asarray(g.slot_vocab)[None, :]
+            owner = kk % f
+            local = kk // f + np.asarray(g.slot_local_offset)[None, :]
+            gid = owner * int(g.total_local_rows) + local
+            u_max = 0
+            for s in range(f):
+                u = np.unique(gid[valid & (owner == s)]).size
+                u_max = max(u_max, int(u))
+            if self.rm.num_processes > 1:
+                # multi-controller: this process sees only its batch shard;
+                # bound the global unique count by the per-process sum
+                u_max *= self.rm.num_processes
+            cap = ((int(u_max * self.knob_ucap_headroom) + 511) // 512) * 512
+            self.unique_caps[g.name] = max(cap, 512)
 
     # ------------------------------------------------------------- IO paths
     def _is_frozen(self, table_name: str) -> bool:

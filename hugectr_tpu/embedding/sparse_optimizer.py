@@ -35,6 +35,11 @@ def init_state(opt: OptParams, rows: int, ev: int, dtype=jnp.float32) -> State:
         return {"m": z()}
     if kind == Optimizer_t.AdaGrad:
         return {"accum": jnp.full((rows, ev), opt.initial_accu_value, dtype=dtype)}
+    if kind == Optimizer_t.RowWiseAdaGrad:
+        # one scalar per row (torchrec ROWWISE_ADAGRAD semantics): state
+        # row ops move 1 element instead of ev — the gather/scatter pair of
+        # the update trio runs on an [R, 1] operand
+        return {"accum": jnp.full((rows, 1), opt.initial_accu_value, dtype=dtype)}
     if kind == Optimizer_t.RMSProp:
         return {"v": z()}
     if kind == Optimizer_t.Adam:
@@ -220,6 +225,14 @@ def apply_dense(
             "accum": accum.astype(state["accum"].dtype)
         }
 
+    if kind == Optimizer_t.RowWiseAdaGrad:
+        g2 = jnp.mean(jnp.square(g), axis=1, keepdims=True)
+        accum = state["accum"].astype(jnp.float32) + g2
+        delta = -lr * g / (jnp.sqrt(accum) + opt.epsilon)
+        return (table + delta).astype(table.dtype), {
+            "accum": sel(accum, state["accum"])
+        }
+
     if kind == Optimizer_t.RMSProp:
         v = opt.beta * state["v"] + (1.0 - opt.beta) * g * g
         delta = -lr * g / (jnp.sqrt(v) + opt.epsilon)
@@ -272,6 +285,7 @@ def apply_sparse(
     ucap_factor: float = 0.0,
     ucap_min_k: int = 0,
     ucap_drop: bool = False,
+    ucap_cap: int = 0,
     packed: bool = False,
 ) -> Tuple[Array, State]:
     """Apply one sparse update for (possibly duplicated) row gradients.
@@ -323,11 +337,15 @@ def apply_sparse(
         run = functools.partial(
             _apply_rows, opt, table, state, lr, step, is_unique
         )
-    ucap = (
-        unique_cap(int(uidx.shape[0]), ucap_factor, ucap_min_k)
-        if is_unique
-        else 0
-    )
+    if ucap_cap > 0 and is_unique:
+        # measured per-group window (HCTR_TPU_UCAP_FACTOR=auto)
+        ucap = min(int(uidx.shape[0]), ucap_cap)
+    else:
+        ucap = (
+            unique_cap(int(uidx.shape[0]), ucap_factor, ucap_min_k)
+            if is_unique
+            else 0
+        )
     if ucap and ucap < int(uidx.shape[0]):
         if ucap_drop:
             # capacity-drop mode: overflow segments beyond the cap lose
@@ -443,6 +461,21 @@ def _apply_rows(
         accum_old = gather(state["accum"])
         accum = accum_old + g * g
         delta = -lr * g / (jnp.sqrt(accum) + opt.epsilon)
+        return (
+            scatter_add(table, delta),
+            {"accum": scatter_set(state["accum"], accum, accum_old)},
+        )
+
+    if kind == Optimizer_t.RowWiseAdaGrad:
+        # accum += mean(g^2) over the row; the division broadcasts the
+        # per-row scale. mean in fp32 (a bf16 sum of 128 squares loses
+        # mantissa fast).
+        accum_old = gather(state["accum"])
+        g2 = jnp.mean(
+            jnp.square(g.astype(jnp.float32)), axis=1, keepdims=True
+        )
+        accum = accum_old.astype(jnp.float32) + g2
+        delta = -lr * g / (jnp.sqrt(accum).astype(g.dtype) + opt.epsilon)
         return (
             scatter_add(table, delta),
             {"accum": scatter_set(state["accum"], accum, accum_old)},

@@ -700,7 +700,25 @@ class Model:
             out[name] = k32
         return out
 
+    def _maybe_auto_ucap(self, host_batch) -> None:
+        """First-batch hook for HCTR_TPU_UCAP_FACTOR=auto: measure per-group
+        unique-row counts on the first real batch (host-side) so the jitted
+        step (traced right after) compiles with measured compaction
+        windows."""
+        if self.ec is None or not self.ec.knob_ucap_auto or self.ec.unique_caps:
+            return
+        b = (
+            self._fold_i64_keys(host_batch)
+            if self.solver.i64_input_key
+            else host_batch
+        )
+        fk = {
+            k: np.asarray(v) for k, v in self._feature_keys(b).items()
+        }
+        self.ec.auto_unique_caps(fk)
+
     def _put_batch(self, batch) -> Dict[str, jax.Array]:
+        self._maybe_auto_ucap(batch)
         if self.solver.i64_input_key:
             batch = self._fold_i64_keys(batch)
         sh = self.rm.batch_sharding()

@@ -21,6 +21,14 @@ PyTree = Any
 
 class DenseOptimizer:
     def __init__(self, opt: OptParams):
+        if opt.optimizer == Optimizer_t.RowWiseAdaGrad:
+            # RowWiseAdaGrad is an embedding-row optimizer; dense-layer
+            # parameters use standard element-wise AdaGrad — matching the
+            # MLPerf DLRM reference implementation (torchrec rowwise
+            # embeddings + eager Adagrad dense).
+            import dataclasses
+
+            opt = dataclasses.replace(opt, optimizer=Optimizer_t.AdaGrad)
         self.opt = opt
 
     def init(self, params: PyTree) -> PyTree:

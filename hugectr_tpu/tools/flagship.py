@@ -60,8 +60,14 @@ def build_dlrm_dcnv2(
         # distribution (Criteo-like hot-key skew; data_generator.cpp:92-105)
         synthetic_alpha=1.05,
     )
+    # HCTR_BENCH_OPT: "adagrad" (reference HugeCTR operating point) or
+    # "rowwise_adagrad" (MLPerf DLRM torchrec reference implementation's
+    # embedding optimizer; AUC-gated in test_convergence.py)
     optimizer = hugectr.CreateOptimizer(
-        optimizer_type=hugectr.Optimizer_t.AdaGrad, initial_accu_value=0.0
+        optimizer_type=hugectr.Optimizer_t(
+            os.environ.get("HCTR_BENCH_OPT", "adagrad")
+        ),
+        initial_accu_value=0.0,
     )
     model = hugectr.Model(solver, reader, optimizer, resource_manager=rm)
     model.add(

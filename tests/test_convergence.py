@@ -9,7 +9,13 @@ import hugectr_tpu as hugectr
 from hugectr_tpu.core.types import DataReaderType_t, Metric_t
 
 
-def _model(rm, learnable=True, batch=512, emb_dtype="float32"):
+def _model(
+    rm,
+    learnable=True,
+    batch=512,
+    emb_dtype="float32",
+    optimizer_type=None,
+):
     solver = hugectr.CreateSolver(
         max_eval_batches=8,
         batchsize_eval=batch,
@@ -25,7 +31,9 @@ def _model(rm, learnable=True, batch=512, emb_dtype="float32"):
         synthetic_num_batches=24,
         synthetic_learnable=learnable,
     )
-    optimizer = hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.Adam)
+    optimizer = hugectr.CreateOptimizer(
+        optimizer_type=optimizer_type or hugectr.Optimizer_t.Adam
+    )
     model = hugectr.Model(solver, reader, optimizer, resource_manager=rm)
     model.add(
         hugectr.Input(
@@ -130,6 +138,42 @@ def test_bf16_optimizer_state_convergence_gate(mesh8, monkeypatch):
         aucs[dt] = model.eval()["auc"]
     assert aucs["bfloat16"] > 0.72, aucs
     assert abs(aucs["bfloat16"] - aucs["float32"]) < 0.03, aucs
+
+
+def test_rowwise_adagrad_convergence_gate(mesh8):
+    """RowWiseAdaGrad (torchrec-style scalar accumulator per row — the
+    MLPerf DLRM reference implementation's embedding optimizer) must
+    converge within tolerance of element-wise AdaGrad on the
+    learnable-synthetic dataset. This is the gate behind offering it as a
+    bench operating point."""
+    aucs = {}
+    for ot in (
+        hugectr.Optimizer_t.AdaGrad,
+        hugectr.Optimizer_t.RowWiseAdaGrad,
+    ):
+        model = _model(mesh8, optimizer_type=ot)
+        for _ in range(300):
+            model.train_async()
+        aucs[ot] = model.eval()["auc"]
+    rw = aucs[hugectr.Optimizer_t.RowWiseAdaGrad]
+    ew = aucs[hugectr.Optimizer_t.AdaGrad]
+    assert rw > 0.72, aucs
+    assert abs(rw - ew) < 0.03, aucs
+
+
+def test_auto_ucap_model_path(mesh8, monkeypatch):
+    """HCTR_TPU_UCAP_FACTOR=auto end-to-end: the Model measures unique caps
+    off the first batch and training still converges/learns."""
+    monkeypatch.setenv("HCTR_TPU_UCAP_FACTOR", "auto")
+    # vocab above the onehot threshold so the rowop engine (which consumes
+    # the caps) is exercised
+    monkeypatch.setenv("HCTR_TPU_ONEHOT_VOCAB", "0")
+    model = _model(mesh8)
+    for _ in range(60):
+        model.train_async()
+    assert model.ec.unique_caps, "auto caps were never measured"
+    loss = model.train()
+    assert np.isfinite(loss)
 
 
 def test_freeze_dense_and_embedding(mesh8):

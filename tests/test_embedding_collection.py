@@ -339,3 +339,135 @@ def test_unique_cap_compaction_exact(mesh1, monkeypatch, unique_kind):
     np.testing.assert_allclose(
         results["0.3"], results["0"], rtol=1e-6, atol=1e-7
     )
+
+
+def test_rowwise_adagrad_matches_oracle(mesh1):
+    """RowWiseAdaGrad (torchrec ROWWISE_ADAGRAD semantics): one accumulator
+    scalar per row, accum += mean(g^2) over the row; duplicate keys see one
+    summed-gradient update."""
+    t = EmbeddingTableConfig(name="t", max_vocabulary_size=10, ev_size=8)
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 4)]
+    plan = ShardingPlan(strategy=[("mp", ["t"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    opt = OptParams(
+        Optimizer_t.RowWiseAdaGrad, lr=0.5, initial_accu_value=0.0,
+        epsilon=1e-7,
+    )
+    ebc = EmbeddingCollection(compiled, mesh1, opt)
+    tables = ebc.init(jax.random.key(0))
+    state = ebc.init_optimizer(tables)
+    # one accumulator scalar per row
+    assert next(iter(state.values()))["accum"].shape[1] == 1
+
+    # row 3 twice in one sample, row 5 once; non-uniform cotangent
+    keys = np.array([[3, 3, 5, INVALID_KEY]], dtype=np.int32)
+    d = np.arange(8, dtype=np.float32)[None, :] + 1.0
+    before = ebc.export_table(tables, "t")
+    tables, state = jax.jit(ebc.backward_and_update)(
+        tables, state, {"f": keys}, {"e": d}, jnp.asarray(0.5), jnp.asarray(1)
+    )
+    after = ebc.export_table(tables, "t")
+    g3 = 2.0 * (np.arange(8) + 1.0)  # summed over the duplicate
+    a3 = np.mean(g3 * g3)
+    np.testing.assert_allclose(
+        after[3] - before[3], -0.5 * g3 / (np.sqrt(a3) + 1e-7), rtol=1e-5
+    )
+    g5 = np.arange(8) + 1.0
+    a5 = np.mean(g5 * g5)
+    np.testing.assert_allclose(
+        after[5] - before[5], -0.5 * g5 / (np.sqrt(a5) + 1e-7), rtol=1e-5
+    )
+    np.testing.assert_allclose(after[0], before[0])
+
+
+def test_rowwise_adagrad_sharded_matches_single(mesh8, mesh1):
+    """RowWiseAdaGrad on the 8-way MP engine == single-device result."""
+    t = EmbeddingTableConfig(name="t", max_vocabulary_size=128, ev_size=8)
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 4)]
+    plan = ShardingPlan(strategy=[("mp", ["t"])])
+    rng = np.random.default_rng(3)
+    keys = random_keys(rng, 64, 4, 128)
+    d = rng.normal(size=(64, 8)).astype(np.float32)
+    # identical imported tables on both meshes (init placement differs)
+    shared = rng.normal(size=(128, 8)).astype(np.float32)
+    res = {}
+    for rm in (mesh8, mesh1):
+        compiled = compile_plan(lookups, plan, num_shards=rm.data_parallel_size)
+        opt = OptParams(Optimizer_t.RowWiseAdaGrad, lr=0.2, epsilon=1e-7)
+        ebc = EmbeddingCollection(compiled, rm, opt)
+        tables = ebc.init(jax.random.key(1))
+        tables = ebc.import_table(tables, "t", shared)
+        state = ebc.init_optimizer(tables)
+        kd = jax.device_put(keys, rm.batch_sharding())
+        dd = jax.device_put(d, rm.batch_sharding())
+        tables, state = jax.jit(ebc.backward_and_update)(
+            tables, state, {"f": kd}, {"e": dd}, jnp.asarray(0.2),
+            jnp.asarray(1),
+        )
+        res[rm] = ebc.export_table(tables, "t")
+    np.testing.assert_allclose(res[mesh8], res[mesh1], rtol=1e-5, atol=1e-6)
+
+
+def test_auto_unique_cap_exact(mesh1, monkeypatch):
+    """HCTR_TPU_UCAP_FACTOR=auto measures the first batch's unique count and
+    compiles a right-sized window; results stay exact vs the uncapped path
+    (cond fallback covers later overflow)."""
+    t = EmbeddingTableConfig(name="t", max_vocabulary_size=100_000, ev_size=8)
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 4)]
+    plan = ShardingPlan(strategy=[("mp", ["t"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    opt = OptParams(Optimizer_t.AdaGrad, lr=0.3, epsilon=1e-7)
+    rng = np.random.default_rng(17)
+    keys = rng.integers(0, 256, (512, 4)).astype(np.int32)  # few uniques
+    d = rng.normal(size=(512, 8)).astype(np.float32)
+    results = {}
+    for mode in ("0", "auto"):
+        monkeypatch.setenv("HCTR_TPU_UCAP_FACTOR", mode)
+        ebc = EmbeddingCollection(compiled, mesh1, opt)
+        if mode == "auto":
+            assert ebc.knob_ucap_auto
+            ebc.auto_unique_caps({"f": keys})
+            gname = list(ebc.unique_caps)[0]
+            # 256 possible uniques -> cap rounds to 512, far below K=2048
+            assert ebc.unique_caps[gname] == 512
+        tables = ebc.init(jax.random.key(4))
+        state = ebc.init_optimizer(tables)
+        tables, state = jax.jit(ebc.backward_and_update)(
+            tables, state, {"f": keys}, {"e": d}, jnp.asarray(0.3),
+            jnp.asarray(1),
+        )
+        results[mode] = ebc.export_table(tables, "t")
+    np.testing.assert_allclose(
+        results["auto"], results["0"], rtol=1e-6, atol=1e-7
+    )
+
+
+def test_auto_unique_cap_overflow_falls_back(mesh1, monkeypatch):
+    """A later batch with MORE uniques than the measured cap must take the
+    exact full-K fallback, not drop gradients."""
+    t = EmbeddingTableConfig(name="t", max_vocabulary_size=100_000, ev_size=8)
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 4)]
+    plan = ShardingPlan(strategy=[("mp", ["t"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    opt = OptParams(Optimizer_t.AdaGrad, lr=0.3, epsilon=1e-7)
+    rng = np.random.default_rng(23)
+    few = rng.integers(0, 200, (512, 4)).astype(np.int32)
+    many = np.arange(512 * 4, dtype=np.int32).reshape(512, 4)  # all unique
+    d = rng.normal(size=(512, 8)).astype(np.float32)
+    results = {}
+    for mode in ("0", "auto"):
+        monkeypatch.setenv("HCTR_TPU_UCAP_FACTOR", mode)
+        ebc = EmbeddingCollection(compiled, mesh1, opt)
+        if mode == "auto":
+            ebc.auto_unique_caps({"f": few})  # cap sized for `few`
+        tables = ebc.init(jax.random.key(4))
+        state = ebc.init_optimizer(tables)
+        step = jax.jit(ebc.backward_and_update)
+        tables, state = step(
+            tables, state, {"f": many}, {"e": d}, jnp.asarray(0.3),
+            jnp.asarray(1),
+        )
+        results[mode] = ebc.export_table(tables, "t")
+    np.testing.assert_allclose(
+        results["auto"], results["0"], rtol=1e-6, atol=1e-7
+    )
