@@ -118,36 +118,8 @@ def dedup_rows(
         [jnp.ones((1,), dtype=bool), sidx[1:] != sidx[:-1]]
     )
     seg = jnp.cumsum(head.astype(jnp.int32)) - 1  # [K] segment ids in [0, K)
-    # Fold the representative-row computation into the SAME segment-sum
-    # scatter by appending one column carrying the row id at segment heads
-    # (only the head contributes, so the segment sum IS the row id; exact in
-    # f32 for rows < 2^24 — scatter cost is per-row issue-bound, so one
-    # extra column is ~free while a separate segment_min scatter is not).
-    if sentinel < (1 << 24):
-        ext = jnp.concatenate(
-            [
-                sgrads.astype(jnp.float32),
-                jnp.where(head, sidx, 0).astype(jnp.float32)[:, None],
-            ],
-            axis=1,
-        )
-        summed_ext = jax.ops.segment_sum(
-            ext, seg, num_segments=k, indices_are_sorted=True
-        )
-        summed = summed_ext[:, :-1].astype(dsrc.dtype)
-        urow = summed_ext[:, -1].astype(sidx.dtype)
-        # empty segments (positions >= the segment count) and sentinel rows
-        # get distinct increasing out-of-range ids so the result stays
-        # sorted AND unique
-        nseg = jnp.sum(head.astype(jnp.int32))
-        j = jnp.arange(k, dtype=sidx.dtype)
-        urow = jnp.where(
-            (j < nseg) & (urow < sentinel),
-            urow,
-            jnp.asarray(sentinel, sidx.dtype) + j,
-        )
-        return urow, summed, None, True
-
+    # (The fused f32 row-id-column variant lives in apply_sparse directly so
+    # the post-segsum slice/convert can defer into the cond window branch.)
     summed = jax.ops.segment_sum(
         sgrads, seg, num_segments=k, indices_are_sorted=True
     )
@@ -315,45 +287,113 @@ def apply_sparse(
     rows = table.shape[0]
     idx = idx.astype(jnp.int32) if rows < 2**31 else idx
     kind = opt.optimizer
-    dsrc = dsrc.astype(table.dtype)
 
     if kind == Optimizer_t.SGD:
         # Stateless: scatter-add is associative, so skip sort/dedup entirely
         # (XLA combines duplicate rows in the scatter itself).
-        grads = dsrc.at[src].get(mode="fill", fill_value=0)
+        grads = dsrc.astype(table.dtype).at[src].get(mode="fill", fill_value=0)
         return (
             table.at[idx].add(-lr * grads, mode="drop"),
             state,
         )
 
-    uidx, g, tail, is_unique = dedup_rows(
-        idx, src, dsrc, sentinel=rows, k_limit=k_limit, segsum=segsum
-    )
     if packed:
         run = functools.partial(
-            _apply_rows_packed, opt, table, state, lr, is_unique
+            _apply_rows_packed, opt, table, state, lr, True
         )
     else:
         run = functools.partial(
-            _apply_rows, opt, table, state, lr, step, is_unique
+            _apply_rows, opt, table, state, lr, step, True
         )
-    if ucap_cap > 0 and is_unique:
-        # measured per-group window (HCTR_TPU_UCAP_FACTOR=auto)
+
+    k = idx.shape[0]
+    if segsum == "xla" and rows < (1 << 24):
+        # Fused-column segment sum kept in its RAW f32 [*, E+1] form: the
+        # row-id fixup, column slice and dtype cast happen INSIDE each cond
+        # branch AFTER the window slice, so the common (window-fits) path
+        # only post-processes [cap] rows instead of the full K.
+        sidx, ssrc = jax.lax.sort((idx, src), num_keys=1)
+        if k_limit and k_limit < k:
+            sidx = sidx[:k_limit]
+            ssrc = ssrc[:k_limit]
+            k = k_limit
+        sgrads = dsrc.at[ssrc].get(mode="fill", fill_value=0)
+        head = jnp.concatenate(
+            [jnp.ones((1,), dtype=bool), sidx[1:] != sidx[:-1]]
+        )
+        seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+        # one extra f32 column carries the row id at segment heads (only the
+        # head contributes, so the segment sum IS the row id; exact in f32
+        # for rows < 2^24 — the scatter is per-row issue-bound, so one more
+        # column is ~free while a separate segment_min scatter is not)
+        ext = jnp.concatenate(
+            [
+                sgrads.astype(jnp.float32),
+                jnp.where(head, sidx, 0).astype(jnp.float32)[:, None],
+            ],
+            axis=1,
+        )
+        summed_ext = jax.ops.segment_sum(
+            ext, seg, num_segments=k, indices_are_sorted=True
+        )
+        nseg = jnp.sum(head.astype(jnp.int32))
+
+        def finish(ext_s):
+            k0 = ext_s.shape[0]
+            g = ext_s[:, :-1]  # stays f32; optimizer math casts at scatter
+            urow = ext_s[:, -1].astype(sidx.dtype)
+            # empty segments (>= nseg) and sentinel rows get distinct
+            # increasing out-of-range ids so the result stays sorted+unique
+            j = jnp.arange(k0, dtype=sidx.dtype)
+            urow = jnp.where(
+                (j < nseg) & (urow < rows),
+                urow,
+                jnp.asarray(rows, sidx.dtype) + j,
+            )
+            return urow, g
+
+        if ucap_cap > 0:
+            ucap = min(k, ucap_cap)  # measured window (UCAP_FACTOR=auto)
+        else:
+            ucap = unique_cap(k, ucap_factor, ucap_min_k)
+        if ucap and ucap < k:
+            if ucap_drop:
+                # capacity-drop mode: overflow segments beyond the cap lose
+                # their gradients (reference comm-buffer-capacity
+                # semantics); avoids the cond so scatters stay aliased
+                return run(*finish(summed_ext[:ucap]), None)
+            # Real segments occupy a prefix; run the trio on the static cap
+            # when it fits, exact full-K fallback otherwise (runtime cond).
+            real_count = jnp.sum((head & (sidx < rows)).astype(jnp.int32))
+            return jax.lax.cond(
+                real_count <= ucap,
+                lambda: run(*finish(summed_ext[:ucap]), None),
+                lambda: run(*finish(summed_ext), None),
+            )
+        return run(*finish(summed_ext), None)
+
+    uidx, g, tail, is_unique = dedup_rows(
+        idx, src, dsrc.astype(table.dtype), sentinel=rows, k_limit=k_limit,
+        segsum=segsum,
+    )
+    if not is_unique:
+        if packed:
+            run = functools.partial(
+                _apply_rows_packed, opt, table, state, lr, False
+            )
+        else:
+            run = functools.partial(
+                _apply_rows, opt, table, state, lr, step, False
+            )
+        return run(uidx, g, tail)
+    # unique path without the fused f32 column (shards >= 2^24 rows)
+    if ucap_cap > 0:
         ucap = min(int(uidx.shape[0]), ucap_cap)
     else:
-        ucap = (
-            unique_cap(int(uidx.shape[0]), ucap_factor, ucap_min_k)
-            if is_unique
-            else 0
-        )
+        ucap = unique_cap(int(uidx.shape[0]), ucap_factor, ucap_min_k)
     if ucap and ucap < int(uidx.shape[0]):
         if ucap_drop:
-            # capacity-drop mode: overflow segments beyond the cap lose
-            # their gradients (reference comm-buffer-capacity semantics);
-            # avoids the cond so scatters stay in-place aliased
             return run(uidx[:ucap], g[:ucap], None)
-        # Real unique rows occupy a prefix; run the trio on the static cap
-        # when it fits, exact full-K fallback otherwise (runtime cond).
         u_count = jnp.sum((uidx < rows).astype(jnp.int32))
         return jax.lax.cond(
             u_count <= ucap,

@@ -356,12 +356,15 @@ def split_vocab_threshold() -> int:
 
 def onehot_vocab_threshold() -> int:
     """Vocab cutoff below which static sum/mean tables use the MXU one-hot
-    engine (0 disables). Break-even on v5e: a one-hot matmul costs
-    ~vocab*ev*2 flops per key instance vs ~3 row-granular HBM ops; at
-    ev=128 the crossover sits near vocab ~= 32k."""
+    engine (0 disables). Break-even on v5e, re-measured after the rowop
+    chain got cheap (rowwise accum + measured unique windows): the [B,vocab]
+    counts-matrix traffic scales with vocab while the rowop chain is
+    issue-bound per KEY, so mid-size tables moved back to rowop — DLRM
+    bench: threshold 2048 -> 102.5k, 8192 -> 104.0k, 32768 -> 100.9k
+    ex/s."""
     import os
 
-    return int(os.environ.get("HCTR_TPU_ONEHOT_VOCAB", "32768"))
+    return int(os.environ.get("HCTR_TPU_ONEHOT_VOCAB", "8192"))
 
 
 def _onehot_eligible(

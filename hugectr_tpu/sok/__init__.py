@@ -146,7 +146,19 @@ class DynamicVariable(Variable):
     dynamic_variable.py:34-305 with DET/HKV backends). Backed by the
     collection's exact dynamic table: a probed device key store with
     insert-on-backward, collision-free evict, and capacity growth by
-    host-side rehash (`reserve`)."""
+    host-side rehash (`reserve`).
+
+    backend="det" (default): every resident key lives in device HBM.
+    backend="hkv": host-spill tier — the device store is a fixed-capacity
+    WORKING SET while a host-memory master (the HierarchicalKV host-tier
+    analog) holds every key ever trained, so the trained vocabulary can
+    exceed device HBM. `lookup` stages host rows for the batch's keys into
+    the working set (spilling the whole set back to the host master under
+    capacity pressure); the backward pass inserts brand-new keys on-device
+    exactly as in det mode, and they migrate to the host master at the next
+    spill. Staging is host-driven between steps — the compiled-world analog
+    of HKV's UVM traffic (third_party HierarchicalKV; dynamic_variable.py
+    backend="hkv")."""
 
     def __init__(
         self,
@@ -159,10 +171,20 @@ class DynamicVariable(Variable):
         opt_params: Optional[OptParams] = None,
         rm: Optional[ResourceManager] = None,
         mode: str = "distributed",
+        backend: str = "det",
+        spill_watermark: float = 0.75,
         **kw,
     ):
         if kw:
             raise TypeError(f"DynamicVariable: unknown arguments {sorted(kw)}")
+        if backend not in ("det", "hkv"):
+            raise ValueError(f"backend must be 'det' or 'hkv', got {backend}")
+        self.backend = backend
+        self._spill_watermark = float(spill_watermark)
+        # host master (hkv): key -> row in the host arrays
+        self._host_index: dict = {}
+        self._host_values: Optional[np.ndarray] = None
+        self._host_opt: dict = {}
         cfg = EmbeddingTableConfig(
             name=name,
             max_vocabulary_size=-1,
@@ -199,7 +221,8 @@ class DynamicVariable(Variable):
         )
 
     def reserve(self, new_capacity: int) -> None:
-        """Grow capacity by host-side rehash between passes."""
+        """Grow capacity by host-side rehash between passes (det), or grow
+        the device working set (hkv — host tier grows automatically)."""
         ec2, t2, s2 = self.engine.ec.grow_dynamic_capacity(
             self.tables, self.opt_state, self._table_name, new_capacity
         )
@@ -212,6 +235,152 @@ class DynamicVariable(Variable):
         self.tables, self.opt_state = self.engine.ec.evict(
             self.tables, self.opt_state, self._table_name, keys
         )
+        if self.backend == "hkv":
+            for k in np.asarray(keys).reshape(-1).tolist():
+                self._host_index.pop(int(k), None)
+
+    # ---------------------------------------------------- hkv host tier
+    def _device_resident(self) -> np.ndarray:
+        """Live keys in the device working set (host copy)."""
+        ec = self.engine.ec
+        g, ti = ec._find_table(self._table_name)
+        live, _vals, _st = None, None, None
+        ks = ec._host_key_store(self.tables, g)
+        lo = int(g.local_offsets[ti])
+        rows_t = int(g.rows_per_shard[ti])
+        f = g.num_shards if g.is_model_parallel else 1
+        segs = []
+        for shard in range(f):
+            base = shard * g.total_local_rows if g.is_model_parallel else 0
+            seg = ks[base + lo : base + lo + rows_t]
+            segs.append(seg[seg != int(ec.EMPTY_KEY)])
+        return np.concatenate(segs) if segs else np.zeros(0, np.int32)
+
+    def _host_upsert(self, keys: np.ndarray, vals: np.ndarray, st: dict):
+        if self._host_values is None:
+            cap = max(1024, 2 * len(keys))
+            self._host_values = np.zeros((cap, self.ev), np.float32)
+            self._host_opt = {
+                slot: np.zeros((cap, a.shape[1]), np.float32)
+                for slot, a in st.items()
+            }
+        need = sum(1 for k in keys if int(k) not in self._host_index)
+        cap = self._host_values.shape[0]
+        if len(self._host_index) + need > cap:
+            new_cap = max(2 * cap, len(self._host_index) + need)
+            self._host_values = np.resize(self._host_values, (new_cap, self.ev))
+            self._host_values[cap:] = 0.0
+            for slot in self._host_opt:
+                w = self._host_opt[slot].shape[1]
+                self._host_opt[slot] = np.resize(
+                    self._host_opt[slot], (new_cap, w)
+                )
+                self._host_opt[slot][cap:] = 0.0
+        for i, k in enumerate(np.asarray(keys).tolist()):
+            k = int(k)
+            row = self._host_index.setdefault(k, len(self._host_index))
+            self._host_values[row] = vals[i]
+            for slot, a in st.items():
+                self._host_opt[slot][row] = a[i]
+
+    def spill(self) -> None:
+        """Flush the whole device working set to the host master and clear
+        it (HKV device-cache eviction analog)."""
+        ec = self.engine.ec
+        g, ti = ec._find_table(self._table_name)
+        live, vals, st = ec._collect_dynamic_entries(
+            self.tables, self.opt_state, g, ti
+        )
+        if len(live):
+            self._host_upsert(live, np.asarray(vals, np.float32), st)
+            self.tables, self.opt_state = ec.evict(
+                self.tables, self.opt_state, self._table_name, live
+            )
+
+    def _stage(self, keys: np.ndarray) -> None:
+        """Bring host-master rows for `keys` into the device working set."""
+        ec = self.engine.ec
+        g, ti = ec._find_table(self._table_name)
+        resident = set(self._device_resident().tolist())
+        want, fresh = [], 0
+        for k in np.unique(keys[keys >= 0]).tolist():
+            k = int(k)
+            if k in resident:
+                continue
+            if k in self._host_index:
+                want.append(k)
+            else:
+                fresh += 1  # will insert-on-backward; needs headroom too
+        cap = int(g.table_vocab[ti])
+        if len(resident) + len(want) + fresh > self._spill_watermark * cap:
+            self.spill()
+        if not want:
+            return
+        rows = np.asarray([self._host_index[k] for k in want])
+        vals = self._host_values[rows]
+        ks_name = f"{g.name}#keys"
+        nks = np.array(ec._host_key_store(self.tables, g))
+        placed = ec._host_insert_keys(nks, g, ti, np.asarray(want))
+        ok = placed >= 0
+        dst = placed[ok]
+        if not len(dst):
+            return
+        self.tables = dict(self.tables)
+        self.tables[g.name] = ec._scatter_all_replicas(
+            self.tables[g.name], g, dst, vals[ok]
+        )
+        from ..embedding.collection import _fold_reserved_key
+
+        self.tables[ks_name] = ec._scatter_all_replicas(
+            self.tables[ks_name], g, dst,
+            _fold_reserved_key(np.asarray(want, np.int32)[ok]),
+        )
+        for slot in self.opt_state.get(g.name, {}):
+            self.opt_state = dict(self.opt_state)
+            self.opt_state[g.name] = dict(self.opt_state[g.name])
+            self.opt_state[g.name][slot] = ec._scatter_all_replicas(
+                self.opt_state[g.name][slot], g, dst,
+                self._host_opt[slot][rows][ok],
+            )
+
+    def lookup(self, keys: jax.Array) -> jax.Array:
+        if self.backend == "hkv":
+            self._stage(np.asarray(keys).reshape(-1))
+        return super().lookup(keys)
+
+    def apply_gradients(self, keys, d_out, lr, step: int = 1) -> None:
+        # host-master rows must be resident BEFORE the update (stateful
+        # optimizers read current values; insert-on-backward would otherwise
+        # re-create the key from fresh init)
+        if self.backend == "hkv":
+            self._stage(np.asarray(keys).reshape(-1))
+        super().apply_gradients(keys, d_out, lr, step)
+
+    @property
+    def host_size(self) -> int:
+        """Keys resident in the host master tier (hkv backend)."""
+        return len(self._host_index)
+
+    @property
+    def total_size(self) -> int:
+        """Distinct trained keys across BOTH tiers (hkv backend)."""
+        dev = set(self._device_resident().tolist())
+        return len(dev | set(self._host_index.keys()))
+
+    def export_merged(self) -> dict:
+        """{key: vector} over both tiers; device-resident rows win."""
+        out = {}
+        if self._host_values is not None:
+            for k, r in self._host_index.items():
+                out[k] = np.array(self._host_values[r])
+        ec = self.engine.ec
+        g, ti = ec._find_table(self._table_name)
+        live, vals, _st = ec._collect_dynamic_entries(
+            self.tables, self.opt_state, g, ti
+        )
+        for i, k in enumerate(np.asarray(live).tolist()):
+            out[int(k)] = np.asarray(vals[i], np.float32)
+        return out
 
 
 class LookupEngine:

@@ -183,3 +183,44 @@ def test_dynamic_variable_full_lifecycle(mesh1):
     out2 = np.asarray(v.lookup(keys))
     # rows for keys 1000001 and 7 survived the growth
     assert np.abs(out2[0]).sum() > 0
+
+
+def test_dynamic_variable_hkv_host_spill(mesh1):
+    """backend="hkv": trained vocabulary exceeds the device working set —
+    rows spill to the host master and restage exactly on later lookups
+    (HierarchicalKV host-tier analog, dynamic_variable.py backend='hkv')."""
+    sok.init(mesh1)
+    v = sok.DynamicVariable(
+        dimension=4, initial_capacity=64, key=jax.random.key(1),
+        backend="hkv", spill_watermark=0.5,
+        opt_params=OptParams(Optimizer_t.SGD, lr=1.0),
+    )
+    # train 3 waves of 30 distinct keys each — 90 keys > device capacity 64
+    # (rows start from random init; record post-train values per wave and
+    # require the spill/restage roundtrip to reproduce them EXACTLY)
+    waves = [np.arange(w * 30, (w + 1) * 30, dtype=np.int32) for w in range(3)]
+    trained = []
+    for w, ks in enumerate(waves):
+        keys = ks.reshape(-1, 1)
+        v.lookup(keys)  # stage (first wave: nothing to stage)
+        d = np.full((30, 4), float(w + 1), np.float32)
+        v.apply_gradients(keys, d, lr=1.0)
+        trained.append(np.asarray(v.lookup(keys), np.float32))
+    assert v.total_size == 90
+    assert v.host_size > 0  # at least one spill happened
+    for w, ks in enumerate(waves):
+        out = np.asarray(v.lookup(ks.reshape(-1, 1)), np.float32)
+        np.testing.assert_allclose(
+            out, trained[w], rtol=1e-6, atol=0,
+            err_msg=f"wave {w} rows lost or corrupted across spill/restage",
+        )
+    # second update on restaged rows accumulates correctly
+    v.apply_gradients(waves[0].reshape(-1, 1), np.ones((30, 4), np.float32),
+                      lr=1.0)
+    out = np.asarray(v.lookup(waves[0].reshape(-1, 1)), np.float32)
+    np.testing.assert_allclose(out, trained[0] - 1.0, rtol=1e-5)
+    # evict removes from both tiers
+    v.evict(np.array([0, 1, 2]))
+    assert v.total_size == 87
+    merged = v.export_merged()
+    assert len(merged) == 87 and 0 not in merged
