@@ -5,6 +5,8 @@ from .reader import (
     BatchSpec,
     DeviceFeeder,
     AsyncParquetReader,
+    NormCheckError,
+    NormReader,
     ParquetReader,
     RawReader,
     SparseFeatureSpec,

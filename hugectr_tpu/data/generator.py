@@ -100,6 +100,9 @@ class DataGenerator:
             n_eval = p.eval_num_samples or p.eval_num_files * p.num_samples_per_file
             self._generate_raw(p.source, n_train, seed_off=0)
             self._generate_raw(p.eval_source, n_eval, seed_off=1 << 20)
+        elif p.format == DataReaderType_t.Norm:
+            self._generate_norm(p.source, p.num_files, seed_off=0)
+            self._generate_norm(p.eval_source, p.eval_num_files, seed_off=1 << 20)
         else:
             raise NotImplementedError(f"format {p.format}")
 
@@ -218,3 +221,80 @@ class DataGenerator:
                     off += nnz
                 f.write(row.tobytes())
                 done += n
+
+    # ------------------------------------------------------------------- norm
+    def _generate_norm(self, file_list_path: str, num_files: int, seed_off: int):
+        """Norm binary format writer (reference:
+        include/data_generator.hpp:380-467 data_generation_for_test2 +
+        include/common.hpp:184 DataSetHeader + Checker_Traits framing).
+
+        Each ``.data`` file = one header unit + one unit per record. With
+        Check_t.Sum every unit is framed ``[int32 len][payload][int8
+        byte-sum]`` (check_sum.hpp semantics); Check_t.Non writes raw
+        payloads. Record payload = (label_dim+dense_dim) float32, then per
+        slot ``int32 nnz`` + nnz keys. Keys carry the reference's baked-in
+        global slot offsets (simulator range [accum, accum+vocab)). The
+        format is deprecated at runtime in the reference snapshot; it is
+        supported here for dataset compatibility."""
+        p = self.p
+        out_dir = os.path.dirname(os.path.abspath(file_list_path)) or "."
+        data_dir = os.path.join(out_dir, os.path.basename(file_list_path) + ".d")
+        os.makedirs(data_dir, exist_ok=True)
+        rng = np.random.default_rng(p.seed + seed_off)
+        use_sum = p.check_type == Check_t.Sum
+        kdt = np.dtype("<i8") if p.i64_input_key else np.dtype("<u4")
+        slot_off = np.concatenate([[0], np.cumsum(p.slot_size_array)[:-1]])
+
+        def write_unit(f, payload: bytes):
+            if use_sum:
+                f.write(np.int32(len(payload)).tobytes())
+                f.write(payload)
+                f.write(
+                    np.uint8(
+                        np.frombuffer(payload, np.uint8).sum(dtype=np.uint64)
+                        & 0xFF
+                    ).tobytes()
+                )
+            else:
+                f.write(payload)
+
+        paths = []
+        for fi in range(num_files):
+            n = p.num_samples_per_file
+            labels, dense, cats = self._sample_block(rng, n)
+            fpath = os.path.join(data_dir, f"gen_{fi}.data")
+            with open(fpath, "wb") as f:
+                header = np.array(
+                    [1 if use_sum else 0, n, p.label_dim, p.dense_dim,
+                     p.num_slot, 0, 0, 0],
+                    dtype="<i8",
+                )
+                write_unit(f, header.tobytes())
+                # vectorized record assembly: fixed per-slot nnz -> every
+                # record payload has identical length L
+                ld = np.concatenate([labels, dense], axis=1).astype("<f4")
+                parts = [ld.view(np.uint8).reshape(n, -1)]
+                for s in range(p.num_slot):
+                    nnz = int(p.nnz_array[s])
+                    nnz_bytes = np.frombuffer(
+                        np.int32(nnz).astype("<i4").tobytes(), np.uint8
+                    )
+                    parts.append(np.tile(nnz_bytes, (n, 1)))
+                    keys = (cats[s] + slot_off[s]).astype(kdt)
+                    parts.append(keys.view(np.uint8).reshape(n, -1))
+                rec = np.concatenate(parts, axis=1)
+                if use_sum:
+                    lens = np.full((n, 1), rec.shape[1], "<i4")
+                    sums = (rec.sum(axis=1, dtype=np.uint64) & 0xFF).astype(
+                        np.uint8
+                    )[:, None]
+                    out = np.concatenate(
+                        [lens.view(np.uint8).reshape(n, -1), rec, sums], axis=1
+                    )
+                else:
+                    out = rec
+                f.write(out.tobytes())
+            paths.append(fpath)
+        with open(file_list_path, "w") as f:
+            f.write(f"{len(paths)}\n")
+            f.writelines(pth + "\n" for pth in paths)

@@ -511,6 +511,243 @@ class AsyncParquetReader(ParquetReader):
                 yield fut.result()
 
 
+class NormCheckError(ValueError):
+    """Record checksum mismatch (reference: Error_t::DataCheckError,
+    check_sum.hpp)."""
+
+
+class NormReader(ParquetReader):
+    """Norm binary format reader (file list + DataSetHeader + per-record
+    CheckSum framing).
+
+    Reference: include/common.hpp:184 DataSetHeader,
+    include/data_readers/check_sum.hpp (unit = [int32 len][payload][int8
+    byte-sum]), data layout per data_generation_for_test2
+    (include/data_generator.hpp:380-467): payload = (label_dim+dense_dim)
+    float32 then per slot int32 nnz + nnz keys. The format is deprecated at
+    runtime in the reference snapshot (add_input.cpp:140-145); it is read
+    here for dataset compatibility.
+
+    The reference generator bakes cumulative slot offsets into Norm keys
+    (simulator range [accum, accum+vocab)); pass `slot_size_array` to
+    subtract them and emit slot-LOCAL keys (symmetric with the Parquet
+    reader, where offsetting is the model's choice).
+    """
+
+    def __init__(
+        self,
+        file_list: str,
+        spec: BatchSpec,
+        repeat: bool = True,
+        drop_incomplete: bool = True,
+        shuffle: bool = False,
+        seed: int = 0,
+        slot_size_array=None,
+        process_index: int = 0,
+        num_processes: int = 1,
+    ):
+        self.spec = spec
+        self.repeat = repeat
+        self.drop_incomplete = drop_incomplete
+        self.shuffle = shuffle
+        self.seed = seed
+        self.process_index = process_index
+        self.num_processes = num_processes
+        self.slot_nnz = [n for f in spec.sparse for n in f.slot_nnz]
+        self.slot_off = (
+            np.concatenate([[0], np.cumsum(slot_size_array)[:-1]]).astype(
+                np.int64
+            )
+            if slot_size_array
+            else None
+        )
+        with open(file_list) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        self.paths = lines[1:] if lines and lines[0].isdigit() else lines
+        self._all_paths = list(self.paths)
+        if num_processes > 1:
+            if len(self.paths) < num_processes:
+                raise ValueError(
+                    f"{len(self.paths)} norm files cannot be sharded over "
+                    f"{num_processes} processes"
+                )
+            self.paths = self.paths[process_index::num_processes]
+        counts = {p_: self._header(p_)[1] for p_ in self._all_paths}
+        own = sum(counts[p_] for p_ in self.paths)
+        self.num_batches = own // spec.batch_size
+        if num_processes > 1:
+            self.num_batches = min(
+                sum(counts[p_] for p_ in self._all_paths[pi::num_processes])
+                // spec.batch_size
+                for pi in range(num_processes)
+            )
+        elif not drop_incomplete and own % spec.batch_size:
+            self.num_batches += 1
+        if self.num_batches == 0:
+            raise ValueError(f"{file_list}: no full batches")
+
+    def _header(self, path: str):
+        with open(path, "rb") as f:
+            first = f.read(4 + 64 + 1)
+        # sum framing: [len=64][header][check]; none: raw 64-byte header
+        if (
+            len(first) >= 69
+            and int(np.frombuffer(first[:4], "<i4")[0]) == 64
+            and int(np.frombuffer(first[4:12], "<i8")[0]) == 1
+        ):
+            hdr = np.frombuffer(first[4:68], "<i8")
+            if (np.frombuffer(first[4:68], np.uint8).sum() & 0xFF) != first[68]:
+                raise NormCheckError(f"{path}: header checksum mismatch")
+            return hdr, int(hdr[1]), 69
+        hdr = np.frombuffer(first[:64], "<i8")
+        return hdr, int(hdr[1]), 64
+
+    def _chunk_stream(self, paths):
+        for path in paths:
+            yield self._load_file(path)
+
+    def _load_file(self, path: str):
+        s = self.spec
+        raw = np.fromfile(path, np.uint8)
+        hdr, n_rec, body = self._header(path)
+        checked = int(hdr[0]) == 1
+        label_dim, dense_dim, slot_num = int(hdr[2]), int(hdr[3]), int(hdr[4])
+        if label_dim != s.label_dim_total or dense_dim != s.dense_dim:
+            raise ValueError(
+                f"{path}: header label/dense {label_dim}/{dense_dim} != "
+                f"model {s.label_dim_total}/{s.dense_dim}"
+            )
+        if slot_num != len(self.slot_nnz):
+            raise ValueError(
+                f"{path}: {slot_num} slots != model {len(self.slot_nnz)}"
+            )
+        kdt = np.dtype("<i8") if s.key_dtype == np.int64 else np.dtype("<u4")
+        ksz = kdt.itemsize
+        ld_bytes = 4 * (label_dim + dense_dim)
+
+        # fast path: every record has the same framed length (fixed nnz)
+        if checked and body + 4 <= raw.size:
+            L = int(np.frombuffer(raw[body : body + 4], "<i4")[0])
+            stride = 4 + L + 1
+            if body + n_rec * stride <= raw.size:
+                view = raw[body : body + n_rec * stride].reshape(n_rec, stride)
+                lens = view[:, :4].copy().view("<i4")[:, 0]
+                if (lens == L).all():
+                    payload = view[:, 4 : 4 + L]
+                    sums = view[:, -1]
+                    calc = payload.sum(axis=1, dtype=np.uint64) & 0xFF
+                    if not (calc == sums).all():
+                        bad = int(np.argmax(calc != sums))
+                        raise NormCheckError(
+                            f"{path}: record {bad} checksum mismatch"
+                        )
+                    return self._parse_fixed(
+                        payload, label_dim, dense_dim, slot_num, kdt, path
+                    )
+        if not checked:
+            # unframed: fixed layout requires the model's nnz widths
+            L = ld_bytes + sum(4 + n * ksz for n in self.slot_nnz)
+            if body + n_rec * L <= raw.size:
+                payload = raw[body : body + n_rec * L].reshape(n_rec, L)
+                try:
+                    return self._parse_fixed(
+                        payload, label_dim, dense_dim, slot_num, kdt, path
+                    )
+                except ValueError:
+                    pass  # variable nnz; fall through to the record walk
+        return self._parse_walk(
+            raw, body, n_rec, checked, label_dim, dense_dim, slot_num, kdt,
+            path,
+        )
+
+    def _parse_fixed(self, payload, label_dim, dense_dim, slot_num, kdt, path):
+        """[n, L] uint8 payload matrix with uniform per-slot nnz."""
+        n = payload.shape[0]
+        ld_bytes = 4 * (label_dim + dense_dim)
+        ld = payload[:, :ld_bytes].copy().view("<f4")
+        lab = ld[:, :label_dim].astype(np.float32)
+        dense = ld[:, label_dim:].astype(np.float32)
+        cat_parts = []
+        off = ld_bytes
+        for s_i in range(slot_num):
+            nnz = int(
+                np.frombuffer(payload[0, off : off + 4].tobytes(), "<i4")[0]
+            )
+            width = self.slot_nnz[s_i]
+            if nnz > width:
+                raise ValueError(
+                    f"{path}: slot {s_i} nnz {nnz} exceeds model hotness "
+                    f"{width}"
+                )
+            nnz_col = payload[:, off : off + 4].copy().view("<i4")[:, 0]
+            if not (nnz_col == nnz).all():
+                raise ValueError("variable nnz")  # caller falls back to walk
+            off += 4
+            keys = (
+                payload[:, off : off + nnz * kdt.itemsize]
+                .copy()
+                .view(kdt)
+                .astype(np.int64)
+            )
+            off += nnz * kdt.itemsize
+            if self.slot_off is not None:
+                keys = keys - self.slot_off[s_i]
+            block = np.full((n, width), INVALID_KEY, self.spec.key_dtype)
+            block[:, :nnz] = keys.astype(self.spec.key_dtype)
+            cat_parts.append(block)
+        return lab, dense, np.concatenate(cat_parts, axis=1)
+
+    def _parse_walk(
+        self, raw, off, n_rec, checked, label_dim, dense_dim, slot_num, kdt,
+        path,
+    ):
+        """General record-by-record walk (variable nnz)."""
+        s = self.spec
+        lab = np.zeros((n_rec, label_dim), np.float32)
+        dense = np.zeros((n_rec, dense_dim), np.float32)
+        cat = np.full(
+            (n_rec, sum(self.slot_nnz)), INVALID_KEY, self.spec.key_dtype
+        )
+        col_off = np.concatenate([[0], np.cumsum(self.slot_nnz)])
+        for i in range(n_rec):
+            if checked:
+                L = int(np.frombuffer(raw[off : off + 4].tobytes(), "<i4")[0])
+                payload = raw[off + 4 : off + 4 + L]
+                if (payload.sum(dtype=np.uint64) & 0xFF) != raw[off + 4 + L]:
+                    raise NormCheckError(f"{path}: record {i} checksum mismatch")
+                off += 4 + L + 1
+            else:
+                payload = raw[off:]
+            p = 0
+            ld = payload[: 4 * (label_dim + dense_dim)].tobytes()
+            vals = np.frombuffer(ld, "<f4")
+            lab[i] = vals[:label_dim]
+            dense[i] = vals[label_dim:]
+            p = 4 * (label_dim + dense_dim)
+            for s_i in range(slot_num):
+                nnz = int(
+                    np.frombuffer(payload[p : p + 4].tobytes(), "<i4")[0]
+                )
+                p += 4
+                keys = np.frombuffer(
+                    payload[p : p + nnz * kdt.itemsize].tobytes(), kdt
+                ).astype(np.int64)
+                p += nnz * kdt.itemsize
+                if self.slot_off is not None:
+                    keys = keys - self.slot_off[s_i]
+                width = self.slot_nnz[s_i]
+                if nnz > width:
+                    raise ValueError(
+                        f"{path}: record {i} slot {s_i} nnz {nnz} > {width}"
+                    )
+                cat[i, col_off[s_i] : col_off[s_i] + nnz] = keys.astype(
+                    self.spec.key_dtype
+                )
+            if not checked:
+                off += p
+        return lab, dense, cat
+
+
 class DeviceFeeder:
     """Background-thread prefetch + device transfer.
 

@@ -488,6 +488,18 @@ class Model:
                 num_processes=self.rm.num_processes,
                 **kw,
             )
+        if kind == DataReaderType_t.Norm:
+            from ..data.reader import NormReader
+
+            return NormReader(
+                src,
+                spec,
+                repeat=self.solver.repeat_dataset if train else False,
+                drop_incomplete=self.solver.drop_incomplete_batch,
+                slot_size_array=rp.slot_size_array or None,
+                process_index=self.rm.process_index,
+                num_processes=self.rm.num_processes,
+            )
         raise NotImplementedError(f"reader {kind}")
 
     def _slot_vocabs(self) -> Dict[str, List[int]]:

@@ -203,3 +203,130 @@ def test_async_parquet_matches_sync(tmp_path):
     # re-iterable (eval path)
     ba2 = list(anc)
     assert len(ba2) == len(ba)
+
+
+@pytest.mark.parametrize("check", [Check_t.Sum, Check_t.Non])
+def test_norm_generator_and_reader(tmp_path, check):
+    """Norm write->read roundtrip (DataSetHeader + CheckSum framing,
+    data_generation_for_test2 layout); baked slot offsets subtracted via
+    slot_size_array."""
+    from hugectr_tpu.data import NormReader
+
+    sizes = [100, 200, 300]
+    p = DataGeneratorParams(
+        format=DataReaderType_t.Norm,
+        label_dim=1,
+        dense_dim=4,
+        num_slot=3,
+        source=str(tmp_path / "train.txt"),
+        eval_source=str(tmp_path / "eval.txt"),
+        slot_size_array=sizes,
+        nnz_array=[2, 2, 2],
+        num_files=3,
+        eval_num_files=1,
+        num_samples_per_file=100,
+        check_type=check,
+    )
+    DataGenerator(p).generate()
+    spec = _spec(batch=64)
+    r = NormReader(
+        str(tmp_path / "train.txt"), spec, repeat=False,
+        slot_size_array=sizes,
+    )
+    assert r.num_batches == 300 // 64
+    batches = list(r)
+    assert len(batches) == r.num_batches
+    b = batches[0]
+    assert b["label"].shape == (64, 1)
+    assert b["dense"].shape == (64, 4)
+    assert b["dense"].min() >= 0.0 and b["dense"].max() <= 1.0
+    for i, v in enumerate(sizes):
+        assert b[f"data{i}"].min() >= 0 and b[f"data{i}"].max() < v
+    # WITHOUT slot_size_array the reference's baked global offsets remain
+    r2 = NormReader(str(tmp_path / "train.txt"), spec, repeat=False)
+    b2 = next(iter(r2))
+    assert b2["data1"].min() >= 100 and b2["data2"].min() >= 300
+    np.testing.assert_array_equal(b2["data1"] - 100, b["data1"])
+
+
+def test_norm_checksum_detects_corruption(tmp_path):
+    """A flipped payload byte must raise NormCheckError (reference:
+    Error_t::DataCheckError, check_sum.hpp)."""
+    from hugectr_tpu.data import NormCheckError, NormReader
+
+    p = DataGeneratorParams(
+        format=DataReaderType_t.Norm,
+        label_dim=1,
+        dense_dim=4,
+        num_slot=3,
+        source=str(tmp_path / "train.txt"),
+        eval_source=str(tmp_path / "eval.txt"),
+        slot_size_array=[100, 200, 300],
+        nnz_array=[2, 2, 2],
+        num_files=1,
+        eval_num_files=1,
+        num_samples_per_file=100,
+        check_type=Check_t.Sum,
+    )
+    DataGenerator(p).generate()
+    data = (tmp_path / "train.txt.d" / "gen_0.data").read_bytes()
+    corrupted = bytearray(data)
+    corrupted[200] ^= 0x5A  # somewhere inside an early record payload
+    (tmp_path / "train.txt.d" / "gen_0.data").write_bytes(bytes(corrupted))
+    r = NormReader(str(tmp_path / "train.txt"), _spec(batch=64), repeat=False)
+    with pytest.raises(NormCheckError):
+        list(r)
+
+
+def test_norm_variable_nnz_walk(tmp_path):
+    """Hand-written Norm file with per-record VARIABLE nnz exercises the
+    record-walk parser."""
+    import numpy as np
+
+    from hugectr_tpu.data import NormReader
+
+    d = tmp_path / "nd"
+    d.mkdir()
+
+    def unit(payload: bytes) -> bytes:
+        s = np.frombuffer(payload, np.uint8).sum(dtype=np.uint64) & 0xFF
+        return (
+            np.int32(len(payload)).tobytes() + payload + np.uint8(s).tobytes()
+        )
+
+    n_rec = 7
+    out = bytearray()
+    hdr = np.array([1, n_rec, 1, 2, 2, 0, 0, 0], "<i8")
+    out += unit(hdr.tobytes())
+    expect = []
+    for i in range(n_rec):
+        rec = bytearray()
+        rec += np.array([float(i % 2)], "<f4").tobytes()          # label
+        rec += np.array([0.25, 0.75], "<f4").tobytes()            # dense
+        nnz0 = 1 + (i % 2)                                        # 1 or 2
+        rec += np.int32(nnz0).tobytes()
+        rec += np.arange(i, i + nnz0, dtype="<u4").tobytes()
+        rec += np.int32(1).tobytes()
+        rec += np.array([42 + i], "<u4").tobytes()
+        expect.append((nnz0, i))
+        out += unit(bytes(rec))
+    (d / "f0.data").write_bytes(bytes(out))
+    (tmp_path / "list.txt").write_text(f"1\n{d / 'f0.data'}\n")
+
+    spec = BatchSpec(
+        batch_size=7,
+        label_dims=(1,),
+        label_names=("label",),
+        dense_dim=2,
+        dense_name="dense",
+        sparse=(
+            SparseFeatureSpec(name="a", slot_nnz=(2,)),
+            SparseFeatureSpec(name="b", slot_nnz=(1,)),
+        ),
+    )
+    r = NormReader(str(tmp_path / "list.txt"), spec, repeat=False)
+    b = next(iter(r))
+    for i, (nnz0, base) in enumerate(expect):
+        assert b["a"][i, 0] == base
+        assert b["a"][i, 1] == (base + 1 if nnz0 == 2 else -1)
+        assert b["b"][i, 0] == 42 + i

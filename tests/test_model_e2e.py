@@ -270,3 +270,73 @@ def test_i64_input_keys_fold(mesh8):
     # e2e: training with the i64 synthetic pipeline stays finite
     losses = [model.train() for _ in range(5)]
     assert np.isfinite(losses).all()
+
+
+def test_norm_dataset_trains(mesh8, tmp_path):
+    """Norm-format dataset through the full Model API (generator -> reader
+    -> fit); slot_size_array un-bakes the reference's global key offsets."""
+    from hugectr_tpu.core.types import Check_t
+    from hugectr_tpu.data import DataGenerator, DataGeneratorParams
+
+    sizes = [50, 60, 70, 80]
+    DataGenerator(DataGeneratorParams(
+        format=DataReaderType_t.Norm,
+        label_dim=1, dense_dim=13, num_slot=4,
+        source=str(tmp_path / "train.txt"),
+        eval_source=str(tmp_path / "eval.txt"),
+        slot_size_array=sizes, nnz_array=[2, 2, 2, 2],
+        num_files=2, eval_num_files=1, num_samples_per_file=1024,
+        check_type=Check_t.Sum,
+    )).generate()
+    solver = hugectr.CreateSolver(
+        max_eval_batches=2, batchsize_eval=256, batchsize=256, lr=0.01,
+        metrics_spec={Metric_t.AUC: 1.0}, repeat_dataset=True,
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Norm,
+        source=[str(tmp_path / "train.txt")],
+        eval_source=str(tmp_path / "eval.txt"),
+        slot_size_array=sizes,
+    )
+    optimizer = hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.Adam)
+    model = hugectr.Model(solver, reader, optimizer, resource_manager=mesh8)
+    model.add(hugectr.Input(
+        label_dim=1, label_name="label", dense_dim=13, dense_name="dense",
+        data_reader_sparse_param_array=[
+            hugectr.DataReaderSparseParam(f"data{i}", 2, True, 1)
+            for i in range(4)
+        ],
+    ))
+    tables = [
+        hugectr.EmbeddingTableConfig(
+            name=f"t{i}", max_vocabulary_size=sizes[i], ev_size=8
+        )
+        for i in range(4)
+    ]
+    ebc = hugectr.EmbeddingCollectionConfig()
+    ebc.embedding_lookup(
+        table_config=tables,
+        bottom_name=[f"data{i}" for i in range(4)],
+        top_name="emb", combiner=["sum"] * 4,
+    )
+    ebc.shard(shard_matrix=[[t.name for t in tables]] * mesh8.num_devices,
+              shard_strategy=[("mp", [t.name for t in tables])])
+    model.add(ebc)
+    model.add(hugectr.DenseLayer(layer_type=hugectr.Layer_t.Concat,
+                                 bottom_names=["emb", "dense"],
+                                 top_names=["c"]))
+    model.add(hugectr.DenseLayer(layer_type=hugectr.Layer_t.MLP,
+                                 bottom_names=["c"], top_names=["m"],
+                                 num_outputs=[32, 16]))
+    model.add(hugectr.DenseLayer(layer_type=hugectr.Layer_t.InnerProduct,
+                                 bottom_names=["m"], top_names=["logit"],
+                                 num_output=1,
+                                 act_type=hugectr.Activation_t.Non))
+    model.add(hugectr.DenseLayer(
+        layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+        bottom_names=["logit", "label"], top_names=["loss"]))
+    model.compile()
+    losses = [model.train() for _ in range(10)]
+    assert np.isfinite(losses).all()
+    vals = model.eval()
+    assert 0.0 <= vals["auc"] <= 1.0
