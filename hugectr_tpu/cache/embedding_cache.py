@@ -181,3 +181,84 @@ class StaticTable:
             found = found | m
             slot = (slot + 1) & self._mask
         return vals, found
+
+
+class UvmTable:
+    """Host-backed table with a device cache front (reference: uvm_table.hpp
+    — device HashBlock cache + host master arrays + threaded H2HCopy for
+    miss filling). TPU analog: the full table lives in host memory; `query`
+    serves hits from the device-resident set-associative LRU cache and
+    fills misses from the host master (one vectorized host gather + one
+    device Replace per batch — the compiled-world stand-in for UVM traffic).
+    """
+
+    def __init__(
+        self,
+        keys: np.ndarray,
+        values: np.ndarray,
+        cache_capacity: int,
+        ways: int = 8,
+        dtype=jnp.float32,
+    ):
+        keys = np.asarray(keys).reshape(-1)
+        values = np.asarray(values)
+        if len(keys) != len(values):
+            raise ValueError("keys/values length mismatch")
+        order = np.argsort(keys)
+        self._host_keys = keys[order]
+        self._host_values = values[order]
+        self.ev = values.shape[1]
+        num_sets = max(1, cache_capacity // ways)
+        self.cache = EmbeddingCache(
+            num_sets=num_sets, ways=ways, ev=self.ev, dtype=dtype
+        )
+        self.state = self.cache.init()
+        self.hits = 0
+        self.misses = 0
+
+    def _host_lookup(self, keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        pos = np.searchsorted(self._host_keys, keys)
+        pos_c = np.clip(pos, 0, len(self._host_keys) - 1)
+        found = self._host_keys[pos_c] == keys
+        vals = np.where(
+            found[:, None], self._host_values[pos_c], 0.0
+        ).astype(self._host_values.dtype)
+        return vals, found
+
+    def query(self, keys) -> Tuple[np.ndarray, np.ndarray]:
+        """[N] keys -> (values [N, ev], found [N] bool). Hits come from the
+        device cache; misses are filled from the host master and inserted
+        (LRU replace) for subsequent queries."""
+        keys_d = jnp.asarray(np.asarray(keys).reshape(-1))
+        vals, hit, self.state = self.cache.query(self.state, keys_d)
+        hit_h = np.asarray(hit)
+        self.hits += int(hit_h.sum())
+        out = np.array(vals, np.float32)  # writable host copy
+        miss_idx = np.where(~hit_h)[0]
+        found = hit_h.copy()
+        if len(miss_idx):
+            self.misses += len(miss_idx)
+            miss_keys = np.asarray(keys_d)[miss_idx]
+            host_vals, host_found = self._host_lookup(miss_keys)
+            out[miss_idx] = host_vals
+            found[miss_idx] = host_found
+            fill = host_found
+            if fill.any():
+                self.state = self.cache.replace(
+                    self.state,
+                    jnp.asarray(miss_keys[fill]),
+                    jnp.asarray(host_vals[fill]),
+                )
+        return out, found
+
+    def update(self, keys, values) -> None:
+        """Write-through: update the host master AND any cached copies."""
+        keys = np.asarray(keys).reshape(-1)
+        values = np.asarray(values)
+        pos = np.searchsorted(self._host_keys, keys)
+        pos_c = np.clip(pos, 0, len(self._host_keys) - 1)
+        found = self._host_keys[pos_c] == keys
+        self._host_values[pos_c[found]] = values[found]
+        self.state = self.cache.update(
+            self.state, jnp.asarray(keys), jnp.asarray(values)
+        )

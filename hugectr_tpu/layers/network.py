@@ -134,6 +134,16 @@ class Network:
     ) -> Tuple[Dict[str, Array], Dict]:
         """Run all layers; returns (tensor dict incl. per-sample losses,
         new state)."""
+        import os
+
+        # SKIP_DENSE_LAYERS="top1,top2": benchmark ablation — the named
+        # layers' outputs are replaced with zeros so XLA dead-code
+        # eliminates their compute (+ backward). Analog of the reference's
+        # SKIP_BOTTOM_MLP/SKIP_TOP_MLP flags (model_pipeline.cpp:230-234);
+        # read at trace time like every SKIP_* knob.
+        skip_tops = {
+            s for s in os.environ.get("SKIP_DENSE_LAYERS", "").split(",") if s
+        }
         tensors = dict(tensors)
         new_state = dict(state)
         for li, (name, cfg) in enumerate(zip(self.layer_names, self.configs)):
@@ -152,6 +162,8 @@ class Network:
             )
             if s:
                 new_state[name] = s
+            if skip_tops and all(t in skip_tops for t in cfg.top_names):
+                outs = [jnp.zeros_like(o) for o in outs]
             for t, o in zip(cfg.top_names, outs):
                 tensors[t] = o
         return tensors, new_state

@@ -565,8 +565,12 @@ class Model:
             step = state["step"] + 1
             lr = lr_sch(step)
             if rng is None:
-                # per-step stream derived in-graph (saves a host-side
-                # random.split dispatch per iteration — ~1 ms/step measured)
+                # in-graph per-step stream. NOTE: callers that loop
+                # train_async without any host-side per-step work must NOT
+                # use this path on the CPU backend — fully unthrottled async
+                # dispatch lets one virtual device fall >40 s behind and
+                # trips XLA's collective-rendezvous timeout (measured);
+                # train_async therefore passes an explicit host-split key.
                 rng = jax.random.fold_in(state["rng"], step)
             feature_keys = (
                 self._feature_keys(batch)
@@ -786,7 +790,11 @@ class Model:
         """
         self.start_data_reading()
         batch = next(self._train_iter)
-        self.state, loss = self._train_step(self.state, batch)
+        # host-side split doubles as a dispatch throttle: the tiny per-step
+        # host work keeps the async queue short enough that no device
+        # straggles past XLA's collective-rendezvous timeout (CPU backend)
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, loss = self._train_step(self.state, batch, sub)
         self._iter += 1
         return loss
 
@@ -948,6 +956,15 @@ class Model:
                     if write:
                         os.makedirs(tdir, exist_ok=True)
                         np.save(os.path.join(tdir, "emb_vector.npy"), arr)
+            # hot/cold-split tables: ALSO save the merged user-level view so
+            # downstream consumers (hugectr2onnx, reference-format loaders)
+            # see one [vocab, ev] table per configured name
+            for user_name in self.ec.plan.table_splits:
+                tdir = os.path.join(out_dir, f"sparse_{user_name}")
+                arr = self.ec.export_table(self.state["emb_tables"], user_name)
+                if write:
+                    os.makedirs(tdir, exist_ok=True)
+                    np.save(os.path.join(tdir, "emb_vector.npy"), arr)
             # packed table+state groups: persist the full packed array so
             # the accum columns survive (eopt is empty for these groups)
             for name, arr in self.state["emb_tables"].items():

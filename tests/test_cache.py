@@ -57,3 +57,35 @@ def test_static_table():
     out, found = t.lookup(jnp.asarray(q))
     assert bool(found[:100].all()) and not bool(found[100:].any())
     np.testing.assert_allclose(np.asarray(out[:100]), vals[:100], rtol=1e-6)
+
+
+def test_uvm_table_two_tier():
+    """UvmTable: host master + device LRU front (uvm_table.hpp analog)."""
+    from hugectr_tpu.cache.embedding_cache import UvmTable
+
+    rng = np.random.default_rng(3)
+    keys = np.arange(0, 10_000, 2, dtype=np.int64)  # even keys only
+    vals = rng.normal(size=(len(keys), 8)).astype(np.float32)
+    t = UvmTable(keys, vals, cache_capacity=256, ways=4)
+
+    q = np.array([0, 2, 4, 998, 3], dtype=np.int64)  # 3 is absent
+    out, found = t.query(q)
+    np.testing.assert_array_equal(found, [True, True, True, True, False])
+    np.testing.assert_allclose(out[0], vals[0], rtol=1e-6)
+    np.testing.assert_allclose(out[3], vals[499], rtol=1e-6)
+    assert np.all(out[4] == 0.0)
+    misses_before = t.misses
+    out2, found2 = t.query(q[:4])  # now cached
+    assert t.misses == misses_before  # all device hits
+    np.testing.assert_allclose(out2, out[:4], rtol=1e-6)
+
+    # write-through update visible via both tiers
+    t.update(np.array([2], np.int64), np.full((1, 8), 7.0, np.float32))
+    out3, _ = t.query(np.array([2], np.int64))
+    np.testing.assert_allclose(out3[0], 7.0)
+    # evictions beyond capacity still answer from host
+    big = np.arange(0, 4000, 2, dtype=np.int64)
+    outb, foundb = t.query(big)
+    assert foundb.all()
+    np.testing.assert_allclose(outb[1], 7.0)  # key 2 was write-through-updated
+    np.testing.assert_allclose(outb[2], vals[2], rtol=1e-6)

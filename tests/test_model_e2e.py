@@ -340,3 +340,22 @@ def test_norm_dataset_trains(mesh8, tmp_path):
     assert np.isfinite(losses).all()
     vals = model.eval()
     assert 0.0 <= vals["auc"] <= 1.0
+
+
+def test_skip_dense_layers_ablation(mesh8, monkeypatch):
+    """SKIP_DENSE_LAYERS zeroes the named layer's outputs at trace time
+    (benchmark ablation; reference SKIP_BOTTOM_MLP/SKIP_TOP_MLP analog)."""
+    model = _build_dcn_model(mesh8, use_ebc=True)
+    batch = None
+    model.start_data_reading()
+    batch = next(model._train_iter)
+    # find an intermediate MLP top name from the graph
+    top = None
+    for cfg in model.network.configs:
+        if cfg.layer_type == hugectr.Layer_t.MLP:
+            top = cfg.top_names[0]
+            break
+    assert top is not None
+    monkeypatch.setenv("SKIP_DENSE_LAYERS", top)
+    out = model.check_out_tensor(top, batch)
+    assert np.all(out == 0.0), "skipped layer output must be zeros"

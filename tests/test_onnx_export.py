@@ -774,3 +774,121 @@ def test_gru_export(mesh1, tmp_path):
     logits = model.check_out_tensor("logit", batch)
     want = 1.0 / (1.0 + np.exp(-logits.reshape(-1)))
     np.testing.assert_allclose(onnx_pred, want, rtol=1e-3, atol=1e-4)
+
+
+def test_hot_cold_split_model_export(mesh1, tmp_path, monkeypatch):
+    """A model trained with the frequent/infrequent (hot/cold) split must
+    snapshot the MERGED user-level table and convert to ONNX with numeric
+    parity (split is an internal layout choice, invisible downstream)."""
+    import jax
+    import hugectr_tpu as hugectr
+    from hugectr_tpu.core.types import DataReaderType_t
+
+    monkeypatch.setenv("HCTR_TPU_HOT_ROWS", "16")
+    solver = hugectr.CreateSolver(
+        max_eval_batches=2, batchsize_eval=32, batchsize=32, lr=0.01
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=4
+    )
+    model = hugectr.Model(
+        solver,
+        reader,
+        hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.SGD),
+        resource_manager=mesh1,
+    )
+    model.add(
+        hugectr.Input(
+            label_dim=1,
+            label_name="label",
+            dense_dim=4,
+            dense_name="dense",
+            data_reader_sparse_param_array=[
+                hugectr.DataReaderSparseParam("d0", 2, True, 1)
+            ],
+        )
+    )
+    tables = [
+        hugectr.EmbeddingTableConfig(
+            name="t0", max_vocabulary_size=200, ev_size=8
+        )
+    ]
+    ebc = hugectr.EmbeddingCollectionConfig()
+    ebc.embedding_lookup(tables, ["d0"], "emb", ["sum"])
+    ebc.shard(shard_matrix=[["t0"]], shard_strategy=[("mp", ["t0"])])
+    model.add(ebc)
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Concat,
+            bottom_names=["emb", "dense"],
+            top_names=["c1"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.MLP,
+            bottom_names=["c1"],
+            top_names=["m1"],
+            num_outputs=[16, 8],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=["m1"],
+            top_names=["logit"],
+            num_output=1,
+            act_type=hugectr.Activation_t.Non,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+            bottom_names=["logit", "label"],
+            top_names=["loss"],
+        )
+    )
+    model.compile()
+    assert model.ec.plan.table_splits, "hot/cold split did not engage"
+    for _ in range(3):
+        model.train()
+
+    prefix = str(tmp_path / "snap")
+    model.download_params_to_files(prefix, 3)
+    # merged user-level table present alongside the sub-tables
+    assert os.path.exists(
+        os.path.join(f"{prefix}_iter3", "sparse_t0", "emb_vector.npy")
+    )
+    merged = np.load(
+        os.path.join(f"{prefix}_iter3", "sparse_t0", "emb_vector.npy")
+    )
+    assert merged.shape == (200, 8)
+
+    gpath = str(tmp_path / "graph.json")
+    model.graph_to_json(gpath)
+    onnx_path = str(tmp_path / "model.onnx")
+    hugectr2onnx.convert(onnx_path, gpath, f"{prefix}_iter3", batch_size=32)
+
+    nodes, inits, inputs, outputs = parse_model(open(onnx_path, "rb").read())
+    rng = np.random.default_rng(0)
+    feeds = {
+        "dense": rng.random((32, 4), dtype=np.float32),
+        # mix of hot (<16) and cold (>=16) keys
+        "d0": np.concatenate(
+            [
+                rng.integers(0, 16, (32, 1)),
+                rng.integers(16, 200, (32, 1)),
+            ],
+            axis=1,
+        ).astype(np.int64),
+    }
+    env = run_model(nodes, inits, feeds)
+    onnx_pred = env[outputs[0]].reshape(-1)
+    batch = {
+        "label": np.zeros((32, 1), np.float32),
+        "dense": feeds["dense"],
+        "d0": feeds["d0"].astype(np.int32),
+    }
+    logits = model.check_out_tensor("logit", batch)
+    want = 1.0 / (1.0 + np.exp(-logits.reshape(-1)))
+    np.testing.assert_allclose(onnx_pred, want, rtol=1e-4, atol=1e-5)
