@@ -148,6 +148,7 @@ class EmbeddingCollection:
         self.knob_ucap_headroom = float(
             _os.environ.get("HCTR_TPU_UCAP_HEADROOM", "1.25")
         )
+        self.knob_dense_update_rows = sparse_optimizer.dense_update_rows()
         self.unique_caps: Dict[str, int] = {}
         self.knob_ucap_min_k = int(_os.environ.get("HCTR_TPU_UCAP_MIN_K", "0"))
         self.knob_ucap_drop = bool(_os.environ.get("HCTR_TPU_UCAP_DROP"))
@@ -834,11 +835,18 @@ class EmbeddingCollection:
                     keepdims=True,
                 )
                 d = d / jnp.maximum(nval, 1.0)
-            grad = grad.at[off : off + v].add(
-                jnp.dot(cnt.T, d, preferred_element_type=table_dtype)
+            # ones-column trick: appending 1s to the cotangent folds the
+            # touch-count column sum into the SAME cntT matmul, saving a
+            # separate full read of the [B, vocab] counts matrix. touched
+            # only needs colsum > 0, which bf16 partial sums preserve
+            # (sums of positives never round to 0).
+            d_ext = jnp.concatenate(
+                [d, jnp.ones((d.shape[0], 1), d.dtype)], axis=1
             )
+            ge = jnp.dot(cnt.T, d_ext, preferred_element_type=table_dtype)
+            grad = grad.at[off : off + v].add(ge[:, :-1])
             colsum = colsum.at[off : off + v].add(
-                jnp.sum(cnt, axis=0, dtype=jnp.float32)
+                ge[:, -1].astype(jnp.float32)
             )
         return grad, colsum
 
@@ -1108,6 +1116,7 @@ class EmbeddingCollection:
             ucap_drop=self.knob_ucap_drop,
             ucap_cap=self.unique_caps.get(gname, 0),
             packed=self._is_packed(gname),
+            dense_rows=self.knob_dense_update_rows,
         )
 
     def auto_unique_caps(self, feature_keys) -> None:
@@ -1472,7 +1481,7 @@ class EmbeddingCollection:
         for attr in (
             "state_dtype", "knob_fwd_partition", "knob_capacity_factor",
             "knob_segsum", "knob_ucap_factor", "knob_ucap_min_k",
-            "knob_ucap_drop", "knob_packed_state",
+            "knob_ucap_drop", "knob_packed_state", "knob_dense_update_rows",
         ):
             setattr(new_ec, attr, getattr(self, attr))
         from ..core.types import Optimizer_t as _Opt

@@ -13,6 +13,9 @@ os.environ["XLA_FLAGS"] = (
 # (tests/test_onehot_engine.py) that re-enable it per-test.
 os.environ.setdefault("HCTR_TPU_ONEHOT_VOCAB", "0")
 os.environ.setdefault("HCTR_TPU_HOT_ROWS", "0")
+# ... and to the windowed-trio update path (dense-sweep small-shard updates
+# have their own tests that re-enable them: test_dense_update_path)
+os.environ.setdefault("HCTR_TPU_DENSE_UPDATE_ROWS", "0")
 
 import jax  # noqa: E402
 

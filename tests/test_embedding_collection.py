@@ -471,3 +471,81 @@ def test_auto_unique_cap_overflow_falls_back(mesh1, monkeypatch):
     np.testing.assert_allclose(
         results["auto"], results["0"], rtol=1e-6, atol=1e-7
     )
+
+
+@pytest.mark.parametrize(
+    "opt_kind",
+    [
+        Optimizer_t.AdaGrad,
+        Optimizer_t.RowWiseAdaGrad,
+        Optimizer_t.Adam,
+        Optimizer_t.FTRL,
+        Optimizer_t.MomentumSGD,
+    ],
+)
+def test_dense_update_path_matches_trio(mesh1, monkeypatch, opt_kind):
+    """HCTR_TPU_DENSE_UPDATE_ROWS (small-shard dense-sweep update) must
+    produce the same result as the windowed gather/scatter trio for every
+    stateful optimizer, including untouched-row state bit-identity."""
+    t = EmbeddingTableConfig(name="t", max_vocabulary_size=4096, ev_size=8)
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 4)]
+    plan = ShardingPlan(strategy=[("mp", ["t"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    opt = OptParams(
+        opt_kind, lr=0.3, epsilon=1e-7, momentum_factor=0.9,
+        lambda1=0.01, lambda2=0.01, ftrl_beta=0.1,
+    )
+    rng = np.random.default_rng(31)
+    keys = rng.integers(0, 4096, (256, 4)).astype(np.int32)
+    keys[0, 3] = INVALID_KEY
+    d = rng.normal(size=(256, 8)).astype(np.float32)
+    res = {}
+    for mode in ("0", "262144"):
+        monkeypatch.setenv("HCTR_TPU_DENSE_UPDATE_ROWS", mode)
+        ebc = EmbeddingCollection(compiled, mesh1, opt)
+        tables = ebc.init(jax.random.key(4))
+        state = ebc.init_optimizer(tables)
+        for step in (1, 2):
+            tables, state = jax.jit(ebc.backward_and_update)(
+                tables, state, {"f": keys}, {"e": d}, jnp.asarray(0.3),
+                jnp.asarray(step),
+            )
+        res[mode] = (
+            ebc.export_table(tables, "t"),
+            {k: np.asarray(v) for k, v in state[list(state)[0]].items()},
+        )
+    np.testing.assert_allclose(res["262144"][0], res["0"][0], rtol=2e-5,
+                               atol=1e-6)
+    for k in res["0"][1]:
+        np.testing.assert_allclose(
+            res["262144"][1][k], res["0"][1][k], rtol=2e-5, atol=1e-6,
+            err_msg=f"state slot {k}",
+        )
+
+
+def test_dense_update_path_sharded(mesh8, mesh1, monkeypatch):
+    """Dense-sweep update on the 8-way MP engine == single-device."""
+    monkeypatch.setenv("HCTR_TPU_DENSE_UPDATE_ROWS", "262144")
+    t = EmbeddingTableConfig(name="t", max_vocabulary_size=512, ev_size=8)
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 4)]
+    plan = ShardingPlan(strategy=[("mp", ["t"])])
+    rng = np.random.default_rng(7)
+    keys = random_keys(rng, 64, 4, 512)
+    d = rng.normal(size=(64, 8)).astype(np.float32)
+    shared = rng.normal(size=(512, 8)).astype(np.float32)
+    res = {}
+    for rm in (mesh8, mesh1):
+        compiled = compile_plan(lookups, plan, num_shards=rm.data_parallel_size)
+        opt = OptParams(Optimizer_t.AdaGrad, lr=0.2, epsilon=1e-7)
+        ebc = EmbeddingCollection(compiled, rm, opt)
+        tables = ebc.init(jax.random.key(1))
+        tables = ebc.import_table(tables, "t", shared)
+        state = ebc.init_optimizer(tables)
+        kd = jax.device_put(keys, rm.batch_sharding())
+        dd = jax.device_put(d, rm.batch_sharding())
+        tables, state = jax.jit(ebc.backward_and_update)(
+            tables, state, {"f": kd}, {"e": dd}, jnp.asarray(0.2),
+            jnp.asarray(1),
+        )
+        res[rm] = ebc.export_table(tables, "t")
+    np.testing.assert_allclose(res[mesh8], res[mesh1], rtol=1e-5, atol=1e-6)
