@@ -150,6 +150,10 @@ class EmbeddingCollection:
         )
         self.knob_dense_update_rows = sparse_optimizer.dense_update_rows()
         self.unique_caps: Dict[str, int] = {}
+        # measured VALID-key caps (auto mode): groups whose key lists are
+        # mostly padding/out-of-window (hot-cold splits, sharded smalls)
+        # slice the whole post-sort chain to the valid prefix (cond-exact)
+        self.valid_caps: Dict[str, int] = {}
         self.knob_ucap_min_k = int(_os.environ.get("HCTR_TPU_UCAP_MIN_K", "0"))
         self.knob_ucap_drop = bool(_os.environ.get("HCTR_TPU_UCAP_DROP"))
         self.knob_packed_state = bool(_os.environ.get("HCTR_TPU_PACKED_STATE"))
@@ -866,6 +870,11 @@ class EmbeddingCollection:
     ) -> Array:
         g = self._meta[gname].plan
         meta = self._meta[gname]
+        vcap = self.valid_caps.get(gname, 0)
+        if vcap and vcap < keys.size:
+            # mostly-padding key list (hot/cold window): sorted valid-prefix
+            # gather + pooled scatter beats gathering every padded slot
+            return self._dp_fwd_compact(gname, table, keys, key_store, vcap)
         valid, _owner, local_row = self._slot_placement(meta, keys, 1, key_store)
         safe = jnp.where(valid, local_row, 0)
         rows = self._weights_view(gname, table[safe])
@@ -873,6 +882,49 @@ class EmbeddingCollection:
         # mean counts use RAW validity (consistent across steps/shards even
         # when exact-store misses drop rows this step)
         return self._pool(g, rows, keys != INVALID_KEY)
+
+    def _dp_fwd_compact(
+        self, gname: str, table: Array, keys: Array, key_store, vcap: int
+    ) -> Array:
+        """Forward for groups whose [B, H] key list is mostly padding (e.g.
+        the cold half of a hot/cold split): sort (row, pool-slot) pairs so
+        valid keys form a prefix, slice to the measured valid cap (lax.cond
+        full fallback keeps it exact), gather only that prefix and
+        scatter-add into the pooled layout. The sort is constructed exactly
+        like the backward's, so XLA CSEs the two."""
+        meta = self._meta[gname]
+        g = meta.plan
+        b = keys.shape[0]
+        valid, _owner, local_row = self._slot_placement(meta, keys, 1, key_store)
+        s_slots = g.grad_src_slots
+        gsrc = self._fwd_gsrc(g)
+        idx = jnp.where(valid, local_row, g.total_local_rows).reshape(-1)
+        src = (
+            jnp.arange(b, dtype=jnp.int32)[:, None] * s_slots
+            + jnp.asarray(gsrc)[None, :]
+        ).reshape(-1)
+        sidx, ssrc = jax.lax.sort((idx.astype(jnp.int32), src), num_keys=1)
+
+        def pooled_from(si, ss):
+            rows = self._weights_view(
+                gname,
+                table.at[si].get(
+                    mode="fill", fill_value=0, indices_are_sorted=True
+                ),
+            )
+            return jnp.zeros((b * s_slots, g.ev_size), table.dtype).at[ss].add(
+                rows
+            )
+
+        v_count = jnp.sum((sidx < g.total_local_rows).astype(jnp.int32))
+        pooled = jax.lax.cond(
+            v_count <= vcap,
+            lambda: pooled_from(sidx[:vcap], ssrc[:vcap]),
+            lambda: pooled_from(sidx, ssrc),
+        )
+        pooled = pooled.reshape(b, s_slots, g.ev_size)
+        pooled = self._apply_mean_scaling(g, pooled, keys != INVALID_KEY)
+        return pooled.reshape(b, g.out_width)
 
     # ------------------------------------------------- backward + update
     def backward_and_update(
@@ -1115,6 +1167,7 @@ class EmbeddingCollection:
             ucap_min_k=self.knob_ucap_min_k,
             ucap_drop=self.knob_ucap_drop,
             ucap_cap=self.unique_caps.get(gname, 0),
+            valid_cap=self.valid_caps.get(gname, 0),
             packed=self._is_packed(gname),
             dense_rows=self.knob_dense_update_rows,
         )
@@ -1152,16 +1205,22 @@ class EmbeddingCollection:
             owner = kk % f
             local = kk // f + np.asarray(g.slot_local_offset)[None, :]
             gid = owner * int(g.total_local_rows) + local
-            u_max = 0
+            u_max, v_max = 0, 0
             for s in range(f):
-                u = np.unique(gid[valid & (owner == s)]).size
-                u_max = max(u_max, int(u))
+                own = valid & (owner == s)
+                u_max = max(u_max, int(np.unique(gid[own]).size))
+                v_max = max(v_max, int(own.sum()))
             if self.rm.num_processes > 1:
                 # multi-controller: this process sees only its batch shard;
                 # bound the global unique count by the per-process sum
                 u_max *= self.rm.num_processes
+                v_max *= self.rm.num_processes
             cap = ((int(u_max * self.knob_ucap_headroom) + 511) // 512) * 512
             self.unique_caps[g.name] = max(cap, 512)
+            vcap = ((int(v_max * self.knob_ucap_headroom) + 511) // 512) * 512
+            # only worth a cond when a sizable share of the list is padding
+            if vcap < 0.8 * keys.size:
+                self.valid_caps[g.name] = max(vcap, 512)
 
     # ------------------------------------------------------------- IO paths
     def _is_frozen(self, table_name: str) -> bool:

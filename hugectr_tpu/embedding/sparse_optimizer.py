@@ -270,6 +270,7 @@ def apply_sparse(
     ucap_min_k: int = 0,
     ucap_drop: bool = False,
     ucap_cap: int = 0,
+    valid_cap: int = 0,
     packed: bool = False,
     dense_rows: int = -1,
 ) -> Tuple[Array, State]:
@@ -335,17 +336,30 @@ def apply_sparse(
         if k_limit and k_limit < k:
             sidx = sidx[:k_limit]
             ssrc = ssrc[:k_limit]
-        sgrads = dsrc.at[ssrc].get(mode="fill", fill_value=0)
-        ext = jnp.concatenate(
-            [
-                sgrads.astype(jnp.float32),
-                jnp.ones((sidx.shape[0], 1), jnp.float32),
-            ],
-            axis=1,
-        )
-        grad_ext = jnp.zeros((rows, ext.shape[1]), jnp.float32).at[sidx].add(
-            ext, mode="drop", indices_are_sorted=True
-        )
+
+        def dense_from(sidx, ssrc):
+            sgrads = dsrc.at[ssrc].get(mode="fill", fill_value=0)
+            ext = jnp.concatenate(
+                [
+                    sgrads.astype(jnp.float32),
+                    jnp.ones((sidx.shape[0], 1), jnp.float32),
+                ],
+                axis=1,
+            )
+            return jnp.zeros((rows, ext.shape[1]), jnp.float32).at[sidx].add(
+                ext, mode="drop", indices_are_sorted=True
+            )
+
+        if 0 < valid_cap < int(sidx.shape[0]):
+            # valid-prefix compaction (sentinels sort last; cond = exact)
+            v_count = jnp.sum((sidx < rows).astype(jnp.int32))
+            grad_ext = jax.lax.cond(
+                v_count <= valid_cap,
+                lambda: dense_from(sidx[:valid_cap], ssrc[:valid_cap]),
+                lambda: dense_from(sidx, ssrc),
+            )
+        else:
+            grad_ext = dense_from(sidx, ssrc)
         grad = grad_ext[:, :-1]
         touched = grad_ext[:, -1] > 0
         return apply_dense(opt, table, state, grad, touched, lr, step)
@@ -354,65 +368,87 @@ def apply_sparse(
         # row-id fixup, column slice and dtype cast happen INSIDE each cond
         # branch AFTER the window slice, so the common (window-fits) path
         # only post-processes [cap] rows instead of the full K.
-        sidx, ssrc = jax.lax.sort((idx, src), num_keys=1)
+        sidx_f, ssrc_f = jax.lax.sort((idx, src), num_keys=1)
         if k_limit and k_limit < k:
-            sidx = sidx[:k_limit]
-            ssrc = ssrc[:k_limit]
+            sidx_f = sidx_f[:k_limit]
+            ssrc_f = ssrc_f[:k_limit]
             k = k_limit
-        sgrads = dsrc.at[ssrc].get(mode="fill", fill_value=0)
-        head = jnp.concatenate(
-            [jnp.ones((1,), dtype=bool), sidx[1:] != sidx[:-1]]
-        )
-        seg = jnp.cumsum(head.astype(jnp.int32)) - 1
-        # one extra f32 column carries the row id at segment heads (only the
-        # head contributes, so the segment sum IS the row id; exact in f32
-        # for rows < 2^24 — the scatter is per-row issue-bound, so one more
-        # column is ~free while a separate segment_min scatter is not)
-        ext = jnp.concatenate(
-            [
-                sgrads.astype(jnp.float32),
-                jnp.where(head, sidx, 0).astype(jnp.float32)[:, None],
-            ],
-            axis=1,
-        )
-        summed_ext = jax.ops.segment_sum(
-            ext, seg, num_segments=k, indices_are_sorted=True
-        )
-        nseg = jnp.sum(head.astype(jnp.int32))
 
-        def finish(ext_s):
-            k0 = ext_s.shape[0]
-            g = ext_s[:, :-1]  # stays f32; optimizer math casts at scatter
-            urow = ext_s[:, -1].astype(sidx.dtype)
-            # empty segments (>= nseg) and sentinel rows get distinct
-            # increasing out-of-range ids so the result stays sorted+unique
-            j = jnp.arange(k0, dtype=sidx.dtype)
-            urow = jnp.where(
-                (j < nseg) & (urow < rows),
-                urow,
-                jnp.asarray(rows, sidx.dtype) + j,
+        def pipeline(sidx, ssrc):
+            kk = sidx.shape[0]
+            sgrads = dsrc.at[ssrc].get(mode="fill", fill_value=0)
+            head = jnp.concatenate(
+                [jnp.ones((1,), dtype=bool), sidx[1:] != sidx[:-1]]
             )
-            return urow, g
+            seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+            # one extra f32 column carries the row id at segment heads (only
+            # the head contributes, so the segment sum IS the row id; exact
+            # in f32 for rows < 2^24 — the scatter is per-row issue-bound,
+            # so one more column is ~free while a separate segment_min
+            # scatter is not)
+            ext = jnp.concatenate(
+                [
+                    sgrads.astype(jnp.float32),
+                    jnp.where(head, sidx, 0).astype(jnp.float32)[:, None],
+                ],
+                axis=1,
+            )
+            summed_ext = jax.ops.segment_sum(
+                ext, seg, num_segments=kk, indices_are_sorted=True
+            )
+            nseg = jnp.sum(head.astype(jnp.int32))
 
-        if ucap_cap > 0:
-            ucap = min(k, ucap_cap)  # measured window (UCAP_FACTOR=auto)
-        else:
-            ucap = unique_cap(k, ucap_factor, ucap_min_k)
-        if ucap and ucap < k:
-            if ucap_drop:
-                # capacity-drop mode: overflow segments beyond the cap lose
-                # their gradients (reference comm-buffer-capacity
-                # semantics); avoids the cond so scatters stay aliased
-                return run(*finish(summed_ext[:ucap]), None)
-            # Real segments occupy a prefix; run the trio on the static cap
-            # when it fits, exact full-K fallback otherwise (runtime cond).
-            real_count = jnp.sum((head & (sidx < rows)).astype(jnp.int32))
+            def finish(ext_s):
+                k0 = ext_s.shape[0]
+                g = ext_s[:, :-1]  # stays f32; optimizer casts at scatter
+                urow = ext_s[:, -1].astype(sidx.dtype)
+                # empty segments (>= nseg) and sentinel rows get distinct
+                # increasing out-of-range ids: result stays sorted+unique
+                j = jnp.arange(k0, dtype=sidx.dtype)
+                urow = jnp.where(
+                    (j < nseg) & (urow < rows),
+                    urow,
+                    jnp.asarray(rows, sidx.dtype) + j,
+                )
+                return urow, g
+
+            if ucap_cap > 0:
+                ucap = min(kk, ucap_cap)  # measured (UCAP_FACTOR=auto)
+            else:
+                ucap = unique_cap(kk, ucap_factor, ucap_min_k)
+            if ucap and ucap < kk:
+                if ucap_drop:
+                    # capacity-drop mode: overflow segments beyond the cap
+                    # lose their gradients (reference comm-buffer-capacity
+                    # semantics); avoids the cond so scatters stay aliased
+                    return run(*finish(summed_ext[:ucap]), None)
+                # Real segments occupy a prefix; run the trio on the static
+                # cap when it fits, exact full-K fallback otherwise.
+                real_count = jnp.sum(
+                    (head & (sidx < rows)).astype(jnp.int32)
+                )
+                return jax.lax.cond(
+                    real_count <= ucap,
+                    lambda: run(*finish(summed_ext[:ucap]), None),
+                    lambda: run(*finish(summed_ext), None),
+                )
+            return run(*finish(summed_ext), None)
+
+        if 0 < valid_cap < k:
+            # Valid-prefix compaction (HCTR_TPU_UCAP_FACTOR=auto measures
+            # it): invalid/foreign/out-of-window keys carry the sentinel
+            # row id and sort LAST, so when the batch's valid count fits
+            # the measured cap the ENTIRE post-sort chain (dsrc gather,
+            # segment sum, trio) runs on a [valid_cap] slice. Exact: the
+            # cond falls back to full-K. This is what makes mostly-padding
+            # key lists (hot/cold split windows) cheap.
+            v_count = jnp.sum((sidx_f < rows).astype(jnp.int32))
             return jax.lax.cond(
-                real_count <= ucap,
-                lambda: run(*finish(summed_ext[:ucap]), None),
-                lambda: run(*finish(summed_ext), None),
+                v_count <= valid_cap,
+                lambda: pipeline(sidx_f[:valid_cap], ssrc_f[:valid_cap]),
+                lambda: pipeline(sidx_f, ssrc_f),
             )
-        return run(*finish(summed_ext), None)
+        return pipeline(sidx_f, ssrc_f)
 
     uidx, g, tail, is_unique = dedup_rows(
         idx, src, dsrc.astype(table.dtype), sentinel=rows, k_limit=k_limit,

@@ -549,3 +549,83 @@ def test_dense_update_path_sharded(mesh8, mesh1, monkeypatch):
         )
         res[rm] = ebc.export_table(tables, "t")
     np.testing.assert_allclose(res[mesh8], res[mesh1], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("batch_kind", ["sparse", "dense_fallback"])
+def test_valid_prefix_compaction_exact(mesh1, monkeypatch, batch_kind):
+    """Valid-prefix compaction (auto-measured): a mostly-padding key list
+    runs its forward gather and whole post-sort backward chain on the
+    measured valid prefix; a later batch with MORE valid keys than the cap
+    takes the exact full-K cond fallback. Both must equal the uncompacted
+    path bit-for-bit in f32 tolerance."""
+    t = EmbeddingTableConfig(name="t", max_vocabulary_size=100_000, ev_size=8)
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 8)]
+    plan = ShardingPlan(strategy=[("mp", ["t"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    opt = OptParams(Optimizer_t.AdaGrad, lr=0.3, epsilon=1e-7)
+    rng = np.random.default_rng(41)
+
+    def sparse_batch(seed):
+        r = np.random.default_rng(seed)
+        k = r.integers(0, 100_000, (256, 8)).astype(np.int32)
+        mask = r.random((256, 8)) < 0.9  # ~90% padding
+        k[mask] = INVALID_KEY
+        return k
+
+    first = sparse_batch(1)
+    test_keys = sparse_batch(2) if batch_kind == "sparse" else (
+        rng.integers(0, 100_000, (256, 8)).astype(np.int32)  # all valid
+    )
+    d = rng.normal(size=(256, 8)).astype(np.float32)
+    results = {}
+    for mode in ("0", "auto"):
+        monkeypatch.setenv("HCTR_TPU_UCAP_FACTOR", mode)
+        ebc = EmbeddingCollection(compiled, mesh1, opt)
+        if mode == "auto":
+            ebc.auto_unique_caps({"f": first})
+            gname = list(ebc.valid_caps)[0]
+            assert ebc.valid_caps[gname] < 256 * 8
+        tables = ebc.init(jax.random.key(4))
+        state = ebc.init_optimizer(tables)
+        fwd = np.asarray(jax.jit(ebc.forward)(tables, {"f": test_keys})["e"])
+        tables, state = jax.jit(ebc.backward_and_update)(
+            tables, state, {"f": test_keys}, {"e": d}, jnp.asarray(0.3),
+            jnp.asarray(1),
+        )
+        results[mode] = (fwd, ebc.export_table(tables, "t"))
+    np.testing.assert_allclose(
+        results["auto"][0], results["0"][0], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        results["auto"][1], results["0"][1], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_valid_prefix_compaction_dense_path(mesh1, monkeypatch):
+    """Valid-prefix slice composes with the small-shard dense-sweep update."""
+    monkeypatch.setenv("HCTR_TPU_DENSE_UPDATE_ROWS", "262144")
+    t = EmbeddingTableConfig(name="t", max_vocabulary_size=4096, ev_size=8)
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 8)]
+    plan = ShardingPlan(strategy=[("mp", ["t"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    opt = OptParams(Optimizer_t.RowWiseAdaGrad, lr=0.3, epsilon=1e-7)
+    rng = np.random.default_rng(43)
+    keys = rng.integers(0, 4096, (256, 8)).astype(np.int32)
+    keys[rng.random((256, 8)) < 0.9] = INVALID_KEY
+    d = rng.normal(size=(256, 8)).astype(np.float32)
+    results = {}
+    for mode in ("0", "auto"):
+        monkeypatch.setenv("HCTR_TPU_UCAP_FACTOR", mode)
+        ebc = EmbeddingCollection(compiled, mesh1, opt)
+        if mode == "auto":
+            ebc.auto_unique_caps({"f": keys})
+        tables = ebc.init(jax.random.key(4))
+        state = ebc.init_optimizer(tables)
+        tables, state = jax.jit(ebc.backward_and_update)(
+            tables, state, {"f": keys}, {"e": d}, jnp.asarray(0.3),
+            jnp.asarray(1),
+        )
+        results[mode] = ebc.export_table(tables, "t")
+    np.testing.assert_allclose(
+        results["auto"], results["0"], rtol=1e-5, atol=1e-6
+    )
