@@ -49,6 +49,26 @@ class Solver:
     perf_logging: bool = False
     drop_incomplete_batch: bool = True
     use_embedding_collection: bool = True
+    # accepted-for-parity knobs whose capability is inherent to XLA on TPU
+    # (reference: solver_wrapper.hpp CreateSolver args). Overlap flags:
+    # the whole iteration is ONE jitted program, so XLA schedules/overlaps
+    # stages (model_pipeline.cpp's stream/event DAG has no TPU analog);
+    # all-reduce algorithm/grouping: XLA collective lowering owns both;
+    # algorithm search: autotuning happens inside the XLA compile.
+    device_layout: str = "LocalFirst"
+    use_algorithm_search: bool = True
+    all_reduce_algo: str = "NCCL"
+    grouped_all_reduce: bool = False
+    num_iterations_statistics: int = 20
+    gen_loss_summary: bool = True
+    train_intra_iteration_overlap: bool = False
+    train_inter_iteration_overlap: bool = False
+    eval_intra_iteration_overlap: bool = False
+    eval_inter_iteration_overlap: bool = False
+    kafka_brockers: str = ""  # (reference spelling) no streaming PS here
+    # functional: callbacks passed at solver level (reference:
+    # training_callbacks arg) are appended to Model.callbacks at compile
+    training_callbacks: List[Any] = dataclasses.field(default_factory=list)
     # TPU-specific
     num_devices: int = 0  # 0 = all
     ev_parallelism: int = 1
@@ -73,6 +93,9 @@ class Solver:
     onehot_vocab: Optional[int] = None
     split_vocab: Optional[int] = None
     hot_rows: Optional[int] = None
+    #   dense_update_rows: shard-row threshold below which sparse updates
+    #     run as scatter-into-dense-grad + element-wise sweep (exact).
+    dense_update_rows: Optional[int] = None
 
     def apply_engine_knobs(self):
         """Export configured engine knobs to the HCTR_TPU_* environment for
@@ -90,6 +113,7 @@ class Solver:
             ("onehot_vocab", "HCTR_TPU_ONEHOT_VOCAB"),
             ("split_vocab", "HCTR_TPU_SPLIT_VOCAB"),
             ("hot_rows", "HCTR_TPU_HOT_ROWS"),
+            ("dense_update_rows", "HCTR_TPU_DENSE_UPDATE_ROWS"),
         ):
             v = getattr(self, field)
             if v is not None:

@@ -100,7 +100,9 @@ class Model:
         self.dense_layers: List[DenseLayer] = []
         self.ebc_configs: List[EmbeddingCollectionConfig] = []
         self.sparse_embeddings: List[SparseEmbedding] = []
-        self.callbacks: List[TrainingCallback] = []
+        self.callbacks: List[TrainingCallback] = list(
+            getattr(solver, "training_callbacks", []) or []
+        )
         self._compiled = False
         self._iter = 0
         self.lr_sch = LearningRateScheduler(

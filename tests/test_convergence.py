@@ -273,3 +273,50 @@ def test_per_table_freeze(mesh8):
     assert not np.allclose(
         model.ec.export_table(model.state["emb_tables"], "t0"), e0
     )
+
+
+def test_solver_level_training_callbacks(mesh8):
+    """Reference CreateSolver(training_callbacks=[...]) parity: callbacks
+    registered at solver level fire during fit."""
+    calls = []
+
+    class CB(hugectr.TrainingCallback):
+        def on_training_start(self, model):
+            calls.append("start")
+
+        def on_training_end(self, model, iteration):
+            calls.append("end")
+
+    import hugectr_tpu as h
+    from hugectr_tpu.core.types import DataReaderType_t
+
+    solver = h.CreateSolver(
+        batchsize=256, batchsize_eval=256, max_eval_batches=2,
+        repeat_dataset=True, training_callbacks=[CB()],
+    )
+    reader = h.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=4
+    )
+    m = h.Model(solver, reader, h.CreateOptimizer(
+        optimizer_type=h.Optimizer_t.SGD), resource_manager=mesh8)
+    m.add(h.Input(label_dim=1, label_name="label", dense_dim=4,
+                  dense_name="dense",
+                  data_reader_sparse_param_array=[
+                      h.DataReaderSparseParam("d0", 1, True, 1)]))
+    tables = [h.EmbeddingTableConfig(name="t", max_vocabulary_size=50,
+                                     ev_size=4)]
+    ebc = h.EmbeddingCollectionConfig()
+    ebc.embedding_lookup(tables, ["d0"], "emb", ["sum"])
+    ebc.shard(shard_matrix=[["t"]] * mesh8.num_devices,
+              shard_strategy=[("mp", ["t"])])
+    m.add(ebc)
+    m.add(h.DenseLayer(layer_type=h.Layer_t.Concat,
+                       bottom_names=["emb", "dense"], top_names=["c"]))
+    m.add(h.DenseLayer(layer_type=h.Layer_t.InnerProduct,
+                       bottom_names=["c"], top_names=["logit"], num_output=1,
+                       act_type=h.Activation_t.Non))
+    m.add(h.DenseLayer(layer_type=h.Layer_t.BinaryCrossEntropyLoss,
+                       bottom_names=["logit", "label"], top_names=["loss"]))
+    m.compile()
+    m.fit(max_iter=3, display=10, eval_interval=100)
+    assert calls == ["start", "end"]

@@ -1,4 +1,6 @@
 """Native C++ async raw reader vs python RawReader equivalence."""
+import os
+
 import numpy as np
 import pytest
 
@@ -188,3 +190,90 @@ def test_int_dense_log_transform(tmp_path):
     dn = rows[:, 1:3].astype(np.float32)
     expect = np.log1p(np.maximum(dn, 0))
     np.testing.assert_allclose(b["dense"], expect, rtol=1e-6)
+
+
+def _write_tsv(path, rows, rng):
+    """Synthetic Criteo-style TSV: label \\t 13 ints \\t 26 hex cats."""
+    lines = []
+    cats_used = []
+    for _ in range(rows):
+        label = int(rng.integers(0, 2))
+        dense = [str(int(rng.integers(0, 100))) for _ in range(13)]
+        # skew: few hot hex ids + a random tail; some empty fields
+        cs = []
+        row_cats = []
+        for c in range(26):
+            if rng.random() < 0.05:
+                cs.append("")  # missing
+                row_cats.append(0)
+            else:
+                v = int(rng.integers(0, 8)) if rng.random() < 0.7 else int(
+                    rng.integers(0, 1 << 24)
+                )
+                cs.append(format(v, "x"))
+                row_cats.append(v)
+        cats_used.append(row_cats)
+        lines.append("\t".join([str(label)] + dense + cs))
+    path.write_text("\n".join(lines) + "\n")
+    return np.asarray(cats_used, np.int64)
+
+
+def test_criteo_to_raw_native(tmp_path):
+    """Native TSV->Raw converter (dlrm_script analog): row layout, hex
+    hashing, missing-field zeros; --remap makes id 0 the most frequent."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(11)
+    tsv = tmp_path / "day.tsv"
+    cats = _write_tsv(tsv, 500, rng)
+    out = tmp_path / "day.bin"
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "criteo_to_raw.py")
+    subprocess.run(
+        [sys.executable, tool, "--input", str(tsv), "--output", str(out),
+         "--vocab_cap", "1000000"],
+        check=True,
+    )
+    arr = np.fromfile(out, np.int32).reshape(500, 40)
+    assert set(np.unique(arr[:, 0])) <= {0, 1}
+    np.testing.assert_array_equal(arr[:, 14:], cats % 1000000)
+
+    # remap: per column, id 0 must be the most frequent ORIGINAL id
+    out2 = tmp_path / "day_remap.bin"
+    subprocess.run(
+        [sys.executable, tool, "--input", str(tsv), "--output", str(out2),
+         "--vocab_cap", "1000000", "--remap"],
+        check=True,
+    )
+    arr2 = np.fromfile(out2, np.int32).reshape(500, 40)
+    for c in range(26):
+        orig = arr[:, 14 + c]
+        new = arr2[:, 14 + c]
+        # frequency of new id 0 == max frequency of any original id
+        u, n = np.unique(orig, return_counts=True)
+        assert (new == 0).sum() == n.max(), f"col {c}"
+        # remap is a bijection preserving multiplicity
+        u2, n2 = np.unique(new, return_counts=True)
+        np.testing.assert_array_equal(np.sort(n), np.sort(n2))
+        assert u2.max() == len(u) - 1
+
+    # the converted file feeds RawReader directly (MLPerf raw layout)
+    from hugectr_tpu.data import BatchSpec, RawReader, SparseFeatureSpec
+
+    spec = BatchSpec(
+        batch_size=100,
+        label_dims=(1,),
+        label_names=("label",),
+        dense_dim=13,
+        dense_name="dense",
+        sparse=tuple(
+            SparseFeatureSpec(name=f"d{i}", slot_nnz=(1,)) for i in range(26)
+        ),
+    )
+    r = RawReader(str(out), spec, repeat=False)
+    b = next(iter(r))
+    assert b["dense"].shape == (100, 13)
+    np.testing.assert_allclose(
+        b["dense"][:, 0], np.log1p(arr[:100, 1].astype(np.float32))
+    )
