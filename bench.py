@@ -31,6 +31,15 @@ def main():
     # optimizer (torchrec ROWWISE_ADAGRAD); AUC-gated vs element-wise
     # AdaGrad in test_convergence.py::test_rowwise_adagrad_convergence_gate
     os.environ.setdefault("HCTR_BENCH_OPT", "rowwise_adagrad")
+    # hot/cold split (HybridEmbedding frequent/infrequent analog): first 64k
+    # rows of each big table live in per-table small storage groups where XLA
+    # row ops run in the cheap small-operand regime (~5-10 ns/row vs ~30).
+    # EXACT for any key distribution (test_hot_cold_split.py); the speed
+    # benefit assumes frequency-ordered vocab, which power-law synthetic keys
+    # and --frequency-remap'd Criteo both satisfy. Measured sweep (v5e):
+    # 16k=110.6k / 32k=114.2k / 64k=117.2k / 128k=111.8k ex/s.
+    os.environ.setdefault("HCTR_TPU_HOT_ROWS", "65536")
+    os.environ.setdefault("HCTR_TPU_SPLIT_VOCAB", "16384")
     # honor driver environment; default to whatever platform JAX picks
     import jax
 
@@ -91,6 +100,7 @@ def main():
         "segsum": os.environ["HCTR_TPU_SEGSUM"],
         "optimizer": os.environ["HCTR_BENCH_OPT"],
         "ucap": os.environ["HCTR_TPU_UCAP_FACTOR"],
+        "hot_rows": int(os.environ["HCTR_TPU_HOT_ROWS"]),
         "vocab_cap": vocab_cap,
         # measurement caveats vs the full MLPerf operating point: per-table
         # vocab capped (4x40M tables exceed one chip's HBM), synthetic

@@ -20,6 +20,7 @@ import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.mesh import ResourceManager, default_resource_manager
@@ -396,8 +397,22 @@ class LookupEngine:
         rm: Optional[ResourceManager] = None,
         dp_tables: Sequence[str] = (),
         shard_counts: Optional[Dict[str, int]] = None,
+        use_sp_weight: bool = False,
     ):
         self.rm = rm or _rm()
+        # per-key weights (reference: lookup_sparse sp_weights /
+        # PreprocessingForwardWithWeight, kit_src/lookup/ops/
+        # embedding_collection.cc): lookups compile with a Concat combiner so
+        # per-slot vectors are available; the user combiner (sum: Σ w·e,
+        # mean: Σ w·e / Σ w — TF embedding_lookup_sparse semantics) is applied
+        # over the weighted slots here, and apply_gradients routes
+        # w-scaled per-slot cotangents back through the same Concat lookup.
+        self.use_sp_weight = bool(use_sp_weight)
+        self.user_combiners = [Combiner_t(c) for c in combiners]
+        if self.use_sp_weight:
+            if any(c == Combiner_t.Concat for c in self.user_combiners):
+                raise ValueError("sp_weights require sum/mean combiners")
+            combiners = [Combiner_t.Concat] * len(self.user_combiners)
         lookups = [
             LookupConfig(
                 lookup_id=i,
@@ -424,19 +439,55 @@ class LookupEngine:
     def init_optimizer(self, tables) -> Dict[str, Dict[str, jax.Array]]:
         return self.ec.init_optimizer(tables)
 
+    def _slot_weights(self, i: int, keys: jax.Array, sp_weights):
+        """Per-slot effective weights w̃ [B, H]: invalid slots zeroed; mean
+        combiner normalizes by Σw (TF embedding_lookup_sparse semantics)."""
+        k = keys if keys.ndim == 2 else keys[:, None]
+        valid = k != -1
+        w = sp_weights[i] if sp_weights is not None and sp_weights[i] is not None else None
+        if w is None:
+            w = jnp.ones(k.shape, jnp.float32)
+        elif w.ndim == 1:
+            w = w[:, None]
+        w = jnp.where(valid, w.astype(jnp.float32), 0.0)
+        if self.user_combiners[i] == Combiner_t.Mean:
+            w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+        return w
+
     def lookup(
-        self, tables: Dict[str, jax.Array], keys: Sequence[jax.Array]
+        self,
+        tables: Dict[str, jax.Array],
+        keys: Sequence[jax.Array],
+        sp_weights: Optional[Sequence[Optional[jax.Array]]] = None,
     ) -> List[jax.Array]:
         """Fused multi-table lookup (reference: sok.lookup_sparse,
         lookup.py:122): keys[i] is [B, hotness_i] with -1 padding; returns
-        pooled [B, ev_i] per lookup, batch-sharded."""
-        feats = {f"out{i}": k for i, k in enumerate(keys)}
+        pooled [B, ev_i] per lookup, batch-sharded. With `sp_weights`
+        (engine built with use_sp_weight=True) slot vectors are weighted:
+        sum -> Σ w·e, mean -> Σ w·e / Σ w."""
+        if sp_weights is not None and not self.use_sp_weight:
+            raise ValueError(
+                "pass use_sp_weight=True at engine build to use sp_weights"
+            )
         # bottom names were rewritten to internal tops by compile
         feature_keys = {}
         for i, lk in enumerate(self.compiled.lookups):
             feature_keys[lk.bottom_name] = keys[i]
         outs = self.ec.forward(tables, feature_keys)
-        return [outs[lk.top_name] for lk in self.compiled.lookups]
+        flat = [outs[lk.top_name] for lk in self.compiled.lookups]
+        if not self.use_sp_weight:
+            return flat
+        pooled = []
+        for i, o in enumerate(flat):
+            b = o.shape[0]
+            ev = self.compiled.lookups[i].table.ev_size
+            w = self._slot_weights(i, keys[i], sp_weights)
+            pooled.append(
+                jnp.einsum(
+                    "bhe,bh->be", o.reshape(b, -1, ev), w.astype(o.dtype)
+                )
+            )
+        return pooled
 
     def apply_gradients(
         self,
@@ -446,7 +497,21 @@ class LookupEngine:
         d_outs: Sequence[jax.Array],
         lr,
         step,
+        sp_weights: Optional[Sequence[Optional[jax.Array]]] = None,
     ):
+        if self.use_sp_weight:
+            # route pooled cotangents to per-slot Concat cotangents:
+            # d_slot[b,h] = w̃[b,h] · d_out[b]
+            scaled = []
+            for i, d in enumerate(d_outs):
+                w = self._slot_weights(i, keys[i], sp_weights)
+                b = d.shape[0]
+                scaled.append(
+                    (w.astype(d.dtype)[:, :, None] * d[:, None, :]).reshape(
+                        b, -1
+                    )
+                )
+            d_outs = scaled
         feature_keys = {
             lk.bottom_name: keys[i] for i, lk in enumerate(self.compiled.lookups)
         }
@@ -459,10 +524,14 @@ class LookupEngine:
 
 
 def lookup_sparse(
-    engine: LookupEngine, tables: Dict[str, jax.Array], keys: Sequence[jax.Array]
+    engine: LookupEngine,
+    tables: Dict[str, jax.Array],
+    keys: Sequence[jax.Array],
+    sp_weights: Optional[Sequence[Optional[jax.Array]]] = None,
 ) -> List[jax.Array]:
-    """Functional alias of LookupEngine.lookup (reference: sok.lookup_sparse)."""
-    return engine.lookup(tables, keys)
+    """Functional alias of LookupEngine.lookup (reference: sok.lookup_sparse,
+    lookup.py:425 lookup_sparse_impl(params, sp_ids, sp_weights, ...))."""
+    return engine.lookup(tables, keys, sp_weights=sp_weights)
 
 
 def all2all_dense_embedding(
@@ -487,9 +556,11 @@ class OptimizerWrapper:
     def initialize(self, tables):
         return self.engine.init_optimizer(tables)
 
-    def apply_gradients(self, tables, opt_state, keys, d_outs, lr, step=1):
+    def apply_gradients(
+        self, tables, opt_state, keys, d_outs, lr, step=1, sp_weights=None
+    ):
         return self.engine.apply_gradients(
-            tables, opt_state, keys, d_outs, lr, step
+            tables, opt_state, keys, d_outs, lr, step, sp_weights=sp_weights
         )
 
 

@@ -224,3 +224,95 @@ def test_dynamic_variable_hkv_host_spill(mesh1):
     assert v.total_size == 87
     merged = v.export_merged()
     assert len(merged) == 87 and 0 not in merged
+
+
+def test_lookup_sparse_sp_weights(mesh8):
+    """Per-key weights (reference: sok.lookup_sparse sp_weights,
+    lookup.py:425; PreprocessingForwardWithWeight): sum -> sum_h w*e,
+    mean -> sum_h w*e / sum_h w; padded slots contribute nothing."""
+    sok.init(mesh8)
+    tables_cfg = [
+        EmbeddingTableConfig(name="a", max_vocabulary_size=100, ev_size=8),
+        EmbeddingTableConfig(name="b", max_vocabulary_size=50, ev_size=8),
+    ]
+    eng = sok.LookupEngine(
+        tables_cfg,
+        hotness=[3, 2],
+        combiners=["sum", "mean"],
+        opt=OptParams(Optimizer_t.SGD, lr=0.1),
+        rm=mesh8,
+        use_sp_weight=True,
+    )
+    tables = eng.init(jax.random.key(3))
+    rng = np.random.default_rng(3)
+    b = 16
+    k0 = rng.integers(0, 100, (b, 3)).astype(np.int32)
+    k1 = rng.integers(0, 50, (b, 2)).astype(np.int32)
+    k0[0, 2] = -1  # padding: weight must be ignored
+    w0 = rng.uniform(0.1, 2.0, (b, 3)).astype(np.float32)
+    w1 = rng.uniform(0.1, 2.0, (b, 2)).astype(np.float32)
+    outs = jax.jit(
+        lambda t, a, c, wa, wc: sok.lookup_sparse(
+            eng, t, [a, c], sp_weights=[wa, wc]
+        )
+    )(
+        tables,
+        jax.device_put(k0, mesh8.batch_sharding()),
+        jax.device_put(k1, mesh8.batch_sharding()),
+        jax.device_put(w0, mesh8.batch_sharding()),
+        jax.device_put(w1, mesh8.batch_sharding()),
+    )
+    ta = eng.ec.export_table(tables, "a")
+    tb = eng.ec.export_table(tables, "b")
+    want0 = np.stack([
+        sum(w0[i, h] * ta[k0[i, h]] for h in range(3) if k0[i, h] >= 0)
+        for i in range(b)
+    ])
+    want1 = np.stack([
+        sum(w1[i, h] * tb[k1[i, h]] for h in range(2)) / w1[i].sum()
+        for i in range(b)
+    ])
+    np.testing.assert_allclose(np.asarray(outs[0]), want0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs[1]), want1, rtol=1e-5, atol=1e-5)
+
+    # weights=None with a weighted engine degrades to the unweighted combiner
+    outs_nw = jax.jit(lambda t, a, c: eng.lookup(t, [a, c]))(
+        tables,
+        jax.device_put(k0, mesh8.batch_sharding()),
+        jax.device_put(k1, mesh8.batch_sharding()),
+    )
+    want_sum = np.stack(
+        [ta[[k for k in row if k >= 0]].sum(0) for row in k0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs_nw[0]), want_sum, rtol=1e-5, atol=1e-5
+    )
+
+    # backward: SGD row update is -lr * w * d summed over occurrences
+    opt_state = eng.init_optimizer(tables)
+    d0 = rng.normal(size=(b, 8)).astype(np.float32)
+    d1 = rng.normal(size=(b, 8)).astype(np.float32)
+    tables2, _ = eng.apply_gradients(
+        tables, opt_state,
+        [jax.device_put(k0, mesh8.batch_sharding()),
+         jax.device_put(k1, mesh8.batch_sharding())],
+        [jax.device_put(d0, mesh8.batch_sharding()),
+         jax.device_put(d1, mesh8.batch_sharding())],
+        lr=0.1, step=1,
+        sp_weights=[jax.device_put(w0, mesh8.batch_sharding()),
+                    jax.device_put(w1, mesh8.batch_sharding())],
+    )
+    want_a = ta.copy()
+    for i in range(b):
+        for h in range(3):
+            if k0[i, h] >= 0:
+                want_a[k0[i, h]] -= 0.1 * w0[i, h] * d0[i]
+    want_b = tb.copy()
+    for i in range(b):
+        wn = w1[i] / w1[i].sum()
+        for h in range(2):
+            want_b[k1[i, h]] -= 0.1 * wn[h] * d1[i]
+    got_a = eng.ec.export_table(tables2, "a")
+    got_b = eng.ec.export_table(tables2, "b")
+    np.testing.assert_allclose(got_a, want_a, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_b, want_b, rtol=1e-4, atol=1e-4)
