@@ -735,9 +735,12 @@ class EmbeddingCollection:
         lookup becomes ``counts @ table`` on the MXU and the backward becomes
         ``countsᵀ @ d_out`` (reference semantics:
         embedding/operators/generic_lookup.cuh multi_to_one reduction)."""
+        from ..parallel.plan import onehot_vocab_threshold
+
         meta = self._meta[gname]
         g = meta.plan
         valid, _owner, local_row = self._slot_placement(meta, keys, 1)
+        compare_max = onehot_vocab_threshold()
         counts: Dict[int, Array] = {}
         for li, lm in enumerate(g.lookups):
             ti = lm.table_index
@@ -745,6 +748,20 @@ class EmbeddingCollection:
             v = int(g.table_vocab[ti])
             k = local_row[:, lm.slot_begin : lm.slot_end] - off  # [B, h]
             val = valid[:, lm.slot_begin : lm.slot_end]
+            b = k.shape[0]
+            if v > compare_max:
+                # high-hotness big-vocab table (plan.onehot_scatter_ratio):
+                # ONE scatter-add of B*H ones builds the counts matrix in
+                # O(K) — the compare chain below is O(B*vocab*H). Invalid
+                # slots index out of range and drop. bf16 holds the small
+                # integer counts exactly (< 256 duplicates per sample).
+                kk = jnp.where(val, k, v)
+                counts[li] = (
+                    jnp.zeros((b, v), dtype)
+                    .at[jnp.arange(b, dtype=jnp.int32)[:, None], kk]
+                    .add(jnp.ones(kk.shape, dtype), mode="drop")
+                )
+                continue
             iota = jnp.arange(v, dtype=jnp.int32)[None, :]
             cnt = None
             for h in range(lm.slot_end - lm.slot_begin):

@@ -367,23 +367,59 @@ def onehot_vocab_threshold() -> int:
     return int(os.environ.get("HCTR_TPU_ONEHOT_VOCAB", "8192"))
 
 
+def onehot_scatter_ratio() -> int:
+    """High-hotness one-hot eligibility ratio (0 disables).
+
+    A table whose total hotness H satisfies ``H * ratio >= vocab`` runs on
+    the one-hot MXU engine even above the small-vocab threshold, with the
+    [B, vocab] counts matrix built by ONE scatter-add of B*H ones (O(K))
+    instead of the O(B*vocab*H) compare chain. MEASURED SLOWER on v5e at
+    the flagship operating point (100-hot 64k-vocab hot prefix, ratio
+    2000: 109.8k vs 117.3k ex/s): the element scatter is issue-bound at
+    ~12 ns/index — the same per-key cost as the row-op chain it replaces —
+    and XLA adds a 1 GB reshape copy of the counts plus matmul traffic.
+    Kept as a documented alternative backend (oracle-tested); default
+    off."""
+    import os
+
+    return int(os.environ.get("HCTR_TPU_ONEHOT_SCATTER_RATIO", "0"))
+
+
+def onehot_scatter_max_vocab() -> int:
+    """Vocab cap for scatter-counts one-hot tables (bounds the [B, vocab]
+    counts buffer: 8192 x 131072 bf16 = 2 GB)."""
+    import os
+
+    return int(os.environ.get("HCTR_TPU_ONEHOT_SCATTER_MAXV", "131072"))
+
+
 def _onehot_eligible(
     lookups: Sequence[LookupConfig], threshold: int
 ) -> Dict[str, bool]:
-    """A table runs on the one-hot MXU engine iff it is static, small, and
-    EVERY lookup into it uses a poolable combiner (sum/mean, or concat with
-    hotness 1 which is equivalent). Mixed-eligibility tables stay rowop so
-    storage is never duplicated across engines."""
+    """A table runs on the one-hot MXU engine iff it is static, and EVERY
+    lookup into it uses a poolable combiner (sum/mean, or concat with
+    hotness 1 which is equivalent), and it is either small (<= threshold,
+    compare-chain counts) or high-hotness (scatter-built counts — see
+    onehot_scatter_ratio). Mixed-eligibility tables stay rowop so storage
+    is never duplicated across engines."""
     by_table: Dict[str, List[LookupConfig]] = {}
     for lk in lookups:
         by_table.setdefault(lk.table.name, []).append(lk)
+    ratio = onehot_scatter_ratio()
+    maxv = onehot_scatter_max_vocab()
     out: Dict[str, bool] = {}
     for name, lks in by_table.items():
         t = lks[0].table
+        hot_total = sum(lk.max_hotness for lk in lks)
+        size_ok = (threshold > 0 and 0 < t.vocabulary_size <= threshold) or (
+            threshold > 0  # ONEHOT_VOCAB=0 disables the engine entirely
+            and ratio > 0
+            and threshold < t.vocabulary_size <= maxv
+            and hot_total * ratio >= t.vocabulary_size
+        )
         ok = (
-            threshold > 0
+            size_ok
             and not t.is_dynamic
-            and 0 < t.vocabulary_size <= threshold
             and all(
                 lk.combiner in (Combiner_t.Sum, Combiner_t.Mean)
                 or (lk.combiner == Combiner_t.Concat and lk.max_hotness == 1)

@@ -284,3 +284,96 @@ def test_pallas_onehot_kernel_matches_xla(mesh1, monkeypatch):
             results["pallas"][1][n], results["xla"][1][n],
             rtol=1e-4, atol=1e-5, err_msg=f"table {n}",
         )
+
+
+def test_scatter_counts_classification(monkeypatch):
+    """High-hotness big-vocab tables go one-hot via the scatter-counts rule
+    (plan.onehot_scatter_ratio); low-hotness big-vocab tables stay rowop;
+    ONEHOT_VOCAB=0 disables both."""
+    monkeypatch.setenv("HCTR_TPU_ONEHOT_VOCAB", "256")
+    monkeypatch.setenv("HCTR_TPU_ONEHOT_SCATTER_RATIO", "2000")
+    th = EmbeddingTableConfig(name="hi", max_vocabulary_size=1024, ev_size=8)
+    tl = EmbeddingTableConfig(name="lo", max_vocabulary_size=100000, ev_size=8)
+    lookups = [
+        LookupConfig(0, th, "fh", "eh", Combiner_t.Sum, 8),  # 8*2000 >= 1024
+        LookupConfig(1, tl, "fl", "el", Combiner_t.Sum, 8),  # 16000 < 100000
+    ]
+    plan = ShardingPlan(strategy=[("mp", ["hi", "lo"])])
+    compiled = compile_plan(lookups, plan, num_shards=8)
+    kinds = {t.name: g.compute_kind for g in compiled.groups for t in g.tables}
+    assert kinds == {"hi": "onehot", "lo": "rowop"}
+    monkeypatch.setenv("HCTR_TPU_ONEHOT_VOCAB", "0")
+    compiled0 = compile_plan(lookups, plan, num_shards=8)
+    kinds0 = {
+        t.name: g.compute_kind for g in compiled0.groups for t in g.tables
+    }
+    assert kinds0 == {"hi": "rowop", "lo": "rowop"}
+
+
+def test_scatter_counts_matches_rowop(mesh8, monkeypatch):
+    """Scatter-built counts (vocab > compare threshold) == rowop engine for
+    forward AND RowWiseAdaGrad update, with duplicate keys and padding."""
+    monkeypatch.setenv("HCTR_TPU_ONEHOT_SCATTER_RATIO", "2000")
+    t = EmbeddingTableConfig(name="t", max_vocabulary_size=1024, ev_size=8)
+    lookups = [
+        LookupConfig(0, t, "fs", "es", Combiner_t.Sum, 8),
+        LookupConfig(1, t, "fm", "em", Combiner_t.Mean, 4),
+    ]
+    plan = ShardingPlan(strategy=[("mp", ["t"])])
+    rng = np.random.default_rng(11)
+    batch = 32
+    feats = {
+        "fs": random_keys(rng, batch, 8, 1024),
+        "fm": random_keys(rng, batch, 4, 1024),
+    }
+    feats["fs"][:, 1] = feats["fs"][:, 0]  # guaranteed in-sample duplicates
+    d_outs = {
+        "es": rng.normal(size=(batch, 8)).astype(np.float32),
+        "em": rng.normal(size=(batch, 8)).astype(np.float32),
+    }
+    lr = 0.2
+    opt = OptParams(
+        Optimizer_t.RowWiseAdaGrad, lr=lr, initial_accu_value=0.0,
+        epsilon=1e-7,
+    )
+    results = {}
+    for mode, env in (("onehot", "256"), ("rowop", "0")):
+        monkeypatch.setenv("HCTR_TPU_ONEHOT_VOCAB", env)
+        compiled = compile_plan(
+            lookups, plan, num_shards=mesh8.data_parallel_size
+        )
+        kinds = {g.compute_kind for g in compiled.groups}
+        assert kinds == {mode}, (mode, kinds)
+        ebc = EmbeddingCollection(compiled, mesh8, opt)
+        tables = ebc.init(jax.random.key(5))
+        tables = ebc.import_table(
+            tables, "t",
+            np.random.default_rng(13).normal(size=(1024, 8)).astype(
+                np.float32
+            ),
+        )
+        state = ebc.init_optimizer(tables)
+        feats_dev = {
+            k: jax.device_put(v, mesh8.batch_sharding())
+            for k, v in feats.items()
+        }
+        d_dev = {
+            k: jax.device_put(v, mesh8.batch_sharding())
+            for k, v in d_outs.items()
+        }
+        outs = jax.jit(ebc.forward)(tables, feats_dev)
+        tables2, _ = jax.jit(ebc.backward_and_update)(
+            tables, state, feats_dev, d_dev, jnp.asarray(lr), jnp.asarray(1)
+        )
+        results[mode] = (
+            {k: np.asarray(v) for k, v in outs.items()},
+            ebc.export_table(tables2, "t"),
+        )
+    for top in ("es", "em"):
+        np.testing.assert_allclose(
+            results["onehot"][0][top], results["rowop"][0][top],
+            rtol=1e-5, atol=1e-5, err_msg=top,
+        )
+    np.testing.assert_allclose(
+        results["onehot"][1], results["rowop"][1], rtol=1e-4, atol=1e-5
+    )
