@@ -337,15 +337,24 @@ def apply_sparse(
             sidx = sidx[:k_limit]
             ssrc = ssrc[:k_limit]
 
+        # AdaGrad-family updates are exact no-ops on zero summed gradient
+        # (apply_dense: accum += 0, delta = 0), so `touched` can be derived
+        # from the grad buffer itself and the scatter stays [R, E] — the
+        # ones-column would add a second, 1/128-utilized (8,128) tile to
+        # EVERY scattered row. Momentum/Adam decay even zero-grad touched
+        # rows and FTRL recomputes w from z, so they keep the exact
+        # touch-count column.
+        noop_on_zero = kind in (
+            Optimizer_t.AdaGrad, Optimizer_t.RowWiseAdaGrad
+        )
+
         def dense_from(sidx, ssrc):
             sgrads = dsrc.at[ssrc].get(mode="fill", fill_value=0)
-            ext = jnp.concatenate(
-                [
-                    sgrads.astype(jnp.float32),
-                    jnp.ones((sidx.shape[0], 1), jnp.float32),
-                ],
-                axis=1,
-            )
+            ext = sgrads.astype(jnp.float32)
+            if not noop_on_zero:
+                ext = jnp.concatenate(
+                    [ext, jnp.ones((sidx.shape[0], 1), jnp.float32)], axis=1
+                )
             return jnp.zeros((rows, ext.shape[1]), jnp.float32).at[sidx].add(
                 ext, mode="drop", indices_are_sorted=True
             )
@@ -360,8 +369,12 @@ def apply_sparse(
             )
         else:
             grad_ext = dense_from(sidx, ssrc)
-        grad = grad_ext[:, :-1]
-        touched = grad_ext[:, -1] > 0
+        if noop_on_zero:
+            grad = grad_ext
+            touched = jnp.any(grad != 0, axis=1)
+        else:
+            grad = grad_ext[:, :-1]
+            touched = grad_ext[:, -1] > 0
         return apply_dense(opt, table, state, grad, touched, lr, step)
     if segsum == "xla" and rows < (1 << 24):
         # Fused-column segment sum kept in its RAW f32 [*, E+1] form: the
