@@ -149,6 +149,7 @@ class EmbeddingCollection:
             _os.environ.get("HCTR_TPU_UCAP_HEADROOM", "1.25")
         )
         self.knob_dense_update_rows = sparse_optimizer.dense_update_rows()
+        self.knob_dense_grad_dtype = sparse_optimizer.dense_grad_dtype()
         self.unique_caps: Dict[str, int] = {}
         # measured VALID-key caps (auto mode): groups whose key lists are
         # mostly padding/out-of-window (hot-cold splits, sharded smalls)
@@ -1187,6 +1188,7 @@ class EmbeddingCollection:
             valid_cap=self.valid_caps.get(gname, 0),
             packed=self._is_packed(gname),
             dense_rows=self.knob_dense_update_rows,
+            dense_grad_dtype=self.knob_dense_grad_dtype,
         )
 
     def auto_unique_caps(self, feature_keys) -> None:
@@ -1558,6 +1560,7 @@ class EmbeddingCollection:
             "state_dtype", "knob_fwd_partition", "knob_capacity_factor",
             "knob_segsum", "knob_ucap_factor", "knob_ucap_min_k",
             "knob_ucap_drop", "knob_packed_state", "knob_dense_update_rows",
+            "knob_dense_grad_dtype",
         ):
             setattr(new_ec, attr, getattr(self, attr))
         from ..core.types import Optimizer_t as _Opt

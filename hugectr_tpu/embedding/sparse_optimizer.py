@@ -150,6 +150,21 @@ def dense_update_rows() -> int:
     return int(os.environ.get("HCTR_TPU_DENSE_UPDATE_ROWS", "262144"))
 
 
+def dense_grad_dtype():
+    """Accumulation dtype of the dense-path [R, E] gradient buffer.
+
+    float32 (default, exact) or bfloat16 (HCTR_TPU_DENSE_GRAD_DTYPE=
+    bfloat16, AUC-gated like the other bf16 knobs): a [64k, 128] bf16
+    buffer is 16 MB — inside the cheap small-operand scatter regime —
+    while the f32 buffer (33 MB) is not; each scatter-add contribution
+    rounds to bf16, so per-row sums of n duplicates carry ~2^-8*sqrt(n)
+    relative error (the same magnitude the bf16 segsum path would)."""
+    import os
+
+    name = os.environ.get("HCTR_TPU_DENSE_GRAD_DTYPE", "float32")
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
 def unique_cap(k: int, factor: float = 0.0, min_k: int = 0) -> int:
     """Static capacity for the compacted unique-row prefix (xla segsum mode).
 
@@ -273,6 +288,7 @@ def apply_sparse(
     valid_cap: int = 0,
     packed: bool = False,
     dense_rows: int = -1,
+    dense_grad_dtype=jnp.float32,
 ) -> Tuple[Array, State]:
     """Apply one sparse update for (possibly duplicated) row gradients.
 
@@ -347,15 +363,18 @@ def apply_sparse(
         noop_on_zero = kind in (
             Optimizer_t.AdaGrad, Optimizer_t.RowWiseAdaGrad
         )
+        # bf16 buffer only where no exact touch-count column is needed; the
+        # counts column must stay f32 (bf16 rounds integers above 256).
+        buf_dtype = dense_grad_dtype if noop_on_zero else jnp.float32
 
         def dense_from(sidx, ssrc):
             sgrads = dsrc.at[ssrc].get(mode="fill", fill_value=0)
-            ext = sgrads.astype(jnp.float32)
+            ext = sgrads.astype(buf_dtype)
             if not noop_on_zero:
                 ext = jnp.concatenate(
                     [ext, jnp.ones((sidx.shape[0], 1), jnp.float32)], axis=1
                 )
-            return jnp.zeros((rows, ext.shape[1]), jnp.float32).at[sidx].add(
+            return jnp.zeros((rows, ext.shape[1]), buf_dtype).at[sidx].add(
                 ext, mode="drop", indices_are_sorted=True
             )
 

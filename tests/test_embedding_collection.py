@@ -523,6 +523,49 @@ def test_dense_update_path_matches_trio(mesh1, monkeypatch, opt_kind):
         )
 
 
+@pytest.mark.parametrize(
+    "opt_kind", [Optimizer_t.AdaGrad, Optimizer_t.RowWiseAdaGrad]
+)
+def test_dense_grad_dtype_bf16(mesh1, monkeypatch, opt_kind):
+    """HCTR_TPU_DENSE_GRAD_DTYPE=bfloat16 (bf16 dense-grad scatter buffer)
+    tracks the exact f32 buffer within bf16 rounding for the AdaGrad family
+    (the only optimizers the knob applies to — others keep the exact f32
+    touch-count column)."""
+    t = EmbeddingTableConfig(name="t", max_vocabulary_size=2048, ev_size=8)
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 8)]
+    plan = ShardingPlan(strategy=[("mp", ["t"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    opt = OptParams(opt_kind, lr=0.1, epsilon=1e-7)
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 2048, (128, 8)).astype(np.int32)
+    d = rng.normal(size=(128, 8)).astype(np.float32)
+    monkeypatch.setenv("HCTR_TPU_DENSE_UPDATE_ROWS", "262144")
+    res = {}
+    for mode in ("float32", "bfloat16"):
+        monkeypatch.setenv("HCTR_TPU_DENSE_GRAD_DTYPE", mode)
+        ebc = EmbeddingCollection(compiled, mesh1, opt)
+        tables = ebc.init(jax.random.key(9))
+        state = ebc.init_optimizer(tables)
+        for step in (1, 2):
+            tables, state = jax.jit(ebc.backward_and_update)(
+                tables, state, {"f": keys}, {"e": d}, jnp.asarray(0.1),
+                jnp.asarray(step),
+            )
+        res[mode] = ebc.export_table(tables, "t")
+    # Elementwise AdaGrad's first-touch delta is ~lr*sign(g): rows whose
+    # duplicate-summed gradient cancels to ~0 can flip sign under bf16
+    # rounding (intrinsic to ANY bf16 accumulation, incl. the gated bf16
+    # segsum path) — compare only where the exact summed grad is not tiny.
+    g_exact = np.zeros((2048, 8), np.float64)
+    np.add.at(g_exact, keys.ravel(), np.repeat(d, 8, axis=0))
+    solid = np.abs(g_exact) > 1e-2
+    np.testing.assert_allclose(
+        res["bfloat16"][solid], res["float32"][solid], rtol=0.02, atol=0.01
+    )
+    # must differ somewhere (proves the bf16 path actually engaged)
+    assert not np.array_equal(res["bfloat16"], res["float32"])
+
+
 def test_dense_update_path_sharded(mesh8, mesh1, monkeypatch):
     """Dense-sweep update on the 8-way MP engine == single-device."""
     monkeypatch.setenv("HCTR_TPU_DENSE_UPDATE_ROWS", "262144")
