@@ -40,6 +40,12 @@ def main():
     # 16k=110.6k / 32k=114.2k / 64k=117.2k / 128k=111.8k ex/s.
     os.environ.setdefault("HCTR_TPU_HOT_ROWS", "65536")
     os.environ.setdefault("HCTR_TPU_SPLIT_VOCAB", "16384")
+    # superhot MXU tier: first 1k rows of each split table served by the
+    # one-hot counts-matmul engine (power-law head at flops cost instead of
+    # per-key scatter issue cost). Sweep (v5e, ex/s): 512=133.0k /
+    # 1024=134.2k / 2048=132.7k / 4096=129.3k; hot re-sweep at 1024 kept
+    # 64k best (32k=132.8k, 128k=133.9k).
+    os.environ.setdefault("HCTR_TPU_SUPERHOT_ROWS", "1024")
     # honor driver environment; default to whatever platform JAX picks
     import jax
 

@@ -570,7 +570,9 @@ class EmbeddingCollection:
         """Recombine hot/cold sub-lookup tops into the user-level top
         (out = hot + cold; mean divides by the ORIGINAL valid count)."""
         for m in self.plan.merges:
-            o = outs.pop(m.hot_top) + outs.pop(m.cold_top)
+            o = outs.pop(m.sub_tops[0])
+            for sub in m.sub_tops[1:]:
+                o = o + outs.pop(sub)
             if m.combiner == Combiner_t.Mean:
                 k = feature_keys[m.bottom_name]
                 if k.ndim == 1:
@@ -599,8 +601,8 @@ class EmbeddingCollection:
                     (k != INVALID_KEY).astype(d.dtype), axis=1, keepdims=True
                 )
                 d = d / jnp.maximum(cnt, 1.0)
-            d_outs[m.hot_top] = d
-            d_outs[m.cold_top] = d
+            for sub in m.sub_tops:
+                d_outs[sub] = d
         return d_outs
 
     def _mp_fwd_local(
@@ -1320,17 +1322,14 @@ class EmbeddingCollection:
         Works on static tables too (row reset)."""
 
         if table_name in self.plan.table_splits:
-            subs = dict(self.plan.table_splits[table_name])
-            hot_name = f"{table_name}::hot"
-            cold_name = f"{table_name}::cold"
-            hot_rows = subs[cold_name]
+            subs = self.plan.table_splits[table_name]
             k = np.asarray(keys).reshape(-1)
-            tables, opt_state = self.evict(
-                tables, opt_state, hot_name, k[k < hot_rows]
-            )
-            return self.evict(
-                tables, opt_state, cold_name, k[k >= hot_rows] - hot_rows
-            )
+            for i, (sub, lo) in enumerate(subs):
+                hi = subs[i + 1][1] if i + 1 < len(subs) else np.iinfo(k.dtype).max
+                tables, opt_state = self.evict(
+                    tables, opt_state, sub, k[(k >= lo) & (k < hi)] - lo
+                )
+            return tables, opt_state
         g, ti = self._find_table(table_name)
         n = g.num_shards if g.is_model_parallel else 1
         k32 = jnp.asarray(keys).reshape(-1).astype(jnp.int32)

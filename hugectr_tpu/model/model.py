@@ -588,10 +588,11 @@ class Model:
                     for gg in ec.plan.groups
                     for lm in gg.lookups
                 }
-                # hot/cold splits: the network consumes the MERGED top
+                # tiered splits: the network consumes the MERGED top
                 for m in ec.plan.merges:
-                    emb_outs[m.top_name] = emb_outs.pop(m.hot_top)
-                    del emb_outs[m.cold_top]
+                    emb_outs[m.top_name] = emb_outs.pop(m.sub_tops[0])
+                    for sub in m.sub_tops[1:]:
+                        del emb_outs[sub]
             else:
                 emb_outs = (
                     ec.forward(state["emb_tables"], feature_keys)

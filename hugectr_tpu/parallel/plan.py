@@ -135,12 +135,12 @@ class LookupMeta:
 
 @dataclasses.dataclass
 class MergeMeta:
-    """Hot/cold output merge: the user-visible top is the sum of the two
-    sub-lookup tops (mean divides by the ORIGINAL per-sample valid count)."""
+    """Tiered-split output merge: the user-visible top is the sum of the
+    sub-lookup tops (mean divides by the ORIGINAL per-sample valid count).
+    Two tiers for hot/cold, three when the superhot MXU tier is on."""
 
     top_name: str  # original user-level top
-    hot_top: str
-    cold_top: str
+    sub_tops: List[str]
     combiner: Combiner_t
     bottom_name: str
 
@@ -266,6 +266,19 @@ def hot_split_rows() -> int:
     return int(os.environ.get("HCTR_TPU_HOT_ROWS", "0"))
 
 
+def superhot_rows() -> int:
+    """Third split tier (0 = off): the first N rows of each hot/cold-split
+    table are peeled into a replicated sub-table served by the one-hot MXU
+    engine — power-law heads concentrate a large share of key instances in
+    the first few-k rows, and the counts-matrix matmul serves them at MXU
+    flops cost instead of ~10ns/key scatter issue cost. Requires
+    HCTR_TPU_HOT_ROWS > N and N <= HCTR_TPU_ONEHOT_VOCAB (else ignored).
+    Exact for any key distribution, like the hot/cold split."""
+    import os
+
+    return int(os.environ.get("HCTR_TPU_SUPERHOT_ROWS", "0"))
+
+
 def _split_hot_cold(
     lookups: Sequence[LookupConfig], plan: ShardingPlan
 ) -> Tuple[List[LookupConfig], List[MergeMeta], Dict[str, List[Tuple[str, int]]]]:
@@ -288,10 +301,21 @@ def _split_hot_cold(
             and t.name not in plan.column_factors
         )
 
+    # Tier boundaries: [0, shot) superhot (one-hot MXU engine), [shot, hot)
+    # hot (small-operand rowop), [hot, V) cold (sharded rowop). The superhot
+    # tier only exists when HCTR_TPU_SUPERHOT_ROWS > 0 AND it lands under
+    # the one-hot vocab threshold (otherwise it would compile to rowop and
+    # just fragment the hot tier).
+    shot = superhot_rows()
+    if not (0 < shot < hot and shot <= onehot_vocab_threshold()):
+        shot = 0
+    bounds = ([0, shot, hot] if shot else [0, hot])
+    suffixes = (["shot", "hot", "cold"] if shot else ["hot", "cold"])
+
     out: List[LookupConfig] = []
     merges: List[MergeMeta] = []
     splits: Dict[str, List[Tuple[str, int]]] = {}
-    sub_tables: Dict[str, Tuple[EmbeddingTableConfig, EmbeddingTableConfig]] = {}
+    sub_tables: Dict[str, List[EmbeddingTableConfig]] = {}
     next_id = max(lk.lookup_id for lk in lookups) + 1 if lookups else 0
     for lk in lookups:
         t = lk.table
@@ -299,43 +323,39 @@ def _split_hot_cold(
             out.append(lk)
             continue
         if t.name not in sub_tables:
-            t_hot = dataclasses.replace(
-                t, name=f"{t.name}::hot", max_vocabulary_size=hot
+            subs = []
+            for i, (sfx, lo) in enumerate(zip(suffixes, bounds)):
+                hi = (
+                    bounds[i + 1] if i + 1 < len(bounds) else t.vocabulary_size
+                )
+                subs.append(
+                    dataclasses.replace(
+                        t, name=f"{t.name}::{sfx}", max_vocabulary_size=hi - lo
+                    )
+                )
+            sub_tables[t.name] = subs
+            splits[t.name] = [(s.name, lo) for s, lo in zip(subs, bounds)]
+        sub_lks = []
+        for i, (sub_t, lo) in enumerate(zip(sub_tables[t.name], bounds)):
+            hi = bounds[i + 1] if i + 1 < len(bounds) else t.vocabulary_size
+            sub_lks.append(
+                dataclasses.replace(
+                    lk,
+                    lookup_id=(lk.lookup_id if i == 0 else next_id + i - 1),
+                    table=sub_t,
+                    top_name=f"{lk.top_name}::{suffixes[i]}",
+                    combiner=Combiner_t.Sum,
+                    key_lo=lo,
+                    key_hi=hi,
+                    key_shift=lo,
+                )
             )
-            t_cold = dataclasses.replace(
-                t,
-                name=f"{t.name}::cold",
-                max_vocabulary_size=t.vocabulary_size - hot,
-            )
-            sub_tables[t.name] = (t_hot, t_cold)
-            splits[t.name] = [(t_hot.name, 0), (t_cold.name, hot)]
-        t_hot, t_cold = sub_tables[t.name]
-        hot_lk = dataclasses.replace(
-            lk,
-            table=t_hot,
-            top_name=f"{lk.top_name}::hot",
-            combiner=Combiner_t.Sum,
-            key_lo=0,
-            key_hi=hot,
-            key_shift=0,
-        )
-        cold_lk = dataclasses.replace(
-            lk,
-            lookup_id=next_id,
-            table=t_cold,
-            top_name=f"{lk.top_name}::cold",
-            combiner=Combiner_t.Sum,
-            key_lo=hot,
-            key_hi=t.vocabulary_size,
-            key_shift=hot,
-        )
-        next_id += 1
-        out.extend([hot_lk, cold_lk])
+        next_id += len(sub_lks) - 1
+        out.extend(sub_lks)
         merges.append(
             MergeMeta(
                 top_name=lk.top_name,
-                hot_top=hot_lk.top_name,
-                cold_top=cold_lk.top_name,
+                sub_tops=[s.top_name for s in sub_lks],
                 combiner=lk.combiner,
                 bottom_name=lk.bottom_name,
             )

@@ -130,3 +130,71 @@ def test_split_evict_and_freeze(mesh1):
         tables, state, {"f": keys}, {"e": d}, jnp.asarray(0.5), jnp.asarray(1)
     )
     np.testing.assert_array_equal(ebc.export_table(tables, "big"), before)
+
+
+@pytest.mark.parametrize("combiner", [Combiner_t.Sum, Combiner_t.Mean])
+def test_superhot_three_tier_matches_unsplit(mesh8, combiner, monkeypatch):
+    """HCTR_TPU_SUPERHOT_ROWS: superhot(one-hot MXU)/hot(rowop)/cold(sharded
+    rowop) three-way split must be exact vs the unsplit table, and the tier
+    engines must be as designed (superhot=onehot, hot+cold=rowop)."""
+    SHOT = 256
+    rng = np.random.default_rng(9)
+    batch = 64
+    # mix across all three windows + padding
+    keys = _keys(rng, batch)
+    keys[:, 1] = rng.integers(0, SHOT, batch)  # guarantee superhot traffic
+    d = rng.normal(size=(batch, 8)).astype(np.float32)
+    dense = rng.normal(size=(VOCAB, 8)).astype(np.float32)
+
+    results = {}
+    for shot_rows in (SHOT, 0):
+        monkeypatch.setenv("HCTR_TPU_SUPERHOT_ROWS", str(shot_rows))
+        monkeypatch.setenv("HCTR_TPU_ONEHOT_VOCAB", "512")
+        # HOT(1024) > onehot threshold(512) so ::hot compiles to rowop and
+        # the three tiers land on three DIFFERENT engines
+        compiled, ebc = _build(mesh8, combiner, HOT if shot_rows else 0)
+        if shot_rows:
+            kinds = {
+                t.name: g.compute_kind
+                for g in compiled.groups
+                for t in g.tables
+            }
+            assert kinds["big::shot"] == "onehot"
+            assert kinds["big::hot"] == "rowop"
+            assert kinds["big::cold"] == "rowop"
+            assert len(compiled.table_splits["big"]) == 3
+        tables = ebc.init(jax.random.key(1))
+        tables = ebc.import_table(tables, "big", dense)
+        state = ebc.init_optimizer(tables)
+        kd = jax.device_put(keys, mesh8.batch_sharding())
+        dd = jax.device_put(d, mesh8.batch_sharding())
+        fwd = jax.jit(ebc.forward)(tables, {"f": kd})
+        tables, state = jax.jit(ebc.backward_and_update)(
+            tables, state, {"f": kd}, {"e": dd}, jnp.asarray(0.3),
+            jnp.asarray(1),
+        )
+        results[shot_rows] = (
+            np.asarray(fwd["e"]),
+            ebc.export_table(tables, "big"),
+        )
+    np.testing.assert_allclose(
+        results[SHOT][0], results[0][0], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        results[SHOT][1], results[0][1], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_superhot_evict_routes_all_tiers(mesh1, monkeypatch):
+    monkeypatch.setenv("HCTR_TPU_SUPERHOT_ROWS", "256")
+    monkeypatch.setenv("HCTR_TPU_ONEHOT_VOCAB", "512")
+    compiled, ebc = _build(mesh1, Combiner_t.Sum, HOT)
+    tables = ebc.init(jax.random.key(0))
+    state = ebc.init_optimizer(tables)
+    tables, state = ebc.evict(
+        tables, state, "big", np.array([3, 300, HOT + 7], dtype=np.int64)
+    )
+    exported = ebc.export_table(tables, "big")
+    for row in (3, 300, HOT + 7):
+        np.testing.assert_array_equal(exported[row], 0.0)
+    assert np.abs(exported[4]).sum() > 0
