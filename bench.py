@@ -27,6 +27,11 @@ def main():
     # auto: unique-row compaction windows measured from the first batch
     # (exact — lax.cond falls back to full-K on overflow)
     os.environ.setdefault("HCTR_TPU_UCAP_FACTOR", "auto")
+    # measured-window headroom: branch work scales with the window, and the
+    # cond falls back to the exact full-K chain on overflow, so tight is
+    # fast AND exact. Sweep (v5e, ex/s): 1.25=134.2k / 1.10=142.3k /
+    # 1.05=146.7k / 1.02=fallback storm (do not use).
+    os.environ.setdefault("HCTR_TPU_UCAP_HEADROOM", "1.05")
     # rowwise_adagrad = the MLPerf DLRM reference implementation's embedding
     # optimizer (torchrec ROWWISE_ADAGRAD); AUC-gated vs element-wise
     # AdaGrad in test_convergence.py::test_rowwise_adagrad_convergence_gate
@@ -107,6 +112,8 @@ def main():
         "optimizer": os.environ["HCTR_BENCH_OPT"],
         "ucap": os.environ["HCTR_TPU_UCAP_FACTOR"],
         "hot_rows": int(os.environ["HCTR_TPU_HOT_ROWS"]),
+        "superhot_rows": int(os.environ.get("HCTR_TPU_SUPERHOT_ROWS", "0")),
+        "ucap_headroom": os.environ.get("HCTR_TPU_UCAP_HEADROOM", "1.25"),
         "vocab_cap": vocab_cap,
         # measurement caveats vs the full MLPerf operating point: per-table
         # vocab capped (4x40M tables exceed one chip's HBM), synthetic
