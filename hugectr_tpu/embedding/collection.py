@@ -155,6 +155,9 @@ class EmbeddingCollection:
         # mostly padding/out-of-window (hot-cold splits, sharded smalls)
         # slice the whole post-sort chain to the valid prefix (cond-exact)
         self.valid_caps: Dict[str, int] = {}
+        # True once auto_unique_caps ran (may legitimately measure NO caps —
+        # e.g. all-onehot plans — so the flag, not dict emptiness, gates it)
+        self.ucap_measured = False
         self.knob_ucap_min_k = int(_os.environ.get("HCTR_TPU_UCAP_MIN_K", "0"))
         self.knob_ucap_drop = bool(_os.environ.get("HCTR_TPU_UCAP_DROP"))
         self.knob_packed_state = bool(_os.environ.get("HCTR_TPU_PACKED_STATE"))
@@ -163,6 +166,11 @@ class EmbeddingCollection:
         # compare-chain+matmul fusion wins at <=32k vocab, and the engine is
         # flops-capped at ~32-64k vocab either way) | "pallas" | "auto"
         self.knob_onehot_kernel = _os.environ.get("HCTR_TPU_ONEHOT_KERNEL", "xla")
+        from ..parallel.plan import onehot_vocab_threshold
+
+        # trace-time consumer (_onehot_counts) must see the SAME threshold
+        # the plan was compiled with — capture here, never re-read the env
+        self.knob_onehot_compare_max = onehot_vocab_threshold()
         self._meta = {g.name: _GroupMeta(g) for g in plan.groups}
         # per-group optimizer (table-level override must be group-uniform)
         self.group_opt: Dict[str, OptParams] = {}
@@ -738,12 +746,10 @@ class EmbeddingCollection:
         lookup becomes ``counts @ table`` on the MXU and the backward becomes
         ``countsᵀ @ d_out`` (reference semantics:
         embedding/operators/generic_lookup.cuh multi_to_one reduction)."""
-        from ..parallel.plan import onehot_vocab_threshold
-
         meta = self._meta[gname]
         g = meta.plan
         valid, _owner, local_row = self._slot_placement(meta, keys, 1)
-        compare_max = onehot_vocab_threshold()
+        compare_max = self.knob_onehot_compare_max
         counts: Dict[int, Array] = {}
         for li, lm in enumerate(g.lookups):
             ti = lm.table_index
@@ -1202,6 +1208,8 @@ class EmbeddingCollection:
         later batch exceeds it, so this is a pure speedup. TPU analog of the
         reference's capacity planning for its fixed comm/sort buffers
         (embedding/data_distributor, max_hotness bounds)."""
+        self.ucap_measured = True
+        measured = []  # (group, keys_size, u_max, v_max)
         for g in self.plan.groups:
             meta = self._meta[g.name]
             if g.compute_kind != "rowop" or meta.any_dynamic:
@@ -1231,16 +1239,31 @@ class EmbeddingCollection:
                 own = valid & (owner == s)
                 u_max = max(u_max, int(np.unique(gid[own]).size))
                 v_max = max(v_max, int(own.sum()))
-            if self.rm.num_processes > 1:
-                # multi-controller: this process sees only its batch shard;
-                # bound the global unique count by the per-process sum
-                u_max *= self.rm.num_processes
-                v_max *= self.rm.num_processes
+            measured.append((g, keys.size, u_max, v_max))
+
+        if self.rm.num_processes > 1 and measured:
+            # multi-controller: every process measured its OWN batch shard.
+            # Caps become static slice sizes in the jitted SPMD step, so all
+            # controllers MUST compile identical programs: max-reduce the
+            # per-process measurements (one collective for all groups), then
+            # bound the global unique count by P * max_p(local uniques)
+            # (>= sum of per-process uniques >= global unique count).
+            from jax.experimental import multihost_utils
+
+            arr = np.asarray([[u, v] for _g, _s, u, v in measured], np.int64)
+            arr = np.asarray(multihost_utils.process_allgather(arr))
+            arr = arr.max(axis=0) * self.rm.num_processes
+            measured = [
+                (g, size, int(arr[i, 0]), int(arr[i, 1]))
+                for i, (g, size, _u, _v) in enumerate(measured)
+            ]
+
+        for g, keys_size, u_max, v_max in measured:
             cap = ((int(u_max * self.knob_ucap_headroom) + 511) // 512) * 512
             self.unique_caps[g.name] = max(cap, 512)
             vcap = ((int(v_max * self.knob_ucap_headroom) + 511) // 512) * 512
             # only worth a cond when a sizable share of the list is padding
-            if vcap < 0.8 * keys.size:
+            if vcap < 0.8 * keys_size:
                 self.valid_caps[g.name] = max(vcap, 512)
 
     # ------------------------------------------------------------- IO paths
@@ -1323,9 +1346,10 @@ class EmbeddingCollection:
 
         if table_name in self.plan.table_splits:
             subs = self.plan.table_splits[table_name]
-            k = np.asarray(keys).reshape(-1)
+            # robust to empty input (np dtype float64) / float key arrays
+            k = np.asarray(keys).reshape(-1).astype(np.int64)
             for i, (sub, lo) in enumerate(subs):
-                hi = subs[i + 1][1] if i + 1 < len(subs) else np.iinfo(k.dtype).max
+                hi = subs[i + 1][1] if i + 1 < len(subs) else np.iinfo(np.int64).max
                 tables, opt_state = self.evict(
                     tables, opt_state, sub, k[(k >= lo) & (k < hi)] - lo
                 )

@@ -734,7 +734,11 @@ class Model:
         unique-row counts on the first real batch (host-side) so the jitted
         step (traced right after) compiles with measured compaction
         windows."""
-        if self.ec is None or not self.ec.knob_ucap_auto or self.ec.unique_caps:
+        if (
+            self.ec is None
+            or not self.ec.knob_ucap_auto
+            or self.ec.ucap_measured
+        ):
             return
         b = (
             self._fold_i64_keys(host_batch)

@@ -182,8 +182,12 @@ class DynamicVariable(Variable):
             raise ValueError(f"backend must be 'det' or 'hkv', got {backend}")
         self.backend = backend
         self._spill_watermark = float(spill_watermark)
-        # host master (hkv): key -> row in the host arrays
+        # host master (hkv): key -> row in the host arrays. Rows freed by
+        # evict() go on a free list — len(_host_index) is NOT a valid next
+        # row (reusing it would clobber a live key's row after an evict).
         self._host_index: dict = {}
+        self._host_free: list = []
+        self._host_next: int = 0
         self._host_values: Optional[np.ndarray] = None
         self._host_opt: dict = {}
         cfg = EmbeddingTableConfig(
@@ -238,14 +242,15 @@ class DynamicVariable(Variable):
         )
         if self.backend == "hkv":
             for k in np.asarray(keys).reshape(-1).tolist():
-                self._host_index.pop(int(k), None)
+                row = self._host_index.pop(int(k), None)
+                if row is not None:
+                    self._host_free.append(row)
 
     # ---------------------------------------------------- hkv host tier
     def _device_resident(self) -> np.ndarray:
         """Live keys in the device working set (host copy)."""
         ec = self.engine.ec
         g, ti = ec._find_table(self._table_name)
-        live, _vals, _st = None, None, None
         ks = ec._host_key_store(self.tables, g)
         lo = int(g.local_offsets[ti])
         rows_t = int(g.rows_per_shard[ti])
@@ -266,9 +271,10 @@ class DynamicVariable(Variable):
                 for slot, a in st.items()
             }
         need = sum(1 for k in keys if int(k) not in self._host_index)
+        need_fresh = max(0, need - len(self._host_free))
         cap = self._host_values.shape[0]
-        if len(self._host_index) + need > cap:
-            new_cap = max(2 * cap, len(self._host_index) + need)
+        if self._host_next + need_fresh > cap:
+            new_cap = max(2 * cap, self._host_next + need_fresh)
             self._host_values = np.resize(self._host_values, (new_cap, self.ev))
             self._host_values[cap:] = 0.0
             for slot in self._host_opt:
@@ -279,7 +285,16 @@ class DynamicVariable(Variable):
                 self._host_opt[slot][cap:] = 0.0
         for i, k in enumerate(np.asarray(keys).tolist()):
             k = int(k)
-            row = self._host_index.setdefault(k, len(self._host_index))
+            row = self._host_index.get(k)
+            if row is None:
+                row = (
+                    self._host_free.pop()
+                    if self._host_free
+                    else self._host_next
+                )
+                if row == self._host_next:
+                    self._host_next += 1
+                self._host_index[k] = row
             self._host_values[row] = vals[i]
             for slot, a in st.items():
                 self._host_opt[slot][row] = a[i]
@@ -302,19 +317,27 @@ class DynamicVariable(Variable):
         """Bring host-master rows for `keys` into the device working set."""
         ec = self.engine.ec
         g, ti = ec._find_table(self._table_name)
-        resident = set(self._device_resident().tolist())
-        want, fresh = [], 0
-        for k in np.unique(keys[keys >= 0]).tolist():
-            k = int(k)
-            if k in resident:
-                continue
-            if k in self._host_index:
-                want.append(k)
-            else:
-                fresh += 1  # will insert-on-backward; needs headroom too
+        uniq = [int(k) for k in np.unique(keys[keys >= 0]).tolist()]
+
+        def plan_stage():
+            resident = set(self._device_resident().tolist())
+            want, fresh = [], 0
+            for k in uniq:
+                if k in resident:
+                    continue
+                if k in self._host_index:
+                    want.append(k)
+                else:
+                    fresh += 1  # will insert-on-backward; needs headroom too
+            return resident, want, fresh
+
+        resident, want, fresh = plan_stage()
         cap = int(g.table_vocab[ti])
         if len(resident) + len(want) + fresh > self._spill_watermark * cap:
             self.spill()
+            # spill() evicted THIS batch's resident keys to the host master
+            # too — replan so they are staged back rather than lost
+            resident, want, fresh = plan_stage()
         if not want:
             return
         rows = np.asarray([self._host_index[k] for k in want])

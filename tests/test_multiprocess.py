@@ -19,6 +19,9 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
+# exercise the measured-window path: every controller must end up with the
+# SAME caps (auto_unique_caps max-reduces measurements across processes)
+os.environ["HCTR_TPU_UCAP_FACTOR"] = "auto"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(
@@ -80,6 +83,8 @@ print(f"SHARDSUM {pid} {float(local['d0'].sum()):.0f}")
 losses = [model.train() for _ in range(4)]
 assert all(np.isfinite(losses)), losses
 assert losses[-1] != losses[0]
+print(f"UCAPS {pid} {sorted(model.ec.unique_caps.items())} "
+      f"{sorted(model.ec.valid_caps.items())}")
 vals = model.eval()
 assert 0.0 <= vals["auc"] <= 1.0
 model.download_params_to_files(sys.argv[5] + "/snap", 4)  # master-only write
@@ -164,5 +169,10 @@ def test_two_process_training(tmp_path):
     s0 = [ln for ln in outs[0].splitlines() if ln.startswith("SHARDSUM 0")][0]
     s1 = [ln for ln in outs[1].splitlines() if ln.startswith("SHARDSUM 1")][0]
     assert s0.split()[2] != s1.split()[2], (s0, s1)
+    # measured compaction windows are identical across controllers (the
+    # jitted SPMD programs would otherwise diverge)
+    u0 = [ln for ln in outs[0].splitlines() if ln.startswith("UCAPS 0")][0]
+    u1 = [ln for ln in outs[1].splitlines() if ln.startswith("UCAPS 1")][0]
+    assert u0.split(None, 2)[2] == u1.split(None, 2)[2], (u0, u1)
     # master-only snapshot write succeeded
     assert (tmp_path / "snap_iter4" / "dense_model.npz").exists()

@@ -277,3 +277,20 @@ def test_criteo_to_raw_native(tmp_path):
     np.testing.assert_allclose(
         b["dense"][:, 0], np.log1p(arr[:100, 1].astype(np.float32))
     )
+
+    # the streaming numpy fallback must be byte-identical to the native
+    # converter, with and without --remap (it chunks the parse and remaps
+    # via memmap passes — bounded memory on arbitrarily large inputs)
+    env = dict(os.environ, HCTR_TPU_FORCE_NUMPY="1")
+    for flags, ref in (((), out), (("--remap",), out2)):
+        outn = tmp_path / f"day_np{'_remap' if flags else ''}.bin"
+        subprocess.run(
+            [sys.executable, tool, "--input", str(tsv), "--output",
+             str(outn), "--vocab_cap", "1000000", *flags],
+            check=True, env=env,
+        )
+        np.testing.assert_array_equal(
+            np.fromfile(outn, np.int32).reshape(500, 40),
+            np.fromfile(ref, np.int32).reshape(500, 40),
+            err_msg=f"numpy fallback diverges from native ({flags})",
+        )

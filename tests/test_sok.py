@@ -224,6 +224,32 @@ def test_dynamic_variable_hkv_host_spill(mesh1):
     assert v.total_size == 87
     merged = v.export_merged()
     assert len(merged) == 87 and 0 not in merged
+    # host rows freed by evict must NOT be reused for live keys: train a
+    # fresh wave (forces a spill that upserts new keys into the host master)
+    # and require every earlier key to survive bit-exact
+    before = {k: np.array(val) for k, val in v.export_merged().items()}
+    ks4 = np.arange(100, 130, dtype=np.int32).reshape(-1, 1)
+    v.lookup(ks4)
+    v.apply_gradients(ks4, np.full((30, 4), 7.0, np.float32), lr=1.0)
+    after = v.export_merged()
+    assert v.total_size == 117
+    for k, val in before.items():
+        np.testing.assert_array_equal(
+            np.asarray(after[k]), val,
+            err_msg=f"key {k} corrupted by host-row reuse after evict",
+        )
+    # mixed batch: resident keys + enough fresh keys to cross the watermark.
+    # The spill must not lose the batch's own resident keys — they restage
+    # and the lookup returns their trained (nonzero) vectors.
+    resident_keys = ks4[:5]  # just trained, resident on device
+    want_vals = np.asarray(v.lookup(resident_keys), np.float32)
+    fresh_keys = np.arange(500, 560, dtype=np.int32).reshape(-1, 1)
+    batch = np.concatenate([resident_keys, fresh_keys])
+    out = np.asarray(v.lookup(batch), np.float32)
+    np.testing.assert_allclose(
+        out[:5], want_vals, rtol=1e-6,
+        err_msg="resident batch keys lost by spill during staging",
+    )
 
 
 def test_lookup_sparse_sp_weights(mesh8):

@@ -50,13 +50,28 @@ def build_native() -> str:
 
 
 def convert_numpy(args) -> None:
+    """Streaming fallback: bounded memory regardless of input size.
+
+    Pass 1 parses TSV lines into fixed-size chunks and appends them to the
+    output file. --remap runs as a second pass over the written file via
+    memmap, one categorical column at a time (bincount -> rank LUT ->
+    chunked rewrite) — peak memory is one counts/LUT array (~vocab-bounded),
+    never the whole dataset (the native criteo_convert.cpp does the same
+    two-pass scheme)."""
     import numpy as np
 
     dense_cols = list(range(1, 14))
     cat_cols = list(range(14, 40))
+    chunk_rows = 1 << 18
     rows_written = 0
     with open(args.output, "wb") as out, open(args.input, "rb") as f:
         block = []
+
+        def flush():
+            if block:
+                out.write(np.stack(block).tobytes())
+                block.clear()
+
         for line in f:
             parts = line.rstrip(b"\n\r").split(b"\t")
             parts += [b""] * (40 - len(parts))
@@ -69,19 +84,36 @@ def convert_numpy(args) -> None:
                 row[14 + j] = v % args.vocab_cap
             block.append(row)
             rows_written += 1
+            if len(block) >= chunk_rows:
+                flush()
             if args.max_rows and rows_written >= args.max_rows:
                 break
-        arr = np.stack(block) if block else np.zeros((0, 40), np.int32)
-        if args.remap:
-            for j in range(26):
-                col = arr[:, 14 + j]
-                u, counts = np.unique(col, return_counts=True)
-                order = np.lexsort((u, -counts))  # freq desc, key asc ties
-                lut = {int(u[o]): i for i, o in enumerate(order)}
-                arr[:, 14 + j] = np.vectorize(
-                    lut.__getitem__, otypes=[np.int32]
-                )(col)
-        out.write(arr.tobytes())
+        flush()
+
+    if args.remap and rows_written:
+        mm = np.memmap(
+            args.output, dtype=np.int32, mode="r+", shape=(rows_written, 40)
+        )
+        for j in range(26):
+            col_i = 14 + j
+            maxv = 0
+            for s in range(0, rows_written, chunk_rows):
+                c = np.asarray(mm[s : s + chunk_rows, col_i])
+                maxv = max(maxv, int(c.max(initial=0)))
+            counts = np.zeros(maxv + 1, np.int64)
+            for s in range(0, rows_written, chunk_rows):
+                c = np.asarray(mm[s : s + chunk_rows, col_i])
+                counts += np.bincount(c, minlength=maxv + 1)
+            present = np.flatnonzero(counts)
+            order = np.lexsort((present, -counts[present]))  # freq desc, key asc
+            lut = np.zeros(maxv + 1, np.int32)
+            lut[present[order]] = np.arange(len(present), dtype=np.int32)
+            for s in range(0, rows_written, chunk_rows):
+                mm[s : s + chunk_rows, col_i] = lut[
+                    np.asarray(mm[s : s + chunk_rows, col_i])
+                ]
+        mm.flush()
+        del mm
     print(f"criteo_to_raw (numpy): wrote {rows_written} rows")
 
 
@@ -94,7 +126,7 @@ def main():
     p.add_argument("--max_rows", type=int, default=0)
     p.add_argument("--remap", action="store_true")
     args = p.parse_args()
-    exe = build_native()
+    exe = "" if os.environ.get("HCTR_TPU_FORCE_NUMPY") else build_native()
     if exe:
         cmd = [
             exe, "--input", args.input, "--output", args.output,
