@@ -102,11 +102,12 @@ class EmbeddingCollectionConfig:
     ) -> None:
         """Declare placement (reference: hugectr_layer_book.md:1212-1231).
 
-        `shard_matrix[d]` lists the tables resident on device d. The TPU
-        engine currently always row-shards MP tables across the full data
-        axis (the XLA-SPMD-natural layout, equal to a full-width shard
-        matrix); a partial matrix is validated but widened — DP tables must
-        appear on every row like the reference requires.
+        `shard_matrix[d]` lists the tables resident on device d. A table
+        appearing on f < num_devices rows gets f logical shards with
+        mesh/f bit-identical replica groups (partial placement,
+        embedding/common.hpp:253-267 semantics — vocab/f rows per device);
+        full-width rows give the XLA-SPMD-natural full-mesh row sharding.
+        DP tables must appear on every row like the reference requires.
         """
         self.shard_matrix = [list(r) for r in shard_matrix]
         self.shard_strategy = [(k, list(v)) for k, v in shard_strategy]

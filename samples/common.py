@@ -25,6 +25,11 @@ def sample_args(name: str) -> argparse.Namespace:
     p.add_argument("--eval_interval", type=int, default=300)
     p.add_argument("--lr", type=float, default=0.001)
     p.add_argument("--num_devices", type=int, default=0)
+    p.add_argument(
+        "--use_dynamic_hash_table", action="store_true",
+        help="max_vocabulary_size=-1 dynamic tables (where the sample "
+        "supports them; reference: samples/ftrl/dlrm_train_ftrl.py:187)",
+    )
     return p.parse_args()
 
 

@@ -11,11 +11,18 @@ import sys
 import numpy as np
 import pytest
 
-SAMPLES = ["criteo_parquet", "wdl", "dcn", "deepfm", "ncf", "mmoe", "din", "bst"]
+SAMPLES = [
+    "criteo_parquet", "wdl", "dcn", "deepfm", "ncf", "mmoe", "din", "bst",
+    "dlrm_ftrl",
+    # FTRL DLRM with max_vocabulary_size=-1 dynamic tables
+    # (reference: samples/ftrl/dlrm_train_ftrl.py --use_dynamic_hash_table)
+    "dlrm_ftrl --use_dynamic_hash_table",
+]
 
 
 @pytest.mark.parametrize("name", SAMPLES)
 def test_sample_graph_trains(name, tmp_path, monkeypatch, mesh8):
+    name, *extra = name.split()
     samples_dir = os.path.join(os.path.dirname(__file__), "..", "samples")
     monkeypatch.syspath_prepend(samples_dir)
     monkeypatch.setattr(
@@ -27,6 +34,7 @@ def test_sample_graph_trains(name, tmp_path, monkeypatch, mesh8):
             str(tmp_path),
             "--batchsize",
             "64",
+            *extra,
         ],
     )
     # make the synthetic dataset tiny
