@@ -25,6 +25,31 @@ Array = jax.Array
 State = Dict[str, Array]
 
 
+def _scatter_streams(nbytes: int, n: int) -> bool:
+    """Pick the XLA scatter lowering for a row-granular table write.
+
+    Measured on v5e (bf16[R,128] row scatters, trace-verified):
+    - WITH indices_are_sorted+unique_indices, XLA emits a full-operand
+      streaming merge: cost ~= 2*operand_bytes / 495 GB/s + ~10 ns/row
+      (independent of how few rows are written).
+    - WITHOUT the flags, it emits per-row updates at ~70 ns/row with no
+      operand pass (unsorted-capable path).
+    Both the operand size and the scatter width are static at trace time, so
+    each site picks the cheaper lowering. Flagged (streaming) wins for big
+    windows into small operands; unflagged wins for small windows into
+    multi-hundred-MB operands (e.g. a 10k-row delta into a 495 MB table:
+    2.0 ms streamed vs 0.7 ms per-row). HCTR_TPU_SCATTER_AUTO=0 restores the
+    always-flagged behavior.
+    """
+    import os
+
+    if os.environ.get("HCTR_TPU_SCATTER_AUTO", "1") != "1":
+        return True
+    est_streaming = 2.0 * nbytes / 495e9 + n * 10e-9
+    est_per_row = n * 70e-9
+    return est_streaming <= est_per_row
+
+
 def init_state(opt: OptParams, rows: int, ev: int, dtype=jnp.float32) -> State:
     """Allocate per-row optimizer state for a [rows, ev] table shard."""
     kind = opt.optimizer
@@ -576,17 +601,22 @@ def _apply_rows(
         vals = vals.astype(a.dtype)  # mixed state/table dtypes (fp32 state)
         if mask is not None:
             vals = jnp.where(mask, vals, jnp.zeros_like(vals))
+        stream = _scatter_streams(a.size * a.dtype.itemsize, uidx.shape[0])
         return a.at[uidx].add(
-            vals, mode="drop", indices_are_sorted=True, unique_indices=is_unique
+            vals, mode="drop", indices_are_sorted=stream,
+            unique_indices=is_unique and stream,
         )
 
     def scatter_set(a: Array, vals: Array, old: Array) -> Array:
         """Overwrite rows: exact set in unique mode; add-of-delta in dup
         mode (old = gather(a), already computed by every caller)."""
         if is_unique:
+            stream = _scatter_streams(
+                a.size * a.dtype.itemsize, uidx.shape[0]
+            )
             return a.at[uidx].set(
                 vals.astype(a.dtype), mode="drop",
-                indices_are_sorted=True, unique_indices=True,
+                indices_are_sorted=stream, unique_indices=stream,
             )
         return scatter_add(a, vals - old)
 
