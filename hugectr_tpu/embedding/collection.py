@@ -161,6 +161,9 @@ class EmbeddingCollection:
         self.knob_ucap_min_k = int(_os.environ.get("HCTR_TPU_UCAP_MIN_K", "0"))
         self.knob_ucap_drop = bool(_os.environ.get("HCTR_TPU_UCAP_DROP"))
         self.knob_packed_state = bool(_os.environ.get("HCTR_TPU_PACKED_STATE"))
+        self.knob_rowwise_pack = (
+            _os.environ.get("HCTR_TPU_ROWWISE_PACK", "0") == "1"
+        )
         # one-hot engine backend: "xla" (default — measured 90.0k vs the
         # fused Pallas kernels' 88.7k ex/s on the DLRM bench; XLA's
         # compare-chain+matmul fusion wins at <=32k vocab, and the engine is
@@ -185,20 +188,44 @@ class EmbeddingCollection:
         # per-table freeze (reference: Model::freeze_embedding(name)):
         # frozen tables' slots are masked out of the backward row list
         self.frozen_tables: set = set()
-        # packed table+optimizer-state storage [R, 2E] (AdaGrad rowop
-        # groups, HCTR_TPU_PACKED_STATE): halves the update's row-granular
-        # op count — gather(accum)+scatter(accum)+scatter(table) becomes
-        # ONE gather + ONE ADD-form scatter of [cap, 2E] rows. State dtype
-        # follows the table dtype in this mode (same buffer).
+        # packed table+optimizer-state storage (state rides in trailing
+        # columns of the table array; see _compute_packed_kind)
+        self.packed_kind = self._compute_packed_kind(plan)
+        self.packed_groups = set(self.packed_kind)
+
+    def _compute_packed_kind(self, plan) -> Dict[str, str]:
+        """{group: "full" | "rowwise"} packed table+state storage layout.
+
+        "full" ([R, 2E], HCTR_TPU_PACKED_STATE, AdaGrad): halves the trio's
+        row ops but doubles the operand footprint — measured slower on v5e,
+        off by default. "rowwise" ([R, E+1], HCTR_TPU_ROWWISE_PACK,
+        RowWiseAdaGrad): the scalar accum rides as a 129th column so the
+        accum update folds into the SAME scatter as the weight delta.
+        MEASURED SLOWER on v5e at ev=128 (161k -> 70k ex/s on the DLRM
+        bench): width E+1 breaks the 128-lane tile alignment, padding every
+        [., 129] operand to 256 lanes — all table passes and row ops pay
+        ~2x bytes. Off by default; only worth trying when ev_size is far
+        from a lane-tile multiple. Both modes are exact and oracle-tested.
+        Restricted to static rowop groups big enough to take the trio path
+        (dense-sweep shards keep separate state — the sweep reads it as a
+        full array)."""
         from ..core.types import Optimizer_t as _Opt
 
-        self.packed_groups = {
-            g.name
-            for g in plan.groups
-            if self.knob_packed_state
-            and g.compute_kind == "rowop"
-            and self.group_opt[g.name].optimizer == _Opt.AdaGrad
-        }
+        out: Dict[str, str] = {}
+        for g in plan.groups:
+            if g.compute_kind != "rowop":
+                continue
+            kind = self.group_opt[g.name].optimizer
+            if self.knob_packed_state and kind == _Opt.AdaGrad:
+                out[g.name] = "full"
+            elif (
+                self.knob_rowwise_pack
+                and kind == _Opt.RowWiseAdaGrad
+                and not self._meta[g.name].any_dynamic
+                and g.total_local_rows > self.knob_dense_update_rows
+            ):
+                out[g.name] = "rowwise"
+        return out
 
     # ------------------------------------------------------------------ init
     def init(self, key: Array) -> Dict[str, Array]:
@@ -214,7 +241,7 @@ class EmbeddingCollection:
             rows = g.total_storage_rows
             scales = self._row_init_scales(g)
 
-            packed = g.name in self.packed_groups
+            packed = self.packed_kind.get(g.name)
             accu0 = float(self.group_opt[g.name].initial_accu_value)
 
             def make(sub=sub, rows=rows, g=g, scales=scales, packed=packed,
@@ -233,8 +260,10 @@ class EmbeddingCollection:
                     t = jnp.tile(t, (g.num_replicas, 1))
                 t = t * jnp.asarray(scales, dtype=self.dtype)[:, None]
                 if packed:
+                    pcols = g.ev_size if packed == "full" else 1
                     t = jnp.concatenate(
-                        [t, jnp.full_like(t, accu0)], axis=1
+                        [t, jnp.full((t.shape[0], pcols), accu0, t.dtype)],
+                        axis=1,
                     )
                 return t
 
@@ -1194,7 +1223,7 @@ class EmbeddingCollection:
             ucap_drop=self.knob_ucap_drop,
             ucap_cap=self.unique_caps.get(gname, 0),
             valid_cap=self.valid_caps.get(gname, 0),
-            packed=self._is_packed(gname),
+            packed=self.packed_kind.get(gname, False),
             dense_rows=self.knob_dense_update_rows,
             dense_grad_dtype=self.knob_dense_grad_dtype,
         )
@@ -1582,19 +1611,12 @@ class EmbeddingCollection:
         for attr in (
             "state_dtype", "knob_fwd_partition", "knob_capacity_factor",
             "knob_segsum", "knob_ucap_factor", "knob_ucap_min_k",
-            "knob_ucap_drop", "knob_packed_state", "knob_dense_update_rows",
-            "knob_dense_grad_dtype",
+            "knob_ucap_drop", "knob_packed_state", "knob_rowwise_pack",
+            "knob_dense_update_rows", "knob_dense_grad_dtype",
         ):
             setattr(new_ec, attr, getattr(self, attr))
-        from ..core.types import Optimizer_t as _Opt
-
-        new_ec.packed_groups = {
-            gg.name
-            for gg in new_plan.groups
-            if new_ec.knob_packed_state
-            and gg.compute_kind == "rowop"
-            and new_ec.group_opt[gg.name].optimizer == _Opt.AdaGrad
-        }
+        new_ec.packed_kind = new_ec._compute_packed_kind(new_plan)
+        new_ec.packed_groups = set(new_ec.packed_kind)
         new_tables = new_ec.init(jax.random.key(0))
         new_state = new_ec.init_optimizer(new_tables)
 
