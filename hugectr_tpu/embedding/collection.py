@@ -164,6 +164,12 @@ class EmbeddingCollection:
         self.knob_rowwise_pack = (
             _os.environ.get("HCTR_TPU_ROWWISE_PACK", "0") == "1"
         )
+        # hot/cold tier groups re-derive their windowed row lists from ONE
+        # shared raw-key sort of the parent table (fwd + bwd of every tier
+        # CSE to a single lax.sort); see _tier_sorted_rows
+        self.knob_shared_tier_sort = (
+            _os.environ.get("HCTR_TPU_SHARED_TIER_SORT", "1") != "0"
+        )
         # one-hot engine backend: "xla" (default — measured 90.0k vs the
         # fused Pallas kernels' 88.7k ex/s on the DLRM bench; XLA's
         # compare-chain+matmul fusion wins at <=32k vocab, and the engine is
@@ -573,6 +579,7 @@ class EmbeddingCollection:
                 group_outs[g.name] = self._dp_fwd(
                     g.name, tables[g.name], keys,
                     tables.get(f"{g.name}#keys"),
+                    feature_keys=feature_keys,
                 )
         # slice per-lookup tops
         outs: Dict[str, Array] = {}
@@ -921,7 +928,8 @@ class EmbeddingCollection:
         )
 
     def _dp_fwd(
-        self, gname: str, table: Array, keys: Array, key_store=None
+        self, gname: str, table: Array, keys: Array, key_store=None,
+        feature_keys=None,
     ) -> Array:
         g = self._meta[gname].plan
         meta = self._meta[gname]
@@ -929,7 +937,9 @@ class EmbeddingCollection:
         if vcap and vcap < keys.size:
             # mostly-padding key list (hot/cold window): sorted valid-prefix
             # gather + pooled scatter beats gathering every padded slot
-            return self._dp_fwd_compact(gname, table, keys, key_store, vcap)
+            return self._dp_fwd_compact(
+                gname, table, keys, key_store, vcap, feature_keys=feature_keys
+            )
         valid, _owner, local_row = self._slot_placement(meta, keys, 1, key_store)
         safe = jnp.where(valid, local_row, 0)
         rows = self._weights_view(gname, table[safe])
@@ -939,7 +949,8 @@ class EmbeddingCollection:
         return self._pool(g, rows, keys != INVALID_KEY)
 
     def _dp_fwd_compact(
-        self, gname: str, table: Array, keys: Array, key_store, vcap: int
+        self, gname: str, table: Array, keys: Array, key_store, vcap: int,
+        feature_keys=None,
     ) -> Array:
         """Forward for groups whose [B, H] key list is mostly padding (e.g.
         the cold half of a hot/cold split): sort (row, pool-slot) pairs so
@@ -950,15 +961,21 @@ class EmbeddingCollection:
         meta = self._meta[gname]
         g = meta.plan
         b = keys.shape[0]
-        valid, _owner, local_row = self._slot_placement(meta, keys, 1, key_store)
-        s_slots = g.grad_src_slots
-        gsrc = self._fwd_gsrc(g)
-        idx = jnp.where(valid, local_row, g.total_local_rows).reshape(-1)
-        src = (
-            jnp.arange(b, dtype=jnp.int32)[:, None] * s_slots
-            + jnp.asarray(gsrc)[None, :]
-        ).reshape(-1)
-        sidx, ssrc = jax.lax.sort((idx.astype(jnp.int32), src), num_keys=1)
+        if feature_keys is not None and self._tier_shared_ok(g):
+            s_slots = g.grad_src_slots
+            sidx, ssrc = self._tier_sorted_rows(gname, feature_keys)
+        else:
+            valid, _owner, local_row = self._slot_placement(
+                meta, keys, 1, key_store
+            )
+            s_slots = g.grad_src_slots
+            gsrc = self._fwd_gsrc(g)
+            idx = jnp.where(valid, local_row, g.total_local_rows).reshape(-1)
+            src = (
+                jnp.arange(b, dtype=jnp.int32)[:, None] * s_slots
+                + jnp.asarray(gsrc)[None, :]
+            ).reshape(-1)
+            sidx, ssrc = jax.lax.sort((idx.astype(jnp.int32), src), num_keys=1)
 
         def pooled_from(si, ss):
             rows = self._weights_view(
@@ -1090,6 +1107,11 @@ class EmbeddingCollection:
                 new_tables[g.name], new_state[g.name] = out[0], out[1]
                 if ks is not None:
                     new_tables[f"{g.name}#keys"] = out[2]
+            elif self._tier_shared_ok(g):
+                new_tables[g.name], new_state[g.name] = self._bwd_single_shared(
+                    g.name, tables[g.name], opt_state[g.name], feature_keys,
+                    d_group, lr, step,
+                )
             else:
                 ks = tables.get(f"{g.name}#keys")
                 out = self._bwd_single(
@@ -1100,6 +1122,75 @@ class EmbeddingCollection:
                 if ks is not None:
                     new_tables[f"{g.name}#keys"] = out[2]
         return new_tables, new_state
+
+    def _tier_shared_ok(self, g: GroupPlan) -> bool:
+        """Whether this tier group can consume the shared parent-key sort.
+
+        Single-shard static single-table rowop groups whose every lookup
+        carries the same [key_lo, key_hi) window (i.e. hot/cold split tiers
+        on one chip). Frozen tables fall back to the per-tier path (the
+        shared construction has no slot mask)."""
+        if not self.knob_shared_tier_sort:
+            return False
+        if self.rm.data_parallel_size != 1 or g.num_shards != 1:
+            return False
+        if g.compute_kind != "rowop" or self._meta[g.name].any_dynamic:
+            return False
+        if self.frozen_tables or len(g.tables) != 1:
+            return False
+        lks = g.lookups
+        if not lks or any(lk.combiner != Combiner_t.Sum for lk in lks):
+            return False
+        lo, hi = lks[0].key_lo, lks[0].key_hi
+        if hi < 0:
+            return False
+        return all(
+            lk.key_lo == lo and lk.key_hi == hi and lk.key_shift == lo
+            for lk in lks
+        )
+
+    def _tier_sorted_rows(
+        self, gname: str, feature_keys: Dict[str, Array]
+    ) -> Tuple[Array, Array]:
+        """Tier-local sorted (row ids, grad-source ids) from ONE shared sort.
+
+        Sorts the parent table's RAW keys (identical construction for every
+        sibling tier and for forward AND backward, so XLA CSEs all of them
+        into a single lax.sort per split table per step — the hot and cold
+        tiers of a 100-hot table each used to pay their own [B*H] sort).
+        The tier's window [lo, hi) occupies a contiguous run of the sorted
+        array starting at a dynamic offset; a roll moves it to the front so
+        the result is sorted-with-sentinel exactly like the per-tier sort,
+        and the existing measured-window cond machinery applies unchanged.
+        """
+        g = self._meta[gname].plan
+        lo, hi = g.lookups[0].key_lo, g.lookups[0].key_hi
+        cols = []
+        for lm in g.lookups:
+            k = feature_keys[lm.bottom_name]
+            if k.ndim == 1:
+                k = k[:, None]
+            cols.append(k)
+        raw = jnp.concatenate(cols, axis=1).astype(jnp.int32)
+        b = raw.shape[0]
+        s_slots = g.grad_src_slots
+        gsrc = self._fwd_gsrc(g)
+        kraw = jnp.where(
+            raw != INVALID_KEY, raw, jnp.iinfo(jnp.int32).max
+        ).reshape(-1)
+        src = (
+            jnp.arange(b, dtype=jnp.int32)[:, None] * s_slots
+            + jnp.asarray(gsrc)[None, :]
+        ).reshape(-1)
+        sidx, ssrc = jax.lax.sort((kraw, src), num_keys=1)
+        p_lo = jnp.sum((sidx < lo).astype(jnp.int32))
+        count = jnp.sum(((sidx >= lo) & (sidx < hi)).astype(jnp.int32))
+        r_idx = jnp.roll(sidx, -p_lo)
+        r_src = jnp.roll(ssrc, -p_lo)
+        j = jnp.arange(sidx.shape[0], dtype=jnp.int32)
+        sentinel = jnp.asarray(g.total_local_rows, jnp.int32)
+        tier_idx = jnp.where(j < count, r_idx - lo, sentinel)
+        return tier_idx, r_src
 
     def _row_grads(
         self, gname: str, keys: Array, d_group: Array, num_shards: int, my,
@@ -1197,6 +1288,20 @@ class EmbeddingCollection:
         if key_store is not None:
             return new_t, new_s, key_store
         return new_t, new_s
+
+    def _bwd_single_shared(
+        self, gname, table, state, feature_keys, d_group, lr, step
+    ):
+        """Backward for a split-tier group via the shared parent-key sort
+        (Sum-combiner static tiers only — see _tier_shared_ok)."""
+        g = self._meta[gname].plan
+        tier_idx, tier_src = self._tier_sorted_rows(gname, feature_keys)
+        dsrc, _gsrc = self._grad_source(g, d_group, None)
+        opt = self.group_opt[gname]
+        return sparse_optimizer.apply_sparse(
+            opt, table, state, tier_idx, tier_src, dsrc, lr, step,
+            presorted=True, **self._opt_knobs(gname)
+        )
 
     def _bwd_single(
         self, gname, table, state, keys, d_group, lr, step, key_store=None

@@ -314,8 +314,15 @@ def apply_sparse(
     packed: bool = False,
     dense_rows: int = -1,
     dense_grad_dtype=jnp.float32,
+    presorted: bool = False,
 ) -> Tuple[Array, State]:
     """Apply one sparse update for (possibly duplicated) row gradients.
+
+    presorted=True: (idx, src) already form the sorted-with-sentinel layout
+    this function would produce by its own lax.sort (valid rows ascending in
+    a prefix, sentinel >= R after) — e.g. the shared tier sort of a
+    hot/cold split. The sort is skipped; everything downstream (valid-cap
+    cond, segsum, measured windows) applies unchanged.
 
     packed=True: `table` is a packed [R, 2E] array (weights ‖ AdaGrad
     accum) and `state` is empty — the whole update is ONE gather + ONE
@@ -377,7 +384,10 @@ def apply_sparse(
         # dense pass; always exact (no capacity window, no cond). Dense
         # sweep traffic ~ a few x R*E bytes, so it wins whenever R is small
         # relative to K or to the big-operand row-op cost.
-        sidx, ssrc = jax.lax.sort((idx, src), num_keys=1)
+        if presorted:
+            sidx, ssrc = idx, src
+        else:
+            sidx, ssrc = jax.lax.sort((idx, src), num_keys=1)
         if k_limit and k_limit < k:
             sidx = sidx[:k_limit]
             ssrc = ssrc[:k_limit]
@@ -429,7 +439,10 @@ def apply_sparse(
         # row-id fixup, column slice and dtype cast happen INSIDE each cond
         # branch AFTER the window slice, so the common (window-fits) path
         # only post-processes [cap] rows instead of the full K.
-        sidx_f, ssrc_f = jax.lax.sort((idx, src), num_keys=1)
+        if presorted:
+            sidx_f, ssrc_f = idx, src
+        else:
+            sidx_f, ssrc_f = jax.lax.sort((idx, src), num_keys=1)
         if k_limit and k_limit < k:
             sidx_f = sidx_f[:k_limit]
             ssrc_f = ssrc_f[:k_limit]
