@@ -279,6 +279,19 @@ def superhot_rows() -> int:
     return int(os.environ.get("HCTR_TPU_SUPERHOT_ROWS", "0"))
 
 
+def warm_split_rows() -> int:
+    """Fourth split tier boundary (0 = off): rows [hot, warm) of each
+    split table become a separately-stored "warm" sub-table. XLA row-op
+    cost per row grows with the operand footprint (TLB reach), and
+    power-law traffic concentrates in the low rows, so serving them from a
+    smaller operand cuts gather/scatter cost — while the shared tier sort
+    (collection._tier_sorted_rows) makes the extra tier's sort free.
+    Requires HCTR_TPU_HOT_ROWS < N < table vocab."""
+    import os
+
+    return int(os.environ.get("HCTR_TPU_WARM_ROWS", "0"))
+
+
 def _split_hot_cold(
     lookups: Sequence[LookupConfig], plan: ShardingPlan
 ) -> Tuple[List[LookupConfig], List[MergeMeta], Dict[str, List[Tuple[str, int]]]]:
@@ -311,6 +324,10 @@ def _split_hot_cold(
         shot = 0
     bounds = ([0, shot, hot] if shot else [0, hot])
     suffixes = (["shot", "hot", "cold"] if shot else ["hot", "cold"])
+    warm = warm_split_rows()
+    if warm > hot:
+        bounds.append(warm)
+        suffixes.insert(-1, "warm")
 
     out: List[LookupConfig] = []
     merges: List[MergeMeta] = []
@@ -322,11 +339,20 @@ def _split_hot_cold(
         if not eligible(t):
             out.append(lk)
             continue
+        # per-table tier list: drop boundaries at/above this table's vocab
+        # (e.g. a 405k table with HCTR_TPU_WARM_ROWS=512k has no cold tier)
+        tpairs = [
+            (lo, sfx)
+            for lo, sfx in zip(bounds, suffixes)
+            if lo < t.vocabulary_size
+        ]
         if t.name not in sub_tables:
             subs = []
-            for i, (sfx, lo) in enumerate(zip(suffixes, bounds)):
+            for i, (lo, sfx) in enumerate(tpairs):
                 hi = (
-                    bounds[i + 1] if i + 1 < len(bounds) else t.vocabulary_size
+                    tpairs[i + 1][0]
+                    if i + 1 < len(tpairs)
+                    else t.vocabulary_size
                 )
                 subs.append(
                     dataclasses.replace(
@@ -334,16 +360,18 @@ def _split_hot_cold(
                     )
                 )
             sub_tables[t.name] = subs
-            splits[t.name] = [(s.name, lo) for s, lo in zip(subs, bounds)]
+            splits[t.name] = [
+                (s.name, lo) for s, (lo, _sfx) in zip(subs, tpairs)
+            ]
         sub_lks = []
-        for i, (sub_t, lo) in enumerate(zip(sub_tables[t.name], bounds)):
-            hi = bounds[i + 1] if i + 1 < len(bounds) else t.vocabulary_size
+        for i, (sub_t, (lo, sfx)) in enumerate(zip(sub_tables[t.name], tpairs)):
+            hi = tpairs[i + 1][0] if i + 1 < len(tpairs) else t.vocabulary_size
             sub_lks.append(
                 dataclasses.replace(
                     lk,
                     lookup_id=(lk.lookup_id if i == 0 else next_id + i - 1),
                     table=sub_t,
-                    top_name=f"{lk.top_name}::{suffixes[i]}",
+                    top_name=f"{lk.top_name}::{sfx}",
                     combiner=Combiner_t.Sum,
                     key_lo=lo,
                     key_hi=hi,

@@ -126,3 +126,27 @@ def test_shared_overflow_cond_is_exact(mesh1):
     for a, b in zip(f_sh, f_ps):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(t_sh, t_ps, rtol=1e-5, atol=1e-6)
+
+
+def test_warm_tier_four_way_matches_unsplit(mesh1, monkeypatch):
+    """HCTR_TPU_WARM_ROWS: shot/hot/warm/cold 4-way split stays exact, and a
+    table smaller than the warm boundary drops the cold tier (clamping)."""
+    monkeypatch.setenv("HCTR_TPU_WARM_ROWS", str(32768))
+    # per-tier storage groups (multi-table tier groups decline the shared
+    # sort — different key windows per lookup)
+    monkeypatch.setenv("HCTR_TPU_SPLIT_VOCAB", "1024")
+    rng = np.random.default_rng(17)
+    batch = 256
+    batches = [_keys(rng, batch, cold_frac=0.5)]
+    d = rng.normal(size=(batch, 8)).astype(np.float32)
+    dense = rng.normal(size=(VOCAB, 8)).astype(np.float32)
+    f_w, t_w = _run(mesh1, HOT, True, batches, dense, d)
+    monkeypatch.setenv("HCTR_TPU_WARM_ROWS", "0")
+    f_un, t_un = _run(mesh1, 0, False, batches, dense, d)
+    np.testing.assert_allclose(f_w[0], f_un[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(t_w, t_un, rtol=1e-4, atol=1e-5)
+    # clamping: warm boundary above this table's vocab -> no cold tier
+    monkeypatch.setenv("HCTR_TPU_WARM_ROWS", str(VOCAB + 1))
+    compiled, _ebc = _build(mesh1, HOT, True)
+    names = {t.name for g in compiled.groups for t in g.tables}
+    assert "big::warm" in names and "big::cold" not in names
