@@ -102,10 +102,12 @@ class NativeRawReader(BaseReader):
         queue_depth: int = 6,
         process_index: int = 0,
         num_processes: int = 1,
+        fused: bool = False,
     ):
         self.lib = _build_lib()
         if self.lib is None:
             raise RuntimeError("native reader unavailable")
+        self.fused = fused
         self.spec = spec
         self.path = path
         self.float_label_dense = float_label_dense

@@ -75,6 +75,13 @@ Batch = Dict[str, np.ndarray]
 # Batch keys: each label name -> [B, dim] f32; dense_name -> [B, D] f32;
 # each sparse feature name -> [B, total_nnz] int.
 
+# Fused-batch mode: the reader yields the UNDECODED [B, row_ints] int32
+# rows under this key; the split/convert (reference split_3_way,
+# multi_hot/split_batch.cu) runs ON DEVICE inside the jitted step. One
+# host->device transfer per batch instead of one per feature, and zero
+# host-side decode work in the feeder thread.
+FUSED_KEY = "__raw_rows__"
+
 
 class BaseReader:
     """Iterator protocol: __iter__ yields Batch dicts forever (repeat mode)
@@ -174,7 +181,9 @@ class RawReader(BaseReader):
         seed: int = 0,
         process_index: int = 0,
         num_processes: int = 1,
+        fused: bool = False,
     ):
+        self.fused = fused
         self.spec = spec
         self.path = path
         self.float_label_dense = float_label_dense
@@ -234,6 +243,8 @@ class RawReader(BaseReader):
         if n < s.batch_size:  # pad tail batch (labels repeat; metrics mask n/a)
             pad = np.repeat(rows[-1:], s.batch_size - n, axis=0)
             rows = np.concatenate([rows, pad], axis=0)
+        if getattr(self, "fused", False):
+            return {FUSED_KEY: np.ascontiguousarray(rows)}
         b: Batch = {}
         off = 0
         for name, dim in zip(s.label_names, s.label_dims):

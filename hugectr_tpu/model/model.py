@@ -30,6 +30,7 @@ from ..core.types import (
     Metric_t,
 )
 from ..data.reader import (
+    FUSED_KEY,
     BaseReader,
     BatchSpec,
     DeviceFeeder,
@@ -443,6 +444,15 @@ class Model:
                 learnable_labels=getattr(rp, "synthetic_learnable", False),
             )
         if kind in (DataReaderType_t.Raw, DataReaderType_t.RawAsync):
+            # Fused upload (default): the reader yields undecoded [B, W]
+            # int32 rows; ONE device_put per batch and the split_3_way
+            # decode runs inside the jitted step (reference runs it on
+            # device too — multi_hot/split_batch.cu). i64 keys need the
+            # host-side fold, so they keep per-feature decode.
+            fused = (
+                os.environ.get("HCTR_TPU_FUSED_H2D", "1") != "0"
+                and not self.solver.i64_input_key
+            )
             # prefer the native threaded IO core (AsyncDataReader analog)
             from ..data.native_reader import NativeRawReader, native_available
 
@@ -457,6 +467,7 @@ class Model:
                         n_threads=rp.num_workers,
                         process_index=self.rm.process_index,
                         num_processes=self.rm.num_processes,
+                        fused=fused,
                     )
                 except RuntimeError as e:
                     logger.warning(f"native raw reader unavailable: {e}")
@@ -469,6 +480,7 @@ class Model:
                 repeat=self.solver.repeat_dataset if train else False,
                 process_index=self.rm.process_index,
                 num_processes=self.rm.num_processes,
+                fused=fused,
             )
         if kind == DataReaderType_t.Parquet:
             from ..data.reader import AsyncParquetReader
@@ -524,6 +536,70 @@ class Model:
         return vocabs
 
     # ------------------------------------------------------------ step fns
+    def _decode_batch(self, batch):
+        """Device-side split_3_way (reference: multi_hot/split_batch.cu).
+
+        Fused-upload batches arrive as ONE [B, row_ints] int32 array; the
+        label/dense/sparse split, dtype conversion and int-dense log(x+1)
+        transform run here, inside the jitted step, exactly mirroring
+        RawReader._decode's host semantics. Non-fused batches pass through.
+        """
+        if FUSED_KEY not in batch:
+            return batch
+        raw = batch[FUSED_KEY]
+        s = self.batch_spec
+        fld = bool(self.reader_params.float_label_dense)
+        b = {}
+        off = 0
+        for name, dim in zip(s.label_names, s.label_dims):
+            col = jax.lax.slice_in_dim(raw, off, off + dim, axis=1)
+            b[name] = (
+                jax.lax.bitcast_convert_type(col, jnp.float32)
+                if fld
+                else col.astype(jnp.float32)
+            )
+            off += dim
+        dn = jax.lax.slice_in_dim(raw, off, off + s.dense_dim, axis=1)
+        if fld:
+            b[s.dense_name] = jax.lax.bitcast_convert_type(dn, jnp.float32)
+        else:
+            b[s.dense_name] = jnp.log1p(
+                jnp.maximum(dn, 0).astype(jnp.float32)
+            )
+        off += s.dense_dim
+        for f in s.sparse:
+            b[f.name] = jax.lax.slice_in_dim(
+                raw, off, off + f.total_nnz, axis=1
+            )
+            off += f.total_nnz
+        return b
+
+    def _host_decode_batch(self, batch):
+        """Numpy mirror of _decode_batch for host-side consumers
+        (auto-ucap measurement on the first batch)."""
+        if FUSED_KEY not in batch:
+            return batch
+        raw = np.asarray(batch[FUSED_KEY])
+        s = self.batch_spec
+        fld = bool(self.reader_params.float_label_dense)
+        b = {}
+        off = 0
+        for name, dim in zip(s.label_names, s.label_dims):
+            lab = raw[:, off : off + dim]
+            b[name] = (lab.view(np.float32) if fld else lab).astype(np.float32)
+            off += dim
+        dn = raw[:, off : off + s.dense_dim]
+        b[s.dense_name] = (
+            dn.view(np.float32).astype(np.float32)
+            if fld
+            else np.log1p(np.maximum(dn, 0).astype(np.float32))
+        )
+        off += s.dense_dim
+        for f in s.sparse:
+            b[f.name] = raw[:, off : off + f.total_nnz]
+            off += f.total_nnz
+        return b
+
     def _feature_keys(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         """Build per-lookup key arrays from the raw batch (jit-traceable)."""
         out = {}
@@ -564,6 +640,7 @@ class Model:
         skip_emb_update = bool(os.environ.get("SKIP_EMBEDDING_UPDATE"))
 
         def train_step(state, batch, rng=None):
+            batch = self._decode_batch(batch)
             step = state["step"] + 1
             lr = lr_sch(step)
             if rng is None:
@@ -653,6 +730,7 @@ class Model:
             return new_state, loss
 
         def eval_step(state, batch):
+            batch = self._decode_batch(batch)
             feature_keys = self._feature_keys(batch) if ec is not None else {}
             emb_outs = (
                 ec.forward(state["emb_tables"], feature_keys)
@@ -740,6 +818,7 @@ class Model:
             or self.ec.ucap_measured
         ):
             return
+        host_batch = self._host_decode_batch(host_batch)
         b = (
             self._fold_i64_keys(host_batch)
             if self.solver.i64_input_key
@@ -1272,6 +1351,7 @@ class Model:
         if batch is None:
             self.start_data_reading()
             batch = next(self._train_iter)
+        batch = self._decode_batch(batch)
         feature_keys = self._feature_keys(batch) if self.ec is not None else {}
         emb_outs = (
             self.ec.forward(self.state["emb_tables"], feature_keys)

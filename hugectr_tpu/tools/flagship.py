@@ -38,8 +38,13 @@ def build_dlrm_dcnv2(
     projection_dim: int = 512,
     num_cross_layers: int = 3,
     comm_strategy=None,
+    reader=None,
 ):
-    """DLRM-DCNv2 on synthetic power-law data; returns a compiled Model."""
+    """DLRM-DCNv2; returns a compiled Model.
+
+    `reader`: optional DataReaderParams overriding the default synthetic
+    power-law source (e.g. a RawAsync/Parquet reader over a real or
+    generated dataset — the real-Criteo MLPerf entry point)."""
     table_sizes = [min(v, vocab_cap) for v in MLPERF_TABLE_SIZES]
     import os
 
@@ -53,13 +58,14 @@ def build_dlrm_dcnv2(
         metrics_spec={Metric_t.AUC: 0.80275},
         repeat_dataset=True,
     )
-    reader = hugectr.DataReaderParams(
-        data_reader_type=DataReaderType_t.Synthetic,
-        synthetic_num_batches=synthetic_batches,
-        # power-law keys like the reference DataGenerator's default
-        # distribution (Criteo-like hot-key skew; data_generator.cpp:92-105)
-        synthetic_alpha=1.05,
-    )
+    if reader is None:
+        reader = hugectr.DataReaderParams(
+            data_reader_type=DataReaderType_t.Synthetic,
+            synthetic_num_batches=synthetic_batches,
+            # power-law keys like the reference DataGenerator's default
+            # distribution (Criteo-like hot-key skew; data_generator.cpp:92-105)
+            synthetic_alpha=1.05,
+        )
     # HCTR_BENCH_OPT: "adagrad" (reference HugeCTR operating point) or
     # "rowwise_adagrad" (MLPerf DLRM torchrec reference implementation's
     # embedding optimizer; AUC-gated in test_convergence.py)

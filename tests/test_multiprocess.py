@@ -78,7 +78,7 @@ model.add(hugectr.DenseLayer(layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
     bottom_names=["m", "label"], top_names=["loss"]))
 model.compile()
 # each process must read a DISJOINT slice of every global batch
-local = next(iter(model.train_reader))
+local = model._host_decode_batch(next(iter(model.train_reader)))
 print(f"SHARDSUM {pid} {float(local['d0'].sum()):.0f}")
 losses = [model.train() for _ in range(4)]
 assert all(np.isfinite(losses)), losses

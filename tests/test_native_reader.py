@@ -294,3 +294,75 @@ def test_criteo_to_raw_native(tmp_path):
             np.fromfile(ref, np.int32).reshape(500, 40),
             err_msg=f"numpy fallback diverges from native ({flags})",
         )
+
+
+def test_fused_h2d_training_matches_per_feature(tmp_path, mesh1, monkeypatch):
+    """HCTR_TPU_FUSED_H2D: one [B, W] int32 upload + in-graph split_3_way
+    decode must train identically to the host-decoded per-feature path."""
+    import jax
+    import hugectr_tpu as hugectr
+    from hugectr_tpu.core.types import Metric_t
+
+    DataGenerator(DataGeneratorParams(
+        format=DataReaderType_t.Raw, label_dim=1, dense_dim=4, num_slot=2,
+        source=str(tmp_path / "t.bin"), eval_source=str(tmp_path / "e.bin"),
+        slot_size_array=[50, 80], nnz_array=[2, 3], num_samples=256,
+        eval_num_samples=64, seed=3,
+    )).generate()
+
+    def run(fused):
+        monkeypatch.setenv("HCTR_TPU_FUSED_H2D", "1" if fused else "0")
+        solver = hugectr.CreateSolver(
+            batchsize=32, batchsize_eval=32, lr=0.1, max_eval_batches=2,
+            repeat_dataset=True, seed=5,
+        )
+        reader = hugectr.DataReaderParams(
+            data_reader_type=DataReaderType_t.RawAsync,
+            source=[str(tmp_path / "t.bin")],
+            eval_source=str(tmp_path / "e.bin"),
+            num_samples=256, eval_num_samples=64, slot_size_array=[50, 80],
+        )
+        opt = hugectr.CreateOptimizer(
+            optimizer_type=hugectr.Optimizer_t.AdaGrad
+        )
+        model = hugectr.Model(solver, reader, opt)
+        model.add(hugectr.Input(
+            label_dim=1, label_name="label", dense_dim=4, dense_name="dense",
+            data_reader_sparse_param_array=[
+                hugectr.DataReaderSparseParam("d0", 2, True, 1),
+                hugectr.DataReaderSparseParam("d1", 3, True, 1),
+            ],
+        ))
+        tables = [
+            hugectr.EmbeddingTableConfig(
+                name=f"t{i}", max_vocabulary_size=[50, 80][i], ev_size=8
+            )
+            for i in range(2)
+        ]
+        ebc = hugectr.EmbeddingCollectionConfig()
+        ebc.embedding_lookup(tables, ["d0", "d1"], "emb", ["sum", "sum"])
+        ebc.shard(shard_matrix=[[t.name for t in tables]],
+                  shard_strategy=[("mp", [t.name for t in tables])])
+        model.add(ebc)
+        model.add(hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Concat,
+            bottom_names=["emb", "dense"], top_names=["c"]))
+        model.add(hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.MLP, bottom_names=["c"],
+            top_names=["m"], num_outputs=[8, 1],
+            activations=[hugectr.Activation_t.Relu, hugectr.Activation_t.Non]))
+        model.add(hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+            bottom_names=["m", "label"], top_names=["loss"]))
+        model.compile()
+        if fused:
+            from hugectr_tpu.data.reader import FUSED_KEY
+            assert getattr(model.train_reader, "fused", False)
+        losses = [model.train() for _ in range(4)]
+        tbl = model.ec.export_table(model.state["emb_tables"], "t0")
+        return losses, tbl
+
+    l1, t1 = run(True)
+    l0, t0 = run(False)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(t1, t0, rtol=1e-6, atol=1e-7)
