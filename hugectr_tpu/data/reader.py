@@ -287,9 +287,11 @@ class ParquetReader(BaseReader):
         seed: int = 0,
         process_index: int = 0,
         num_processes: int = 1,
+        fused: bool = False,
     ):
         import pyarrow.parquet as pq  # noqa: F401
 
+        self.fused = fused
         self.spec = spec
         self.repeat = repeat
         self.drop_incomplete = drop_incomplete
@@ -461,6 +463,20 @@ class ParquetReader(BaseReader):
                 )
             b[f.name] = block
             off_c += take
+        if getattr(self, "fused", False):
+            # single [B, W] int32 upload; labels/dense ride as f32 bit
+            # patterns (the model's in-graph decode bitcasts them back)
+            parts = []
+            for name in (*s.label_names, s.dense_name):
+                parts.append(
+                    np.ascontiguousarray(
+                        b[name].astype(np.float32)
+                    ).view(np.int32)
+                )
+            parts.extend(
+                np.ascontiguousarray(b[f.name]) for f in s.sparse
+            )
+            return {FUSED_KEY: np.concatenate(parts, axis=1)}
         return b
 
 

@@ -453,6 +453,8 @@ class Model:
                 os.environ.get("HCTR_TPU_FUSED_H2D", "1") != "0"
                 and not self.solver.i64_input_key
             )
+            # Raw rows carry labels/dense as ints unless float_label_dense
+            self._fused_float = bool(rp.float_label_dense)
             # prefer the native threaded IO core (AsyncDataReader analog)
             from ..data.native_reader import NativeRawReader, native_available
 
@@ -493,6 +495,12 @@ class Model:
             kw = {}
             if cls is AsyncParquetReader:
                 kw["n_threads"] = max(rp.num_workers, 1)
+            # Parquet fused rows always carry labels/dense as f32 bits
+            kw["fused"] = (
+                os.environ.get("HCTR_TPU_FUSED_H2D", "1") != "0"
+                and not self.solver.i64_input_key
+            )
+            self._fused_float = True
             return cls(
                 src,
                 spec,
@@ -548,7 +556,9 @@ class Model:
             return batch
         raw = batch[FUSED_KEY]
         s = self.batch_spec
-        fld = bool(self.reader_params.float_label_dense)
+        # float layout: Raw with float_label_dense, or any Parquet source
+        # (its fused rows always carry labels/dense as f32 bit patterns)
+        fld = getattr(self, "_fused_float", False)
         b = {}
         off = 0
         for name, dim in zip(s.label_names, s.label_dims):
@@ -581,7 +591,7 @@ class Model:
             return batch
         raw = np.asarray(batch[FUSED_KEY])
         s = self.batch_spec
-        fld = bool(self.reader_params.float_label_dense)
+        fld = getattr(self, "_fused_float", False)
         b = {}
         off = 0
         for name, dim in zip(s.label_names, s.label_dims):
