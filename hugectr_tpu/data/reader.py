@@ -442,6 +442,33 @@ class ParquetReader(BaseReader):
 
     def _emit(self, lab: np.ndarray, dense: np.ndarray, cat: np.ndarray) -> Batch:
         s = self.spec
+        if getattr(self, "fused", False):
+            # single [B, W] int32 upload, assembled in ONE preallocated
+            # buffer (labels/dense ride as f32 bit patterns; the model's
+            # in-graph decode bitcasts them back). Feature blocks narrower
+            # in the file than the spec hotness pad with INVALID_KEY.
+            n = lab.shape[0]
+            width = (
+                s.label_dim_total
+                + s.dense_dim
+                + sum(f.total_nnz for f in s.sparse)
+            )
+            out = np.empty((n, width), np.int32)
+            off = s.label_dim_total + s.dense_dim
+            out[:, : s.label_dim_total] = lab.astype(np.float32).view(np.int32)
+            out[:, s.label_dim_total : off] = dense.astype(np.float32).view(
+                np.int32
+            )
+            off_c = 0
+            for f in s.sparse:
+                w = f.total_nnz
+                take = min(w, cat.shape[1] - off_c)
+                out[:, off : off + take] = cat[:, off_c : off_c + take]
+                if take < w:
+                    out[:, off + take : off + w] = INVALID_KEY
+                off += w
+                off_c += take
+            return {FUSED_KEY: out}
         b: Batch = {}
         off = 0
         for name, dim in zip(s.label_names, s.label_dims):
@@ -463,20 +490,6 @@ class ParquetReader(BaseReader):
                 )
             b[f.name] = block
             off_c += take
-        if getattr(self, "fused", False):
-            # single [B, W] int32 upload; labels/dense ride as f32 bit
-            # patterns (the model's in-graph decode bitcasts them back)
-            parts = []
-            for name in (*s.label_names, s.dense_name):
-                parts.append(
-                    np.ascontiguousarray(
-                        b[name].astype(np.float32)
-                    ).view(np.int32)
-                )
-            parts.extend(
-                np.ascontiguousarray(b[f.name]) for f in s.sparse
-            )
-            return {FUSED_KEY: np.concatenate(parts, axis=1)}
         return b
 
 

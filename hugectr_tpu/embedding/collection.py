@@ -170,6 +170,8 @@ class EmbeddingCollection:
         self.knob_shared_tier_sort = (
             _os.environ.get("HCTR_TPU_SHARED_TIER_SORT", "1") != "0"
         )
+        # size-aware scatter lowering (sparse_optimizer._scatter_streams)
+        self.knob_scatter_auto = sparse_optimizer.scatter_auto_default()
         # one-hot engine backend: "xla" (default — measured 90.0k vs the
         # fused Pallas kernels' 88.7k ex/s on the DLRM bench; XLA's
         # compare-chain+matmul fusion wins at <=32k vocab, and the engine is
@@ -1331,6 +1333,7 @@ class EmbeddingCollection:
             packed=self.packed_kind.get(gname, False),
             dense_rows=self.knob_dense_update_rows,
             dense_grad_dtype=self.knob_dense_grad_dtype,
+            scatter_auto=self.knob_scatter_auto,
         )
 
     def auto_unique_caps(self, feature_keys) -> None:
@@ -1717,6 +1720,7 @@ class EmbeddingCollection:
             "state_dtype", "knob_fwd_partition", "knob_capacity_factor",
             "knob_segsum", "knob_ucap_factor", "knob_ucap_min_k",
             "knob_ucap_drop", "knob_packed_state", "knob_rowwise_pack",
+            "knob_shared_tier_sort", "knob_scatter_auto",
             "knob_dense_update_rows", "knob_dense_grad_dtype",
         ):
             setattr(new_ec, attr, getattr(self, attr))

@@ -13,7 +13,7 @@ fixed-capacity [K] gradient list, not on a dynamic number of unique rows.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,16 @@ Array = jax.Array
 State = Dict[str, Array]
 
 
-def _scatter_streams(nbytes: int, n: int) -> bool:
+def scatter_auto_default() -> bool:
+    """Env default for the size-aware scatter lowering (captured ONCE at
+    EmbeddingCollection.__init__ like every engine knob; direct apply_sparse
+    callers get the env value at call time)."""
+    import os
+
+    return os.environ.get("HCTR_TPU_SCATTER_AUTO", "1") == "1"
+
+
+def _scatter_streams(nbytes: int, n: int, auto: bool = True) -> bool:
     """Pick the XLA scatter lowering for a row-granular table write.
 
     Measured on v5e (bf16[R,128] row scatters, trace-verified):
@@ -38,12 +47,10 @@ def _scatter_streams(nbytes: int, n: int) -> bool:
     each site picks the cheaper lowering. Flagged (streaming) wins for big
     windows into small operands; unflagged wins for small windows into
     multi-hundred-MB operands (e.g. a 10k-row delta into a 495 MB table:
-    2.0 ms streamed vs 0.7 ms per-row). HCTR_TPU_SCATTER_AUTO=0 restores the
-    always-flagged behavior.
+    2.0 ms streamed vs 0.7 ms per-row). auto=False (HCTR_TPU_SCATTER_AUTO=0)
+    restores the always-flagged behavior.
     """
-    import os
-
-    if os.environ.get("HCTR_TPU_SCATTER_AUTO", "1") != "1":
+    if not auto:
         return True
     est_streaming = 2.0 * nbytes / 495e9 + n * 10e-9
     est_per_row = n * 70e-9
@@ -76,7 +83,7 @@ def init_state(opt: OptParams, rows: int, ev: int, dtype=jnp.float32) -> State:
 
 def dedup_rows(
     idx: Array, src: Array, dsrc: Array, sentinel: int, k_limit: int = 0,
-    segsum: str = "xla",
+    segsum: str = "xla", presorted: bool = False,
 ) -> Tuple[Array, Array, Array, bool]:
     """Combine gradients of duplicate rows.
 
@@ -106,7 +113,10 @@ def dedup_rows(
                    path (the unsorted-unique form regressed 3x).
     """
     k = idx.shape[0]
-    sidx, ssrc = jax.lax.sort((idx, src), num_keys=1)
+    if presorted:
+        sidx, ssrc = idx, src
+    else:
+        sidx, ssrc = jax.lax.sort((idx, src), num_keys=1)
     if k_limit and k_limit < k:
         # owner-partition compaction: owned rows sort first (foreign entries
         # carry the sentinel); the static prefix bounds all later row ops.
@@ -315,6 +325,7 @@ def apply_sparse(
     dense_rows: int = -1,
     dense_grad_dtype=jnp.float32,
     presorted: bool = False,
+    scatter_auto: Optional[bool] = None,
 ) -> Tuple[Array, State]:
     """Apply one sparse update for (possibly duplicated) row gradients.
 
@@ -349,6 +360,8 @@ def apply_sparse(
     rows = table.shape[0]
     idx = idx.astype(jnp.int32) if rows < 2**31 else idx
     kind = opt.optimizer
+    if scatter_auto is None:  # direct callers: env; the collection passes
+        scatter_auto = scatter_auto_default()  # its init-captured knob
 
     if kind == Optimizer_t.SGD:
         # Stateless: scatter-add is associative, so skip sort/dedup entirely
@@ -361,7 +374,8 @@ def apply_sparse(
 
     if packed == "rowwise":
         run = functools.partial(
-            _apply_rows_rowwise_packed, opt, table, state, lr, True
+            _apply_rows_rowwise_packed, opt, table, state, lr, True,
+            scatter_auto=scatter_auto,
         )
     elif packed:
         run = functools.partial(
@@ -369,7 +383,8 @@ def apply_sparse(
         )
     else:
         run = functools.partial(
-            _apply_rows, opt, table, state, lr, step, True
+            _apply_rows, opt, table, state, lr, step, True,
+            scatter_auto=scatter_auto,
         )
 
     k = idx.shape[0]
@@ -526,12 +541,13 @@ def apply_sparse(
 
     uidx, g, tail, is_unique = dedup_rows(
         idx, src, dsrc.astype(table.dtype), sentinel=rows, k_limit=k_limit,
-        segsum=segsum,
+        segsum=segsum, presorted=presorted,
     )
     if not is_unique:
         if packed == "rowwise":
             run = functools.partial(
-                _apply_rows_rowwise_packed, opt, table, state, lr, False
+                _apply_rows_rowwise_packed, opt, table, state, lr, False,
+                scatter_auto=scatter_auto,
             )
         elif packed:
             run = functools.partial(
@@ -539,7 +555,8 @@ def apply_sparse(
             )
         else:
             run = functools.partial(
-                _apply_rows, opt, table, state, lr, step, False
+                _apply_rows, opt, table, state, lr, step, False,
+                scatter_auto=scatter_auto,
             )
         return run(uidx, g, tail)
     # unique path without the fused f32 column (shards >= 2^24 rows)
@@ -568,6 +585,7 @@ def _apply_rows_rowwise_packed(
     uidx: Array,
     g: Array,
     tail,
+    scatter_auto: bool = True,
 ) -> Tuple[Array, State]:
     """Packed [R, E+1] RowWiseAdaGrad apply (accum scalar as column E).
 
@@ -598,7 +616,9 @@ def _apply_rows_rowwise_packed(
     )
     if mask is not None:
         delta = jnp.where(mask, delta, jnp.zeros_like(delta))
-    stream = _scatter_streams(table.size * table.dtype.itemsize, uidx.shape[0])
+    stream = _scatter_streams(
+        table.size * table.dtype.itemsize, uidx.shape[0], scatter_auto
+    )
     new_table = table.at[uidx].add(
         delta, mode="drop", indices_are_sorted=stream,
         unique_indices=is_unique and stream,
@@ -648,6 +668,7 @@ def _apply_rows(
     uidx: Array,
     g: Array,
     tail,
+    scatter_auto: bool = True,
 ) -> Tuple[Array, State]:
     """Per-row optimizer math + scatters for one (possibly sliced) row set."""
     kind = opt.optimizer
@@ -669,7 +690,9 @@ def _apply_rows(
         vals = vals.astype(a.dtype)  # mixed state/table dtypes (fp32 state)
         if mask is not None:
             vals = jnp.where(mask, vals, jnp.zeros_like(vals))
-        stream = _scatter_streams(a.size * a.dtype.itemsize, uidx.shape[0])
+        stream = _scatter_streams(
+            a.size * a.dtype.itemsize, uidx.shape[0], scatter_auto
+        )
         return a.at[uidx].add(
             vals, mode="drop", indices_are_sorted=stream,
             unique_indices=is_unique and stream,
@@ -680,7 +703,7 @@ def _apply_rows(
         mode (old = gather(a), already computed by every caller)."""
         if is_unique:
             stream = _scatter_streams(
-                a.size * a.dtype.itemsize, uidx.shape[0]
+                a.size * a.dtype.itemsize, uidx.shape[0], scatter_auto
             )
             return a.at[uidx].set(
                 vals.astype(a.dtype), mode="drop",

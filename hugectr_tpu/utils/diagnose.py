@@ -80,7 +80,10 @@ def check_embedding_overflow(model) -> Dict[str, float]:
         if gname.endswith("#keys"):
             continue  # dynamic-table key stores are int ids, not values
         if gname in getattr(model.ec, "packed_groups", ()):
-            arr = arr[:, : arr.shape[1] // 2]  # skip accum columns
+            # skip trailing accum columns: [R, 2E] full-packed or [R, E+1]
+            # rowwise-packed — slice by the group's true ev_size
+            ev = model.ec._meta[gname].plan.ev_size
+            arr = arr[:, :ev]
         out[gname] = float(jnp.max(jnp.abs(arr)))
         if not np.isfinite(out[gname]) or out[gname] > 1e4:
             logger.warning(

@@ -38,11 +38,10 @@ def enable_split(monkeypatch):
     monkeypatch.setenv("HCTR_TPU_DENSE_UPDATE_ROWS", "0")
 
 
-def _build(rm, hot_rows, shared, opt_kind=Optimizer_t.RowWiseAdaGrad):
-    import os
-
-    os.environ["HCTR_TPU_HOT_ROWS"] = str(hot_rows)
-    os.environ["HCTR_TPU_SHARED_TIER_SORT"] = "1" if shared else "0"
+def _build(rm, hot_rows, shared, monkeypatch,
+           opt_kind=Optimizer_t.RowWiseAdaGrad):
+    monkeypatch.setenv("HCTR_TPU_HOT_ROWS", str(hot_rows))
+    monkeypatch.setenv("HCTR_TPU_SHARED_TIER_SORT", "1" if shared else "0")
     t = EmbeddingTableConfig(name="big", max_vocabulary_size=VOCAB, ev_size=8)
     lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 6)]
     plan = ShardingPlan(strategy=[("mp", ["big"])])
@@ -65,8 +64,9 @@ def _keys(rng, batch, cold_frac=0.3):
     return keys
 
 
-def _run(rm, hot_rows, shared, key_batches, dense, d, measure=False):
-    compiled, ebc = _build(rm, hot_rows, shared)
+def _run(rm, hot_rows, shared, key_batches, dense, d, monkeypatch,
+         measure=False):
+    compiled, ebc = _build(rm, hot_rows, shared, monkeypatch)
     if hot_rows and shared:
         tier_groups = [
             g for g in compiled.groups
@@ -93,16 +93,16 @@ def _run(rm, hot_rows, shared, key_batches, dense, d, measure=False):
 
 
 @pytest.mark.parametrize("measure", [False, True])
-def test_shared_matches_per_tier_and_unsplit(mesh1, measure):
+def test_shared_matches_per_tier_and_unsplit(mesh1, measure, monkeypatch):
     rng = np.random.default_rng(11)
     batch = 512
     batches = [_keys(rng, batch), _keys(rng, batch)]
     d = rng.normal(size=(batch, 8)).astype(np.float32)
     dense = rng.normal(size=(VOCAB, 8)).astype(np.float32)
 
-    f_sh, t_sh = _run(mesh1, HOT, True, batches, dense, d, measure=measure)
-    f_ps, t_ps = _run(mesh1, HOT, False, batches, dense, d, measure=measure)
-    f_un, t_un = _run(mesh1, 0, False, batches, dense, d, measure=False)
+    f_sh, t_sh = _run(mesh1, HOT, True, batches, dense, d, monkeypatch, measure=measure)
+    f_ps, t_ps = _run(mesh1, HOT, False, batches, dense, d, monkeypatch, measure=measure)
+    f_un, t_un = _run(mesh1, 0, False, batches, dense, d, monkeypatch, measure=False)
     for a, b in zip(f_sh, f_ps):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(t_sh, t_ps, rtol=1e-5, atol=1e-6)
@@ -111,7 +111,7 @@ def test_shared_matches_per_tier_and_unsplit(mesh1, measure):
     np.testing.assert_allclose(t_sh, t_un, rtol=1e-4, atol=1e-5)
 
 
-def test_shared_overflow_cond_is_exact(mesh1):
+def test_shared_overflow_cond_is_exact(mesh1, monkeypatch):
     """Measure windows on a cold-light batch, then overflow them with a
     cold-heavy batch: the cond fallback (full rolled array) must stay exact
     vs the per-tier-sort path."""
@@ -121,8 +121,8 @@ def test_shared_overflow_cond_is_exact(mesh1):
     heavy = _keys(rng, batch, cold_frac=0.9)
     d = rng.normal(size=(batch, 8)).astype(np.float32)
     dense = rng.normal(size=(VOCAB, 8)).astype(np.float32)
-    f_sh, t_sh = _run(mesh1, HOT, True, [light, heavy], dense, d, measure=True)
-    f_ps, t_ps = _run(mesh1, HOT, False, [light, heavy], dense, d, measure=True)
+    f_sh, t_sh = _run(mesh1, HOT, True, [light, heavy], dense, d, monkeypatch, measure=True)
+    f_ps, t_ps = _run(mesh1, HOT, False, [light, heavy], dense, d, monkeypatch, measure=True)
     for a, b in zip(f_sh, f_ps):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(t_sh, t_ps, rtol=1e-5, atol=1e-6)
@@ -140,13 +140,13 @@ def test_warm_tier_four_way_matches_unsplit(mesh1, monkeypatch):
     batches = [_keys(rng, batch, cold_frac=0.5)]
     d = rng.normal(size=(batch, 8)).astype(np.float32)
     dense = rng.normal(size=(VOCAB, 8)).astype(np.float32)
-    f_w, t_w = _run(mesh1, HOT, True, batches, dense, d)
+    f_w, t_w = _run(mesh1, HOT, True, batches, dense, d, monkeypatch)
     monkeypatch.setenv("HCTR_TPU_WARM_ROWS", "0")
-    f_un, t_un = _run(mesh1, 0, False, batches, dense, d)
+    f_un, t_un = _run(mesh1, 0, False, batches, dense, d, monkeypatch)
     np.testing.assert_allclose(f_w[0], f_un[0], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(t_w, t_un, rtol=1e-4, atol=1e-5)
     # clamping: warm boundary above this table's vocab -> no cold tier
     monkeypatch.setenv("HCTR_TPU_WARM_ROWS", str(VOCAB + 1))
-    compiled, _ebc = _build(mesh1, HOT, True)
+    compiled, _ebc = _build(mesh1, HOT, True, monkeypatch)
     names = {t.name for g in compiled.groups for t in g.tables}
     assert "big::warm" in names and "big::cold" not in names
