@@ -1612,6 +1612,35 @@ class EmbeddingCollection:
         }
         return live, vals, st
 
+    def _host_find_keys(self, nks, ng, nti, keys):
+        """Locate already-resident keys in a host copy of a key store with
+        the device probe discipline; returns replica-0 storage slots
+        (-1 = not resident). Counterpart of `_host_insert_keys` for reads."""
+        nf = ng.num_shards if ng.is_model_parallel else 1
+        keys = _fold_reserved_key(keys.astype(np.int32))
+        h = _hash_mix_np(keys).astype(np.uint64)
+        nrows = np.uint64(int(ng.rows_per_shard[nti]))
+        owner = (h % np.uint64(nf)).astype(np.int64)
+        base = ((h // np.uint64(nf)) % nrows).astype(np.int64)
+        noff = int(ng.local_offsets[nti])
+        found = np.full(keys.shape, -1, dtype=np.int64)
+        for i in range(keys.shape[0]):
+            for j in range(self.NUM_PROBES):
+                cand = int((base[i] + j) % int(nrows))
+                local = noff + cand
+                storage = (
+                    int(owner[i]) * ng.total_local_rows + local
+                    if ng.is_model_parallel
+                    else local
+                )
+                if nks[storage] == keys[i]:
+                    found[i] = storage
+                    break
+                # NOTE: no early exit on an empty slot — the device probe
+                # (_dynamic_probe) scans all NUM_PROBES slots, so keys
+                # remain reachable across holes punched by evict()
+        return found
+
     def _host_insert_keys(self, nks, ng, nti, keys):
         """Place keys into a host copy of a key store with the device probe
         discipline; returns replica-0 storage slots (-1 = dropped)."""

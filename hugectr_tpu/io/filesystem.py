@@ -82,3 +82,73 @@ class FileSystem:
 
 def get_fs(path: str) -> FileSystem:
     return FileSystem(path)
+
+
+# --------------------------------------------------------------------------
+# Convenience helpers so checkpoint/snapshot code is backend-agnostic
+# (reference: EmbeddingParameterIO + Model::download_params_to_files write
+# through the FileSystem interface so HDFS/S3/GCS prefixes work,
+# embedding_storage/weight_io/fs_interface.cpp).
+
+
+def makedirs(path: str) -> None:
+    fs = FileSystem(path)
+    if fs.fs is None:
+        os.makedirs(path, exist_ok=True)
+    else:
+        fs.fs.makedirs(path, exist_ok=True)
+
+
+def exists(path: str) -> bool:
+    return FileSystem(path).exists(path)
+
+
+def isdir(path: str) -> bool:
+    fs = FileSystem(path)
+    if fs.fs is None:
+        return os.path.isdir(path)
+    try:
+        return fs.fs.isdir(path)
+    except Exception:
+        return fs.fs.exists(path)
+
+
+def open_file(path: str, mode: str = "rb"):
+    return FileSystem(path).open(path, mode)
+
+
+def save_npy(path: str, arr) -> None:
+    import numpy as np
+
+    with open_file(path, "wb") as f:
+        np.save(f, np.asarray(arr))
+
+
+def load_npy(path: str):
+    import numpy as np
+
+    fs = FileSystem(path)
+    if fs.fs is None:
+        return np.load(path)
+    import io as _io
+
+    return np.load(_io.BytesIO(fs.read(path)))
+
+
+def save_npz(path: str, **arrays) -> None:
+    import numpy as np
+
+    with open_file(path, "wb") as f:
+        np.savez(f, **arrays)
+
+
+def load_npz(path: str):
+    import numpy as np
+
+    fs = FileSystem(path)
+    if fs.fs is None:
+        return np.load(path)
+    import io as _io
+
+    # npz members need random access; buffer remote bytes
+    return np.load(_io.BytesIO(fs.read(path)))

@@ -41,6 +41,7 @@ from ..data.reader import (
 )
 from ..embedding.collection import EmbeddingCollection
 from ..embedding.config import EmbeddingCollectionConfig, SparseEmbedding
+from ..io import filesystem as iofs
 from ..layers.base import LayerCtx
 from ..layers.network import Network
 from ..metrics.metrics import MetricAccumulator
@@ -1014,12 +1015,15 @@ class Model:
     # ----------------------------------------------------------- persistence
     def download_params_to_files(self, prefix: str, iteration: int) -> None:
         """Dump dense weights + opt states + per-table sparse models
-        (reference: Model::download_params_to_files, model.cpp:1236-1328)."""
+        (reference: Model::download_params_to_files, model.cpp:1236-1328).
+        `prefix` may carry a remote scheme (hdfs://, s3://, gs://) — all
+        snapshot IO routes through io.filesystem (reference: fs-agnostic
+        EmbeddingParameterIO, weight_io/fs_interface.cpp)."""
         out_dir = f"{prefix}_iter{iteration}"
         write = self.rm.is_master_process()  # all processes compute the
         # replicated exports; only process 0 touches the filesystem
         if write:
-            os.makedirs(out_dir, exist_ok=True)
+            iofs.makedirs(out_dir)
         flat = {}
 
         def _flatten(tree, prefix=""):
@@ -1033,11 +1037,11 @@ class Model:
         _flatten(self.state["dopt"], "dopt/")
         _flatten(self.state["net_state"], "net_state/")
         if write:
-            np.savez(os.path.join(out_dir, "dense_model.npz"), **flat)
+            iofs.save_npz(os.path.join(out_dir, "dense_model.npz"), **flat)
         if self.ec is not None and "eopt" in self.state:
             edir = os.path.join(out_dir, "emb_opt_states")
             if write:
-                os.makedirs(edir, exist_ok=True)
+                iofs.makedirs(edir)
             rep = jax.jit(
                 lambda x: x, out_shardings=self.rm.replicated_sharding()
             )
@@ -1045,7 +1049,7 @@ class Model:
                 for slot, arr in st.items():
                     host = np.asarray(rep(arr))
                     if write:
-                        np.save(
+                        iofs.save_npy(
                             os.path.join(edir, f"{gname}.{slot}.npy"), host
                         )
         if self.ec is not None:
@@ -1054,8 +1058,8 @@ class Model:
                     tdir = os.path.join(out_dir, f"sparse_{t.name}")
                     arr = self.ec.export_table(self.state["emb_tables"], t.name)
                     if write:
-                        os.makedirs(tdir, exist_ok=True)
-                        np.save(os.path.join(tdir, "emb_vector.npy"), arr)
+                        iofs.makedirs(tdir)
+                        iofs.save_npy(os.path.join(tdir, "emb_vector.npy"), arr)
             # hot/cold-split tables: ALSO save the merged user-level view so
             # downstream consumers (hugectr2onnx, reference-format loaders)
             # see one [vocab, ev] table per configured name
@@ -1063,8 +1067,8 @@ class Model:
                 tdir = os.path.join(out_dir, f"sparse_{user_name}")
                 arr = self.ec.export_table(self.state["emb_tables"], user_name)
                 if write:
-                    os.makedirs(tdir, exist_ok=True)
-                    np.save(os.path.join(tdir, "emb_vector.npy"), arr)
+                    iofs.makedirs(tdir)
+                    iofs.save_npy(os.path.join(tdir, "emb_vector.npy"), arr)
             # packed table+state groups: persist the full packed array so
             # the accum columns survive (eopt is empty for these groups)
             for name, arr in self.state["emb_tables"].items():
@@ -1076,7 +1080,7 @@ class Model:
                         )(arr)
                     )
                     if write:
-                        np.save(
+                        iofs.save_npy(
                             os.path.join(out_dir, f"packed_{name}.npy"), host
                         )
             # dynamic-table key stores (exact key -> slot assignments)
@@ -1089,21 +1093,21 @@ class Model:
                         )(arr)
                     )
                     if write:
-                        np.save(
+                        iofs.save_npy(
                             os.path.join(
                                 out_dir, f"keystore_{name.replace('#keys','')}.npy"
                             ),
                             host,
                         )
         if write:
-            with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            with iofs.open_file(os.path.join(out_dir, "meta.json"), "w") as f:
                 json.dump(
                     {"iteration": iteration, "step": int(self.state["step"])}, f
                 )
             logger.info(f"snapshot written to {out_dir}")
 
     def load_params_from_files(self, out_dir: str) -> None:
-        data = np.load(os.path.join(out_dir, "dense_model.npz"))
+        data = iofs.load_npz(os.path.join(out_dir, "dense_model.npz"))
 
         def _restore(tree, prefix=""):
             if isinstance(tree, dict):
@@ -1125,17 +1129,17 @@ class Model:
             for g in self.ec.plan.groups:
                 for t in g.tables:
                     path = os.path.join(out_dir, f"sparse_{t.name}", "emb_vector.npy")
-                    if os.path.exists(path):
+                    if iofs.exists(path):
                         self.state["emb_tables"] = self.ec.import_table(
-                            self.state["emb_tables"], t.name, np.load(path)
+                            self.state["emb_tables"], t.name, iofs.load_npy(path)
                         )
         if self.ec is not None:
             for name in list(self.state["emb_tables"]):
                 if name in getattr(self.ec, "packed_groups", ()):
                     pth = os.path.join(out_dir, f"packed_{name}.npy")
-                    if os.path.exists(pth):
+                    if iofs.exists(pth):
                         self.state["emb_tables"][name] = jax.device_put(
-                            jnp.asarray(np.load(pth)),
+                            jnp.asarray(iofs.load_npy(pth)),
                             self.state["emb_tables"][name].sharding,
                         )
             for name in list(self.state["emb_tables"]):
@@ -1143,22 +1147,22 @@ class Model:
                     p = os.path.join(
                         out_dir, f"keystore_{name.replace('#keys','')}.npy"
                     )
-                    if os.path.exists(p):
+                    if iofs.exists(p):
                         self.state["emb_tables"][name] = jax.device_put(
-                            jnp.asarray(np.load(p)),
+                            jnp.asarray(iofs.load_npy(p)),
                             self.state["emb_tables"][name].sharding,
                         )
         edir = os.path.join(out_dir, "emb_opt_states")
-        if self.ec is not None and os.path.isdir(edir):
+        if self.ec is not None and iofs.isdir(edir):
             for gname, st in self.state["eopt"].items():
                 for slot in st:
                     fpath = os.path.join(edir, f"{gname}.{slot}.npy")
-                    if os.path.exists(fpath):
+                    if iofs.exists(fpath):
                         sharding = self.state["eopt"][gname][slot].sharding
                         self.state["eopt"][gname][slot] = jax.device_put(
-                            jnp.asarray(np.load(fpath)), sharding
+                            jnp.asarray(iofs.load_npy(fpath)), sharding
                         )
-        with open(os.path.join(out_dir, "meta.json")) as f:
+        with iofs.open_file(os.path.join(out_dir, "meta.json"), "r") as f:
             meta = json.load(f)
         self.state["step"] = jnp.asarray(meta.get("step", 0), jnp.int32)
         self._iter = meta.get("iteration", 0)
@@ -1243,7 +1247,7 @@ class Model:
             ],
             "embedding_collections": ebcs,
         }
-        with open(path, "w") as f:
+        with iofs.open_file(path, "w") as f:
             json.dump(graph, f, default=enc, indent=2)
 
     @classmethod
@@ -1261,7 +1265,7 @@ class Model:
         from ..embedding.config import EmbeddingCollectionConfig
         from ..parallel.plan import EmbeddingTableConfig
 
-        with open(graph_path) as f:
+        with iofs.open_file(graph_path, "r") as f:
             graph = json.load(f)
         sol = graph["solver"]
         sol["metrics_spec"] = {

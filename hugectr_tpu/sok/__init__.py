@@ -246,6 +246,82 @@ class DynamicVariable(Variable):
                 if row is not None:
                     self._host_free.append(row)
 
+    # --------------------------------------------- static-mode conversion
+    # Reference: sok.DynamicVariable.to_static/to_dynamic
+    # (dynamic_variable.py:205-222) — snapshot the rows for a fixed key set
+    # into a dense buffer so standard dense-optimizer code can train it,
+    # then scatter the (updated) buffer back into the dynamic store.
+    def is_static(self) -> bool:
+        return getattr(self, "_static_indices", None) is not None
+
+    def to_static(self, indices) -> np.ndarray:
+        """Enter static mode: returns a dense [len(indices), ev] buffer of
+        the rows for `indices` (keys never trained read as zeros). While
+        static, lookup/apply_gradients are disabled; mutate the returned
+        buffer via `assign` and call `to_dynamic()` to write it back."""
+        if self.is_static():
+            raise RuntimeError("to_static() must be called in dynamic mode.")
+        keys = np.asarray(indices).reshape(-1)
+        buf = np.asarray(
+            self.lookup(jnp.asarray(keys.astype(np.int32))), dtype=np.float32
+        )
+        self._static_indices = keys
+        self._static_values = buf
+        return self._static_values
+
+    def to_dynamic(self) -> None:
+        """Leave static mode: upsert the static buffer's rows back into the
+        dynamic store at their keys (growing residency as needed)."""
+        if not self.is_static():
+            raise RuntimeError("to_dynamic() must be called in static mode.")
+        keys, vals = self._static_indices, self._static_values
+        # keep the LAST occurrence of any duplicated key (assign semantics)
+        _, last = np.unique(keys[::-1], return_index=True)
+        sel = np.sort(len(keys) - 1 - last)
+        self._write_rows(keys[sel], vals[sel])
+        self._static_indices = None
+        self._static_values = None
+
+    def assign(self, values: np.ndarray) -> None:
+        if self.is_static():
+            values = np.asarray(values, np.float32)
+            if values.shape != self._static_values.shape:
+                raise ValueError(
+                    f"static assign: shape {values.shape} != "
+                    f"{self._static_values.shape}"
+                )
+            self._static_values = values
+            return
+        super().assign(values)
+
+    def _write_rows(self, keys: np.ndarray, vals: np.ndarray) -> None:
+        """Keyed upsert into the dynamic store (host-driven, between steps)."""
+        from ..embedding.collection import _fold_reserved_key
+
+        ec = self.engine.ec
+        g, ti = ec._find_table(self._table_name)
+        ks_name = f"{g.name}#keys"
+        nks = np.array(ec._host_key_store(self.tables, g))
+        placed = ec._host_find_keys(nks, g, ti, keys)
+        missing = placed < 0
+        if missing.any():
+            ins = ec._host_insert_keys(nks, g, ti, keys[missing])
+            if (ins < 0).any():
+                raise RuntimeError(
+                    "dynamic table capacity exhausted during to_dynamic(); "
+                    "call reserve(new_capacity) first"
+                )
+            placed[missing] = ins
+        self.tables = dict(self.tables)
+        self.tables[g.name] = ec._scatter_all_replicas(
+            self.tables[g.name], g, placed, np.asarray(vals, np.float32)
+        )
+        if missing.any():
+            self.tables[ks_name] = ec._scatter_all_replicas(
+                self.tables[ks_name], g, placed[missing],
+                _fold_reserved_key(keys[missing].astype(np.int32)),
+            )
+
     # ---------------------------------------------------- hkv host tier
     def _device_resident(self) -> np.ndarray:
         """Live keys in the device working set (host copy)."""
@@ -368,11 +444,19 @@ class DynamicVariable(Variable):
             )
 
     def lookup(self, keys: jax.Array) -> jax.Array:
+        if self.is_static():
+            raise RuntimeError(
+                "variable is in static mode; call to_dynamic() first"
+            )
         if self.backend == "hkv":
             self._stage(np.asarray(keys).reshape(-1))
         return super().lookup(keys)
 
     def apply_gradients(self, keys, d_out, lr, step: int = 1) -> None:
+        if self.is_static():
+            raise RuntimeError(
+                "variable is in static mode; call to_dynamic() first"
+            )
         # host-master rows must be resident BEFORE the update (stateful
         # optimizers read current values; insert-on-backward would otherwise
         # re-create the key from fresh init)

@@ -16,8 +16,12 @@ import hugectr_tpu as hugectr
 from hugectr_tpu.core.types import DataReaderType_t
 
 
-def sample_args(name: str) -> argparse.Namespace:
+def sample_args(name: str, extra=None) -> argparse.Namespace:
+    """`extra`: optional callback adding sample-specific flags, e.g.
+    lambda p: p.add_argument("--variant", ...)."""
     p = argparse.ArgumentParser(name)
+    if extra is not None:
+        extra(p)
     p.add_argument("--data_dir", default="", help="dataset dir (empty = synthetic)")
     p.add_argument("--batchsize", type=int, default=2048)
     p.add_argument("--max_iter", type=int, default=300)

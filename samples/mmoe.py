@@ -1,6 +1,9 @@
 """MMoE multi-task (reference: samples/mmoe/mmoe_parquet.py): UCI Census,
 two binary labels, 3 shared experts gated per task, per-task towers and
-losses (multi-label Input + label_weights)."""
+losses (multi-label Input + label_weights).
+
+--variant shared_bottom (reference: samples/mmoe/shared_bottom.py): one
+shared bottom MLP feeding both task towers, no expert gating."""
 from common import make_reader, sample_args  # noqa: F401 (sets sys.path)
 
 import hugectr_tpu as hugectr
@@ -14,7 +17,12 @@ EV = 16
 EMB_WIDTH = NUM_SLOTS * EV  # 512
 N_EXPERT = 3
 
-args = sample_args("mmoe")
+args = sample_args(
+    "mmoe",
+    extra=lambda p: p.add_argument(
+        "--variant", default="mmoe", choices=["mmoe", "shared_bottom"]
+    ),
+)
 solver = hugectr.CreateSolver(
     max_eval_batches=100,
     batchsize_eval=args.batchsize,
@@ -62,6 +70,8 @@ model.add(
         leading_dim=EMB_WIDTH,
     )
 )
+if args.variant == "shared_bottom":
+    N_EXPERT = 1  # one shared bottom, no gating
 # experts (shared bottom): 512 -> 256 -> 128 with two task outputs each
 for e in range(N_EXPERT):
     model.add(
@@ -87,8 +97,47 @@ for e in range(N_EXPERT):
             num_output=128,
         )
     )
+def _build_tower(task):
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=[f"tower_{task}_input"],
+            top_names=[f"tower_{task}_fc"],
+            num_output=64,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.ReLU,
+            bottom_names=[f"tower_{task}_fc"],
+            top_names=[f"tower_{task}_relu"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=[f"tower_{task}_relu"],
+            top_names=[f"{task}_out"],
+            num_output=1,
+            act_type=hugectr.Activation_t.Non,
+        )
+    )
+
+
 # per-task gates: softmax over experts, scale-broadcast, gate and sum
+# (shared_bottom variant: towers read the single bottom output directly)
 for task in ("A", "B"):
+    if args.variant == "shared_bottom":
+        model.add(
+            hugectr.DenseLayer(
+                layer_type=hugectr.Layer_t.InnerProduct,
+                bottom_names=["e0_out"],
+                top_names=[f"tower_{task}_input"],
+                num_output=128,
+            )
+        )
+        _build_tower(task)
+        continue
     model.add(
         hugectr.DenseLayer(
             layer_type=hugectr.Layer_t.InnerProduct,
@@ -138,30 +187,7 @@ for task in ("A", "B"):
             top_names=[f"tower_{task}_input"],
         )
     )
-    model.add(
-        hugectr.DenseLayer(
-            layer_type=hugectr.Layer_t.InnerProduct,
-            bottom_names=[f"tower_{task}_input"],
-            top_names=[f"tower_{task}_fc"],
-            num_output=64,
-        )
-    )
-    model.add(
-        hugectr.DenseLayer(
-            layer_type=hugectr.Layer_t.ReLU,
-            bottom_names=[f"tower_{task}_fc"],
-            top_names=[f"tower_{task}_relu"],
-        )
-    )
-    model.add(
-        hugectr.DenseLayer(
-            layer_type=hugectr.Layer_t.InnerProduct,
-            bottom_names=[f"tower_{task}_relu"],
-            top_names=[f"{task}_out"],
-            num_output=1,
-            act_type=hugectr.Activation_t.Non,
-        )
-    )
+    _build_tower(task)
 model.add(
     hugectr.DenseLayer(
         layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,

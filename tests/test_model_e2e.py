@@ -359,3 +359,80 @@ def test_skip_dense_layers_ablation(mesh8, monkeypatch):
     monkeypatch.setenv("SKIP_DENSE_LAYERS", top)
     out = model.check_out_tensor(top, batch)
     assert np.all(out == 0.0), "skipped layer output must be zeros"
+
+
+def test_predict_tool_matches_live_model(mesh8, tmp_path):
+    """tools/predict.py: graph JSON + snapshot -> predictions identical to
+    the live model's eval forward (criteo_predict-analog inference CLI)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "predict_tool",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "predict.py"),
+    )
+    predict_tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(predict_tool)
+
+    model = _build_dcn_model(mesh8, batchsize=64)
+    for _ in range(3):
+        model.train()
+    graph = str(tmp_path / "graph.json")
+    model.graph_to_json(graph)
+    model.download_params_to_files(str(tmp_path / "snap"), 3)
+
+    # live-model predictions over its (seeded, cached) synthetic eval set
+    want = []
+    source, feeder = model._eval_batches()
+    for i, batch in enumerate(source):
+        if i >= model.solver.max_eval_batches:
+            break
+        _l, preds, _lab = model._eval_step(model.state, batch)
+        want.append(np.asarray(preds["label"]))
+    if feeder is not None:
+        feeder.stop()
+    want = np.concatenate(want, axis=0)
+
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic,
+        synthetic_num_batches=32,
+    )
+    got = predict_tool.predict(
+        graph,
+        str(tmp_path / "snap_iter3"),
+        reader,
+        max_batches=model.solver.max_eval_batches,
+        resource_manager=mesh8,
+    )
+    assert set(got) == {"label"}
+    np.testing.assert_allclose(got["label"], want, rtol=1e-5, atol=1e-6)
+
+
+def test_remote_fs_snapshot_roundtrip(mesh8, tmp_path):
+    """Snapshot dump/load through a non-local FileSystem backend (fsspec
+    'memory://' stands in for hdfs/s3/gcs — reference: fs-agnostic
+    EmbeddingParameterIO, weight_io/fs_interface.cpp + DataSourceParams)."""
+    model = _build_dcn_model(mesh8, batchsize=64)
+    for _ in range(3):
+        model.train()
+    model.download_params_to_files("memory://ckpt/snap", 3)
+    ref = model.ec.export_table(model.state["emb_tables"], "t0").copy()
+    for _ in range(3):
+        model.train()
+    assert not np.allclose(ref, model.ec.export_table(model.state["emb_tables"], "t0"))
+    model.load_params_from_files("memory://ckpt/snap_iter3")
+    np.testing.assert_allclose(
+        ref, model.ec.export_table(model.state["emb_tables"], "t0"), rtol=1e-6
+    )
+    # graph JSON round-trips through the same layer
+    model.graph_to_json("memory://ckpt/graph.json")
+    m2 = hugectr.Model.construct_from_json(
+        "memory://ckpt/graph.json",
+        reader_params=hugectr.DataReaderParams(
+            data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=8
+        ),
+        resource_manager=mesh8,
+    )
+    assert [l.layer_type for l in m2.dense_layers] == [
+        l.layer_type for l in model.dense_layers
+    ]

@@ -13,6 +13,11 @@ import pytest
 
 SAMPLES = [
     "criteo_parquet", "wdl", "dcn", "deepfm", "ncf", "mmoe", "din", "bst",
+    # NCF family variants (reference: samples/ncf/{ncf,neumf}.py)
+    "ncf --variant ncf",
+    "ncf --variant neumf",
+    # single shared-bottom multi-task (reference: samples/mmoe/shared_bottom.py)
+    "mmoe --variant shared_bottom",
     "dlrm_ftrl",
     # FTRL DLRM with max_vocabulary_size=-1 dynamic tables
     # (reference: samples/ftrl/dlrm_train_ftrl.py --use_dynamic_hash_table)

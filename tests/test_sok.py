@@ -342,3 +342,45 @@ def test_lookup_sparse_sp_weights(mesh8):
     got_b = eng.ec.export_table(tables2, "b")
     np.testing.assert_allclose(got_a, want_a, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(got_b, want_b, rtol=1e-4, atol=1e-4)
+
+
+def test_dynamic_variable_to_static_roundtrip(mesh1):
+    """to_static/to_dynamic conversion (reference:
+    dynamic_variable.py:205-222): snapshot rows for a key set into a dense
+    buffer, train it with dense code, write it back exactly."""
+    sok.init(mesh1)
+    v = sok.DynamicVariable(
+        dimension=8, initial_capacity=64, key=jax.random.key(2),
+        opt_params=OptParams(Optimizer_t.SGD, lr=1.0),
+    )
+    keys = np.array([5, 900001, 13], dtype=np.int64)
+    v.apply_gradients(keys.astype(np.int32).reshape(-1, 1),
+                      np.ones((3, 8), np.float32), lr=1.0)
+    before = np.asarray(v.lookup(keys.astype(np.int32).reshape(-1, 1)),
+                        np.float32)
+    # snapshot: trained keys read their rows, an unseen key reads zeros
+    buf = v.to_static(np.array([5, 900001, 13, 777], dtype=np.int64))
+    np.testing.assert_allclose(buf[:3], before, rtol=1e-6)
+    np.testing.assert_array_equal(buf[3], 0.0)
+    assert v.is_static()
+    with pytest.raises(RuntimeError):
+        v.lookup(keys.astype(np.int32).reshape(-1, 1))
+    with pytest.raises(RuntimeError):
+        v.apply_gradients(keys.astype(np.int32).reshape(-1, 1),
+                          np.ones((3, 8), np.float32), lr=1.0)
+    with pytest.raises(RuntimeError):
+        v.to_static(keys)
+    # dense "training": assign a modified buffer, then convert back
+    v.assign(buf + 2.0)
+    v.to_dynamic()
+    assert not v.is_static()
+    with pytest.raises(RuntimeError):
+        v.to_dynamic()
+    after = np.asarray(
+        v.lookup(np.array([[5], [900001], [13], [777]], np.int32)),
+        np.float32,
+    )
+    np.testing.assert_allclose(after[:3], before + 2.0, rtol=1e-6)
+    # the unseen key was inserted by the write-back with its buffer value
+    np.testing.assert_allclose(after[3], np.full(8, 2.0), rtol=1e-6)
+    assert v.size == 4
