@@ -36,14 +36,16 @@ def main():
     # optimizer (torchrec ROWWISE_ADAGRAD); AUC-gated vs element-wise
     # AdaGrad in test_convergence.py::test_rowwise_adagrad_convergence_gate
     os.environ.setdefault("HCTR_BENCH_OPT", "rowwise_adagrad")
-    # hot/cold split (HybridEmbedding frequent/infrequent analog): first 64k
-    # rows of each big table live in per-table small storage groups where XLA
-    # row ops run in the cheap small-operand regime (~5-10 ns/row vs ~30).
-    # EXACT for any key distribution (test_hot_cold_split.py); the speed
-    # benefit assumes frequency-ordered vocab, which power-law synthetic keys
-    # and --frequency-remap'd Criteo both satisfy. Measured sweep (v5e):
-    # 16k=110.6k / 32k=114.2k / 64k=117.2k / 128k=111.8k ex/s.
-    os.environ.setdefault("HCTR_TPU_HOT_ROWS", "65536")
+    # hot/cold split (HybridEmbedding frequent/infrequent analog): the hot
+    # prefix of each big table lives in per-table small storage groups where
+    # XLA row ops run in the cheap small-operand regime (~5-10 ns/row vs
+    # ~30). EXACT for any key distribution (test_hot_cold_split.py); the
+    # speed benefit assumes frequency-ordered vocab, which power-law
+    # synthetic keys and --frequency-remap'd Criteo both satisfy.
+    # Sweeps (v5e, ex/s): batch 8192 @SH1024: 16k=110.6k / 32k=114.2k /
+    # 64k=117.2k / 128k=111.8k; batch 16384 @SH1024: 64k=183.7k /
+    # 128k=184.7k (2048-row superhot regresses: 64k=177.2k, 128k=178.3k).
+    os.environ.setdefault("HCTR_TPU_HOT_ROWS", "131072")
     os.environ.setdefault("HCTR_TPU_SPLIT_VOCAB", "16384")
     # superhot MXU tier: first 1k rows of each split table served by the
     # one-hot counts-matmul engine (power-law head at flops cost instead of
@@ -68,7 +70,11 @@ def main():
 
     n_dev = len(jax.devices())
     on_tpu = jax.devices()[0].platform == "tpu"
-    batch = int(os.environ.get("HCTR_BENCH_BATCH", 8192 if on_tpu else 256))
+    # operating point: per-chip batch 16384 (HugeCTR's own scaling chart
+    # batch; MLPerf v3.1 per-GPU batches are 6912/2112 — batch is reported
+    # in the JSON). Measured (v5e, ex/s): 8192=167.8k / 16384=183.7k /
+    # 32768=180.4k at the 64k/1k tiers; 16384 re-tuned -> 184.7k.
+    batch = int(os.environ.get("HCTR_BENCH_BATCH", 16384 if on_tpu else 256))
     vocab_cap = int(
         os.environ.get("HCTR_BENCH_VOCAB_CAP", 2_000_000 if on_tpu else 2000)
     )

@@ -28,7 +28,12 @@ _LIB_LOCK = threading.Lock()
 
 
 def _native_dir() -> str:
-    return os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    # repo checkout layout by default; installed environments can point
+    # HCTR_TPU_NATIVE_DIR at a copy of native/ (see pyproject.toml)
+    return os.environ.get(
+        "HCTR_TPU_NATIVE_DIR",
+        os.path.join(os.path.dirname(__file__), "..", "..", "native"),
+    )
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
