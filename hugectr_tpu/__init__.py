@@ -7,8 +7,10 @@ dense network is data-parallel, with a HugeCTR-style Python Model API so
 reference user scripts translate nearly 1:1.
 """
 from .core.config import (
+    AsyncParam,
     DataReaderParams,
     DataReaderSparseParam,
+    DataSourceParams,
     DenseLayer,
     DenseLayerComputeConfig,
     Input,
@@ -18,16 +20,31 @@ from .core.config import (
 from .core.mesh import ResourceManager
 from .core.types import (
     Activation_t,
+    Alignment_t,
+    AllReduceAlgo,
     Check_t,
     Combiner_t,
     CommunicationStrategy,
+    CompressionStrategy,
     DataReaderType_t,
+    DeviceLayout,
+    Distribution_t,
+    Error_t,
+    FcPosition_t,
+    FileSystemType_t,
+    HugeCTRError,
     Initializer_t,
+    LrPolicy_t,
     Metric_t,
+    MetricsRawType,
+    MetricsType,
     Optimizer_t,
     PowerLaw_t,
     Regularizer_t,
+    SourceType_t,
     TablePlacementStrategy,
+    Tensor_t,
+    TrainPSType_t,
     Update_t,
 )
 from .data.generator import DataGenerator, DataGeneratorParams
@@ -40,6 +57,9 @@ from .embedding.config import (
 from .model.model import Model, TrainingCallback
 from .optim.lr_schedule import LearningRateScheduler
 from .optim.params import OptParams
+
+# reference pybind class name for optimizer params (OptParamsPy)
+OptParamsPy = OptParams
 
 # Activation_t.Non alias used by reference scripts (hugectr.Activation_t.Non)
 Activation_t.Non = Activation_t.NonE
@@ -99,4 +119,22 @@ __all__ = [
     "DataGeneratorParams",
     "LearningRateScheduler",
     "ResourceManager",
+    "AsyncParam",
+    "DataSourceParams",
+    "OptParamsPy",
+    "Error_t",
+    "HugeCTRError",
+    "FileSystemType_t",
+    "SourceType_t",
+    "TrainPSType_t",
+    "Alignment_t",
+    "LrPolicy_t",
+    "FcPosition_t",
+    "Distribution_t",
+    "Tensor_t",
+    "AllReduceAlgo",
+    "DeviceLayout",
+    "CompressionStrategy",
+    "MetricsType",
+    "MetricsRawType",
 ]

@@ -137,6 +137,61 @@ class Solver:
 
 
 @dataclasses.dataclass
+class AsyncParam:
+    """Asynchronous raw-reader tuning (reference: AsyncParam pybind class,
+    python_interface.md "AsyncParam"). Mapping onto the TPU-native reader
+    (native/raw_reader.cpp threaded ring buffer + DeviceFeeder):
+    `num_threads` -> fill threads, `num_batches_per_thread` -> ring queue
+    depth per thread, `shuffle` -> reader-side batch shuffling. The AIO
+    knobs (`max_num_requests_per_thread`, `io_depth`, `io_alignment`,
+    `aligned_type`) have no analog in the pread ring design and are
+    accepted for config compatibility; the reference itself ignores them
+    when `multi_hot_reader=True` — the only live mode in this snapshot
+    (add_input.cpp:188-190)."""
+
+    num_threads: int = 1
+    num_batches_per_thread: int = 4
+    max_num_requests_per_thread: int = 72
+    io_depth: int = 4
+    io_alignment: int = 512
+    shuffle: bool = False
+    aligned_type: Any = "auto"  # Alignment_t
+    multi_hot_reader: bool = True
+    is_dense_float: bool = True
+
+    def __post_init__(self):
+        if not self.multi_hot_reader and self.is_dense_float:
+            raise ValueError(
+                "multi_hot_reader=False requires is_dense_float=False "
+                "(reference AsyncParam constraint)"
+            )
+
+
+@dataclasses.dataclass
+class DataSourceParams:
+    """Remote filesystem selection for dataset/model IO (reference:
+    include/io/filesystem.hpp:122 DataSourceParams + data_source_wrapper).
+    With fsspec-backed io.filesystem the scheme inside each path already
+    selects the backend; this object exists so reference configs carry over
+    and provides `make_uri` to prefix plain paths."""
+
+    source: Any = "local"  # FileSystemType_t
+    server: str = "localhost"
+    port: int = 9000
+
+    def make_uri(self, path: str) -> str:
+        from .types import FileSystemType_t
+
+        fs = FileSystemType_t(self.source)
+        if fs == FileSystemType_t.Local or "://" in path:
+            return path
+        scheme = {"hdfs": "hdfs", "s3": "s3", "gcs": "gs"}[fs.value]
+        if fs == FileSystemType_t.HDFS:
+            return f"{scheme}://{self.server}:{self.port}{path}"
+        return f"{scheme}://{path.lstrip('/')}"
+
+
+@dataclasses.dataclass
 class DataReaderParams:
     """Dataset declaration (reference: DataReaderParams pybind wrapper)."""
 

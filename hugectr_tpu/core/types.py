@@ -151,6 +151,139 @@ class KeysPreprocessStrategy(str, enum.Enum):
     AddOffset = "add_offset"
 
 
+class Error_t(str, enum.Enum):
+    """Error taxonomy (reference: core23/error.hpp Error_t). The GPU-library
+    codes (Cublas/Cudnn/Nccl/CudaDriver/CudaRuntime) have no TPU analog —
+    XLA failures surface as Python exceptions — but the names are kept so
+    user code matching on them still imports."""
+
+    Success = "success"
+    FileCannotOpen = "file_cannot_open"
+    BrokenFile = "broken_file"
+    OutOfMemory = "out_of_memory"
+    OutOfBound = "out_of_bound"
+    WrongInput = "wrong_input"
+    IllegalCall = "illegal_call"
+    NotInitialized = "not_initialized"
+    EndOfFile = "end_of_file"
+    UnSupportedFormat = "unsupported_format"
+    InvalidEnv = "invalid_env"
+    DataCheckError = "data_check_error"
+    MpiError = "mpi_error"
+    CudaDriverError = "cuda_driver_error"
+    CudaRuntimeError = "cuda_runtime_error"
+    CublasError = "cublas_error"
+    CudnnError = "cudnn_error"
+    NcclError = "nccl_error"
+    UnspecificError = "unspecific_error"
+
+
+class HugeCTRError(RuntimeError):
+    """Typed runtime error carrying an Error_t (reference: HCTR_OWN_THROW)."""
+
+    def __init__(self, error_t: Error_t, msg: str = ""):
+        self.error_t = Error_t(error_t)
+        super().__init__(f"[{self.error_t.name}] {msg}")
+
+
+class FileSystemType_t(str, enum.Enum):
+    """Remote/local filesystem backend selector (reference:
+    include/io/filesystem.hpp FileSystemType_t); consumed by
+    DataSourceParams and io.filesystem."""
+
+    Local = "local"
+    HDFS = "hdfs"
+    S3 = "s3"
+    GCS = "gcs"
+    Other = "other"
+
+
+class SourceType_t(str, enum.Enum):
+    """Data source framing (reference: common.hpp SourceType_t)."""
+
+    FileList = "file_list"
+    Mmap = "mmap"
+    Parquet = "parquet"
+
+
+class TrainPSType_t(str, enum.Enum):
+    """EmbeddingTrainingCache host parameter-server mode (reference:
+    common.hpp TrainPSType_t; embedding_training_cache.hpp)."""
+
+    Staged = "staged"
+    Cached = "cached"
+
+
+class Alignment_t(str, enum.Enum):
+    """AsyncParam dense-dim alignment (reference: common.hpp Alignment_t).
+    `Auto` pads the dense input to an 8-aligned width."""
+
+    Auto = "auto"
+    Non = "none"
+
+
+class LrPolicy_t(str, enum.Enum):
+    """LR policy (reference: parser.hpp LrPolicy_t — only `fixed` exists)."""
+
+    fixed = "fixed"
+
+
+class FcPosition_t(str, enum.Enum):
+    """Fused fully-connected fusion position (reference: common.hpp
+    FcPosition_t). On TPU the XLA compiler owns GEMM fusion, so this is an
+    accepted-for-parity hint carried by DenseLayer.pos_type."""
+
+    Non = "none"
+    Head = "head"
+    Body = "body"
+    Tail = "tail"
+    Isolated = "isolated"
+
+
+class Distribution_t(str, enum.Enum):
+    """Synthetic key distribution (reference: common.hpp Distribution_t)."""
+
+    Uniform = "uniform"
+    PowerLaw = "power_law"
+
+
+class Tensor_t(str, enum.Enum):
+    """Which graph a tensor is fetched from in check_out_tensor
+    (reference: common.hpp Tensor_t)."""
+
+    Train = "train"
+    Evaluate = "evaluate"
+
+
+class AllReduceAlgo(str, enum.Enum):
+    """All-reduce algorithm choice (reference: all_reduce_comm.hpp).
+    Accepted for parity — XLA's collective lowering owns algorithm
+    selection on TPU (SURVEY §5 mapping)."""
+
+    OneShot = "oneshot"
+    NCCL = "nccl"
+
+
+class DeviceLayout(str, enum.Enum):
+    """Device map layout (reference: device_map.hpp DeviceMap::Layout).
+    Mesh construction on TPU is mesh-axis-ordered; accepted for parity."""
+
+    LocalFirst = "local_first"
+    NodeFirst = "node_first"
+
+
+# Reference metrics enum aliases (pybind: MetricsType / MetricsRawType).
+MetricsType = Metric_t
+
+
+class MetricsRawType(str, enum.Enum):
+    """Raw tensors a metric consumes (reference: metrics.hpp RawType)."""
+
+    Loss = "loss"
+    Pred = "pred"
+    Label = "label"
+
+
 # Default dtypes for the TPU engine.
 DEFAULT_KEY_DTYPE = jnp.int32
 DEFAULT_KEY_DTYPE_I64 = jnp.int64

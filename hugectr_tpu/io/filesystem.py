@@ -113,6 +113,13 @@ def isdir(path: str) -> bool:
         return fs.fs.exists(path)
 
 
+def listdir(path: str):
+    fs = FileSystem(path)
+    if fs.fs is None:
+        return sorted(os.listdir(path))
+    return sorted(os.path.basename(p.rstrip("/")) for p in fs.fs.ls(path))
+
+
 def open_file(path: str, mode: str = "rb"):
     return FileSystem(path).open(path, mode)
 

@@ -79,6 +79,36 @@ class TrainingCallback:
         pass
 
 
+class _DataReaderHandle:
+    """Low-level reader view (reference: python_interface.md "DataReader" —
+    set_source + is_eof). Obtained via Model.get_data_reader_train/eval."""
+
+    def __init__(self, model: "Model", train: bool):
+        self._model = model
+        self._train = train
+
+    @property
+    def reader(self):
+        return (
+            self._model.train_reader if self._train else self._model.eval_reader
+        )
+
+    def set_source(self, file_name: str = "") -> None:
+        """Re-point this reader at a new source file/list (reference:
+        DataReader::set_source); resets EOF."""
+        if self._train:
+            self._model.set_source(source=file_name or None)
+        else:
+            self._model.set_source(eval_source=file_name)
+
+    def is_eof(self) -> bool:
+        """True once a non-repeating source ran out (reference:
+        DataReader::is_eof)."""
+        if self._train:
+            return bool(getattr(self._model, "_train_eof", False))
+        return False
+
+
 class Model:
     """add()/compile()/fit() orchestrator (reference: pybind Model)."""
 
@@ -372,6 +402,9 @@ class Model:
         dopt_state = jax.device_put(self.dense_opt.init(dense_params), rep)
         state = {
             "step": jnp.zeros((), jnp.int32),
+            # explicit LR override (low-level API Model.set_learning_rate);
+            # <= 0 means "use the in-graph scheduler"
+            "lr_override": jnp.asarray(-1.0, jnp.float32),
             "rng": jax.device_put(rng, rep),
             "dense_params": dense_params,
             "net_state": net_state,
@@ -455,19 +488,36 @@ class Model:
                 and not self.solver.i64_input_key
             )
             # Raw rows carry labels/dense as ints unless float_label_dense
-            self._fused_float = bool(rp.float_label_dense)
+            # (or AsyncParam.is_dense_float for the multi-hot reader)
             # prefer the native threaded IO core (AsyncDataReader analog)
             from ..data.native_reader import NativeRawReader, native_available
 
+            # AsyncParam tuning (reference: AsyncParam pybind class):
+            # num_threads -> fill threads, num_batches_per_thread -> ring
+            # queue depth; is_dense_float mirrors float_label_dense
+            ap = rp.async_param
+            n_threads = getattr(ap, "num_threads", rp.num_workers) or rp.num_workers
+            q_depth = (
+                max(getattr(ap, "num_batches_per_thread", 6) or 6, 2)
+                if ap is not None
+                else 6
+            )
+            dense_float = rp.float_label_dense or bool(
+                ap is not None
+                and getattr(ap, "is_dense_float", False)
+                and getattr(ap, "multi_hot_reader", True)
+            )
+            self._fused_float = dense_float
             if native_available():
                 try:
                     return NativeRawReader(
                         src,
                         spec,
                         num_samples=rp.num_samples if train else rp.eval_num_samples,
-                        float_label_dense=rp.float_label_dense,
+                        float_label_dense=dense_float,
                         repeat=self.solver.repeat_dataset if train else False,
-                        n_threads=rp.num_workers,
+                        n_threads=n_threads,
+                        queue_depth=q_depth,
                         process_index=self.rm.process_index,
                         num_processes=self.rm.num_processes,
                         fused=fused,
@@ -478,7 +528,7 @@ class Model:
                 src,
                 spec,
                 num_samples=rp.num_samples if train else rp.eval_num_samples,
-                float_label_dense=rp.float_label_dense,
+                float_label_dense=dense_float,
                 drop_incomplete=self.solver.drop_incomplete_batch,
                 repeat=self.solver.repeat_dataset if train else False,
                 process_index=self.rm.process_index,
@@ -653,7 +703,8 @@ class Model:
         def train_step(state, batch, rng=None):
             batch = self._decode_batch(batch)
             step = state["step"] + 1
-            lr = lr_sch(step)
+            ov = state.get("lr_override", jnp.asarray(-1.0, jnp.float32))
+            lr = jnp.where(ov > 0, ov, lr_sch(step))
             if rng is None:
                 # in-graph per-step stream. NOTE: callers that loop
                 # train_async without any host-side per-step work must NOT
@@ -719,6 +770,7 @@ class Model:
                 )
             new_state = {
                 "step": step,
+                "lr_override": ov,
                 "rng": state["rng"],
                 "dense_params": new_dense,
                 "net_state": new_net_state,
@@ -890,13 +942,21 @@ class Model:
         keep the accelerator busy as long as the host never blocks.
         """
         self.start_data_reading()
-        batch = next(self._train_iter)
+        try:
+            batch = next(self._train_iter)
+        except StopIteration:
+            # non-repeating source exhausted (reference: IDataReader EOF;
+            # observable via get_data_reader_train().is_eof(), reset with
+            # set_source)
+            self._train_eof = True
+            raise
         # host-side split doubles as a dispatch throttle: the tiny per-step
         # host work keeps the async queue short enough that no device
         # straggles past XLA's collective-rendezvous timeout (CPU backend)
         self._rng, sub = jax.random.split(self._rng)
         self.state, loss = self._train_step(self.state, batch, sub)
         self._iter += 1
+        self._last_loss = loss
         return loss
 
     def _eval_batches(self):
@@ -939,6 +999,7 @@ class Model:
         for name, acc in self._task_metrics.items():
             for m, v in acc.finalize().items():
                 vals[f"{m}_{name}"] = v
+        self._last_eval_metrics = vals
         return vals
 
     def fit(
@@ -1166,6 +1227,208 @@ class Model:
             meta = json.load(f)
         self.state["step"] = jnp.asarray(meta.get("step", 0), jnp.int32)
         self._iter = meta.get("iteration", 0)
+
+    # ---------------------------------------- reference-parity persistence
+    def save_params_to_files(self, prefix: str, iteration: int = 0) -> None:
+        """Reference naming (Model::save_params_to_files, model.cpp) for
+        download_params_to_files."""
+        self.download_params_to_files(prefix, iteration)
+
+    def _dense_npz(self, path: str) -> Dict[str, np.ndarray]:
+        if path.endswith(".npz"):
+            return iofs.load_npz(path)
+        return iofs.load_npz(os.path.join(path, "dense_model.npz"))
+
+    def load_dense_weights(self, path: str) -> None:
+        """Load ONLY dense weights + layer state from a snapshot dir or a
+        dense_model.npz (reference: Model::load_dense_weights for resume /
+        fine-tune flows)."""
+        data = self._dense_npz(path)
+
+        def _restore(tree, prefix=""):
+            if isinstance(tree, dict):
+                return {k: _restore(v, f"{prefix}{k}/") for k, v in tree.items()}
+            return jnp.asarray(data[prefix[:-1]])
+
+        rep = self.rm.replicated_sharding()
+        self.state["dense_params"] = jax.device_put(
+            _restore(self.state["dense_params"], "dense/"), rep
+        )
+        self.state["net_state"] = jax.device_put(
+            _restore(self.state["net_state"], "net_state/"), rep
+        )
+
+    def load_dense_optimizer_states(self, path: str) -> None:
+        """Load dense optimizer slots (reference:
+        Model::load_dense_optimizer_states)."""
+        data = self._dense_npz(path)
+
+        def _restore(tree, prefix=""):
+            if isinstance(tree, dict):
+                return {k: _restore(v, f"{prefix}{k}/") for k, v in tree.items()}
+            return jnp.asarray(data[prefix[:-1]])
+
+        self.state["dopt"] = jax.device_put(
+            _restore(self.state["dopt"], "dopt/"),
+            self.rm.replicated_sharding(),
+        )
+
+    def _sparse_sources(self, paths) -> Dict[str, str]:
+        """Normalize load_sparse_* inputs to {table_name: npy path}."""
+        if self.ec is None:
+            return {}
+        names = [t.name for g in self.ec.plan.groups for t in g.tables]
+        names += list(self.ec.plan.table_splits)
+        out: Dict[str, str] = {}
+        if isinstance(paths, str):
+            for n in names:
+                p = os.path.join(paths, f"sparse_{n}", "emb_vector.npy")
+                if iofs.exists(p):
+                    out[n] = p
+            return out
+        if isinstance(paths, dict):
+            return {k: v for k, v in paths.items()}
+        for p in paths:  # list of per-embedding dirs (reference layout)
+            base = os.path.basename(p.rstrip("/"))
+            name = base[len("sparse_"):] if base.startswith("sparse_") else base
+            f = os.path.join(p, "emb_vector.npy")
+            out[name] = f if iofs.exists(f) else p
+        return out
+
+    def load_sparse_weights(self, sparse_embedding_files) -> None:
+        """Load embedding tables from per-table folders / a snapshot dir /
+        a {table: path} dict (reference: Model::load_sparse_weights)."""
+        for name, path in self._sparse_sources(sparse_embedding_files).items():
+            self.state["emb_tables"] = self.ec.import_table(
+                self.state["emb_tables"], name, iofs.load_npy(path)
+            )
+
+    def load_sparse_optimizer_states(self, path) -> None:
+        """Load sparse optimizer slots from a snapshot dir's
+        emb_opt_states/ or a {group.slot: path} dict (reference:
+        Model::load_sparse_optimizer_states)."""
+        if self.ec is None:
+            return
+        if isinstance(path, dict):
+            items = path.items()
+        else:
+            edir = path if os.path.basename(
+                path.rstrip("/")
+            ) == "emb_opt_states" else os.path.join(path, "emb_opt_states")
+            items = []
+            for gname, st in self.state["eopt"].items():
+                for slot in st:
+                    p = os.path.join(edir, f"{gname}.{slot}.npy")
+                    if iofs.exists(p):
+                        items.append((f"{gname}.{slot}", p))
+        for key, p in items:
+            gname, slot = key.rsplit(".", 1)
+            sharding = self.state["eopt"][gname][slot].sharding
+            self.state["eopt"][gname][slot] = jax.device_put(
+                jnp.asarray(iofs.load_npy(p)), sharding
+            )
+
+    def embedding_dump(self, dump_path: str, table_names=None) -> None:
+        """Structured per-table dump (reference: Model::embedding_dump via
+        EmbeddingParameterIO, model.cpp:521-666): writes
+        ``{dump_path}/{table}/emb_vector.npy`` (+ key_store.npy for exact
+        dynamic tables) for the selected tables."""
+        if self.ec is None:
+            raise RuntimeError("no embedding collection in this model")
+        if table_names is None:
+            table_names = [
+                t.name
+                for g in self.ec.plan.groups
+                for t in g.tables
+                if "::" not in t.name
+            ] + list(self.ec.plan.table_splits)
+        write = self.rm.is_master_process()
+        for name in table_names:
+            arr = self.ec.export_table(self.state["emb_tables"], name)
+            if write:
+                tdir = os.path.join(dump_path, name)
+                iofs.makedirs(tdir)
+                iofs.save_npy(os.path.join(tdir, "emb_vector.npy"), arr)
+
+    def embedding_load(self, load_path: str, table_names=None) -> None:
+        """Load per-table dumps written by embedding_dump (reference:
+        Model::embedding_load)."""
+        if self.ec is None:
+            raise RuntimeError("no embedding collection in this model")
+        if table_names is None:
+            table_names = [
+                d for d in iofs.listdir(load_path)
+                if iofs.exists(os.path.join(load_path, d, "emb_vector.npy"))
+            ]
+        for name in table_names:
+            vals = iofs.load_npy(os.path.join(load_path, name, "emb_vector.npy"))
+            self.state["emb_tables"] = self.ec.import_table(
+                self.state["emb_tables"], name, vals
+            )
+
+    # -------------------------------------------- low-level training API
+    def set_learning_rate(self, lr: float) -> None:
+        """Explicit LR for subsequent steps (reference low-level API
+        Model::set_learning_rate); lr <= 0 restores the scheduler."""
+        self.state["lr_override"] = jnp.asarray(float(lr), jnp.float32)
+
+    def get_learning_rate_scheduler(self):
+        """The host-side LearningRateScheduler (reference:
+        Model::get_learning_rate_scheduler; use get_next(step))."""
+        return self.lr_sch
+
+    def reset_learning_rate_scheduler(
+        self, base_lr, warmup_steps=1, decay_start=0, decay_steps=1,
+        decay_power=2.0, end_lr=0.0,
+    ) -> None:
+        """Swap scheduler parameters mid-training (reference:
+        Model::reset_learning_rate_scheduler). Rebuilds the jitted steps
+        (the schedule is baked into the compiled program)."""
+        from ..optim.lr_schedule import LearningRateScheduler
+
+        self.lr_sch = LearningRateScheduler(
+            base_lr, warmup_steps, decay_start, decay_steps, decay_power,
+            end_lr,
+        )
+        self._build_steps()
+
+    def get_current_loss(self) -> float:
+        """Loss of the most recent train() call (reference:
+        Model::get_current_loss)."""
+        loss = getattr(self, "_last_loss", None)
+        return float(loss) if loss is not None else 0.0
+
+    def get_eval_metrics(self):
+        """Metrics of the most recent eval() (reference:
+        Model::get_eval_metrics)."""
+        return dict(getattr(self, "_last_eval_metrics", {}))
+
+    def get_data_reader_train(self):
+        """Low-level reader handle with set_source/is_eof (reference:
+        Model::get_data_reader_train, python_interface.md DataReader)."""
+        return _DataReaderHandle(self, train=True)
+
+    def get_data_reader_eval(self):
+        return _DataReaderHandle(self, train=False)
+
+    def set_source(self, source=None, eval_source: str = "") -> None:
+        """Swap dataset sources mid-run (reference: Model::set_source —
+        epoch-mode flows re-point the readers between epochs). Rebuilds the
+        affected readers; training continues from the current state."""
+        if source is not None:
+            self.reader_params.source = (
+                [source] if isinstance(source, str) else list(source)
+            )
+            self.train_reader = self._make_reader(train=True)
+            if getattr(self, "_train_feeder", None) is not None:
+                self._train_feeder.stop()
+            self._train_iter = None
+            self._train_feeder = None
+            self._train_eof = False
+        if eval_source:
+            self.reader_params.eval_source = eval_source
+            self.eval_reader = self._make_reader(train=False)
+            self._eval_cache = None
 
     # -------------------------------------------------------------- utility
     def _perf_log(self, key: str, **kw) -> None:
