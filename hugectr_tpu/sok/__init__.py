@@ -491,6 +491,107 @@ class DynamicVariable(Variable):
         return out
 
 
+class DistributedVariable(Variable):
+    """Row-sharded (key % P) variable — sok.Variable(mode="distributed")
+    as an explicit class (reference: distributed_variable.py:126)."""
+
+    def __init__(self, *args, **kw):
+        kw["mode"] = "distributed"
+        super().__init__(*args, **kw)
+
+
+class LocalizedVariable(Variable):
+    """Whole-table-per-owner variable (reference:
+    distributed_variable.py:235 — `mode="localized:<gpu>"`). The TPU
+    mapping is partial placement with ONE logical shard: every replica
+    group holds the full table (shard_counts=1)."""
+
+    def __init__(self, *args, target_gpu: int = 0, **kw):
+        kw["mode"] = f"localized:{target_gpu}"
+        super().__init__(*args, **kw)
+
+
+def export(var: DynamicVariable):
+    """(indices, values) of every resident key (reference: sok.export,
+    dynamic_variable.py:465). hkv backend merges both tiers
+    (device-resident rows win)."""
+    if not isinstance(var, DynamicVariable):
+        raise TypeError("sok.export expects a sok.DynamicVariable")
+    if var.backend == "hkv":
+        merged = var.export_merged()
+        keys = np.asarray(sorted(merged), dtype=np.int64)
+        vals = (
+            np.stack([merged[int(k)] for k in keys])
+            if len(keys)
+            else np.zeros((0, var.ev), np.float32)
+        )
+        return keys, vals
+    ec = var.engine.ec
+    g, ti = ec._find_table(var._table_name)
+    live, vals, _st = ec._collect_dynamic_entries(var.tables, var.opt_state, g, ti)
+    return np.asarray(live, np.int64), np.asarray(vals, np.float32)
+
+
+def assign(var: DynamicVariable, indices, values):
+    """Upsert (indices, values) rows into a dynamic variable (reference:
+    sok.assign, dynamic_variable.py:494)."""
+    if not isinstance(var, DynamicVariable):
+        raise TypeError("sok.assign expects a sok.DynamicVariable")
+    keys = np.asarray(indices).reshape(-1)
+    var._write_rows(keys, np.asarray(values, np.float32).reshape(len(keys), -1))
+    return var
+
+
+def sparse_read_and_evict(var: DynamicVariable, indices):
+    """Read rows for `indices`, then migrate them out of the device working
+    set into the host master tier (reference: sok.sparse_read_and_evict,
+    lookup.py:75 — hybrid/HKV backend only)."""
+    if not isinstance(var, DynamicVariable) or var.backend != "hkv":
+        raise TypeError(
+            "sparse_read_and_evict only works on backend='hkv' DynamicVariable"
+        )
+    keys = np.asarray(indices).reshape(-1)
+    vals = np.asarray(var.lookup(jnp.asarray(keys.astype(np.int32))))
+    ec = var.engine.ec
+    g, ti = ec._find_table(var._table_name)
+    live, dev_vals, st = ec._collect_dynamic_entries(
+        var.tables, var.opt_state, g, ti
+    )
+    sel = np.isin(live, keys.astype(live.dtype))
+    if sel.any():
+        var._host_upsert(
+            live[sel], np.asarray(dev_vals, np.float32)[sel],
+            {slot: a[sel] for slot, a in st.items()},
+        )
+        var.tables, var.opt_state = ec.evict(
+            var.tables, var.opt_state, var._table_name, live[sel]
+        )
+    return vals
+
+
+class SGD:
+    """Plain-SGD sparse optimizer (reference: sok.SGD, optimizer.py —
+    scatter-sub of lr-scaled IndexedSlices). Gradients may be
+    (values, indices) tuples or objects with .values/.indices."""
+
+    def __init__(self, lr: float):
+        self._lr = float(lr)
+
+    @property
+    def lr(self) -> float:
+        return self._lr
+
+    def apply_gradients(self, grads_and_vars, global_step=None, name=None):
+        for g, v in grads_and_vars:
+            if g is None:
+                continue
+            if hasattr(g, "values") and hasattr(g, "indices"):
+                values, idx = g.values, g.indices
+            else:
+                values, idx = g
+            v.apply_gradients(jnp.asarray(idx), jnp.asarray(values), self._lr)
+
+
 class LookupEngine:
     """Owns tables + compiled plan for a set of lookups; the object returned
     by `build_lookup` and consumed by `lookup_sparse`."""

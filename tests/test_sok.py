@@ -384,3 +384,69 @@ def test_dynamic_variable_to_static_roundtrip(mesh1):
     # the unseen key was inserted by the write-back with its buffer value
     np.testing.assert_allclose(after[3], np.full(8, 2.0), rtol=1e-6)
     assert v.size == 4
+
+
+def test_distributed_localized_variable_classes(mesh8):
+    """Explicit class spellings (reference: distributed_variable.py:126,235)
+    behave like their Variable(mode=...) equivalents."""
+    sok.init(mesh8)
+    dv = sok.DistributedVariable(64, 8, name="dv_cls")
+    lv = sok.LocalizedVariable(64, 8, name="lv_cls", target_gpu=0)
+    keys = jnp.asarray(np.arange(8, dtype=np.int32))
+    assert np.asarray(dv.lookup(keys)).shape == (8, 8)
+    assert np.asarray(lv.lookup(keys)).shape == (8, 8)
+    # localized = one logical shard (whole table per replica group)
+    g, _ = lv.engine.ec._find_table(lv._table_name)
+    assert g.num_shards == 1
+    g2, _ = dv.engine.ec._find_table(dv._table_name)
+    assert g2.num_shards == mesh8.num_devices
+
+
+def test_sok_export_assign_roundtrip(mesh1):
+    """sok.export / sok.assign (reference: dynamic_variable.py:465,494)."""
+    sok.init(mesh1)
+    v = sok.DynamicVariable(dimension=4, initial_capacity=64, name="ea_var")
+    keys = np.asarray([3, 77, 1000], np.int64)
+    vals = np.arange(12, dtype=np.float32).reshape(3, 4)
+    sok.assign(v, keys, vals)
+    out_k, out_v = sok.export(v)
+    order = np.argsort(out_k)
+    np.testing.assert_array_equal(np.sort(out_k), np.sort(keys))
+    got = {int(k): out_v[i] for i, k in enumerate(out_k)}
+    for i, k in enumerate(keys):
+        np.testing.assert_allclose(got[int(k)], vals[i], rtol=1e-6)
+
+
+def test_sparse_read_and_evict(mesh1):
+    """hkv-only read+migrate (reference: lookup.py:75)."""
+    sok.init(mesh1)
+    v = sok.DynamicVariable(
+        dimension=4, initial_capacity=32, name="sre_var", backend="hkv"
+    )
+    keys = np.asarray([5, 9], np.int64)
+    vals = np.asarray([[1, 1, 1, 1], [2, 2, 2, 2]], np.float32)
+    sok.assign(v, keys, vals)
+    got = sok.sparse_read_and_evict(v, keys)
+    np.testing.assert_allclose(got, vals, rtol=1e-6)
+    # rows migrated: device store no longer holds them, host master does
+    assert not set(keys.tolist()) & set(v._device_resident().tolist())
+    assert set(keys.tolist()) <= set(v._host_index.keys())
+    # det backend refuses
+    det = sok.DynamicVariable(dimension=4, initial_capacity=32, name="det_var")
+    with pytest.raises(TypeError):
+        sok.sparse_read_and_evict(det, keys)
+
+
+def test_sok_sgd_optimizer(mesh1):
+    """sok.SGD scatter-sub semantics (reference: optimizer.py SGD)."""
+    sok.init(mesh1)
+    v = sok.Variable(16, 4, name="sgd_var")
+    before = v.to_numpy().copy()
+    keys = np.asarray([2, 7], np.int32)
+    grads = np.ones((2, 4), np.float32)
+    opt = sok.SGD(lr=0.5)
+    opt.apply_gradients([((grads, keys), v)])
+    after = v.to_numpy()
+    np.testing.assert_allclose(after[[2, 7]], before[[2, 7]] - 0.5, rtol=1e-5)
+    untouched = np.setdiff1d(np.arange(16), keys)
+    np.testing.assert_array_equal(after[untouched], before[untouched])
