@@ -371,6 +371,10 @@ class Layer_t:
     Dropout = "Dropout"
     ELU = "ELU"
     ReLU = "ReLU"
+    # fp16 ReLU variant (reference Layer_t::ReLUHalf): on TPU the compute
+    # dtype is session-wide (bf16 under use_mixed_precision) so this is the
+    # same op — accepted so reference configs carry over
+    ReLUHalf = "ReLU"
     Sigmoid = "Sigmoid"
     Softmax = "Softmax"
     PReLU_Dice = "PReLU_Dice"

@@ -99,6 +99,7 @@ class EmbeddingCollectionConfig:
         shard_matrix: Sequence[Sequence[str]],
         shard_strategy: Sequence[Tuple[str, Sequence[str]]],
         column_factors: Optional[Dict[str, int]] = None,
+        compression_strategy=None,
     ) -> None:
         """Declare placement (reference: hugectr_layer_book.md:1212-1231).
 
@@ -108,10 +109,19 @@ class EmbeddingCollectionConfig:
         embedding/common.hpp:253-267 semantics — vocab/f rows per device);
         full-width rows give the XLA-SPMD-natural full-mesh row sharding.
         DP tables must appear on every row like the reference requires.
+
+        `compression_strategy` (reference shard() kwarg,
+        embedding_collection_wrapper.hpp: {CompressionStrategy: [tables]}):
+        accepted for config parity. This engine exchanges POOLED partials
+        (psum_scatter of B x W bytes regardless of key count), so the
+        reference's pre-exchange key dedup (Unique) has no separate comm
+        path here; the row-op benefit is captured post-sort by the exact
+        unique-prefix compaction instead (see PARITY.md §2.2).
         """
         self.shard_matrix = [list(r) for r in shard_matrix]
         self.shard_strategy = [(k, list(v)) for k, v in shard_strategy]
         self.column_factors = dict(column_factors or {})
+        self.compression_strategy = compression_strategy
         dp_tables = {
             name for kind, names in self.shard_strategy if kind == "dp" for name in names
         }

@@ -50,6 +50,19 @@ class EmbeddingTableConfig:
     init_scale: Optional[float] = None  # default: 1/sqrt(ev_size)
     # capacity used for dynamic tables (max_vocabulary_size == -1)
     dynamic_capacity: int = 2 ** 22
+    # reference kwarg spellings (embedding_collection_wrapper.hpp):
+    # opt_params_or_empty folds into opt_params; init_param_or_empty is a
+    # numeric uniform bound folding into init_scale (the reference's
+    # InitParams class is not pybind-registered, so a scalar is the only
+    # Python-reachable form)
+    opt_params_or_empty: Optional[object] = None
+    init_param_or_empty: Optional[float] = None
+
+    def __post_init__(self):
+        if self.opt_params is None and self.opt_params_or_empty is not None:
+            self.opt_params = self.opt_params_or_empty
+        if self.init_scale is None and self.init_param_or_empty is not None:
+            self.init_scale = float(self.init_param_or_empty)
 
     @property
     def is_dynamic(self) -> bool:
