@@ -206,6 +206,12 @@ class DataReaderParams:
     float_label_dense: bool = False
     num_workers: int = 4
     slot_size_array: List[int] = dataclasses.field(default_factory=list)
+    # keyset files for embedding-training-cache flows (reference: deprecated
+    # DataReaderParams.keyset; consumed by EmbeddingTrainingCache passes)
+    keyset: List[str] = dataclasses.field(default_factory=list)
+    # remote-FS selection applied to source/eval_source (reference:
+    # DataReaderParams.data_source_params)
+    data_source_params: Optional[Any] = None
     # RawAsync/multi-hot extras
     async_param: Optional[Any] = None
     # synthetic reader extras
@@ -217,6 +223,13 @@ class DataReaderParams:
         self.data_reader_type = DataReaderType_t(self.data_reader_type)
         if isinstance(self.source, str):
             self.source = [self.source]
+        if isinstance(self.keyset, str):
+            self.keyset = [self.keyset]
+        if self.data_source_params is not None:
+            mk = self.data_source_params.make_uri
+            self.source = [mk(s) for s in self.source]
+            if self.eval_source:
+                self.eval_source = mk(self.eval_source)
 
 
 @dataclasses.dataclass

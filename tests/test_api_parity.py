@@ -268,3 +268,21 @@ def test_set_source_and_eof(mesh1, tmp_path):
     rd.set_source(str(tmp_path / "b.bin"))
     assert not rd.is_eof()
     model.train()  # reads from the new source
+
+
+def test_data_reader_params_data_source_params():
+    """data_source_params prefixes plain paths (reference:
+    DataReaderParams.data_source_params); keyset is accepted."""
+    dsp = hugectr.DataSourceParams(
+        source=hugectr.FileSystemType_t.HDFS, server="nn", port=8020
+    )
+    rp = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Parquet,
+        source=["/data/file_list.txt"],
+        eval_source="/data/val_list.txt",
+        keyset="/data/file_list.keyset",
+        data_source_params=dsp,
+    )
+    assert rp.source == ["hdfs://nn:8020/data/file_list.txt"]
+    assert rp.eval_source == "hdfs://nn:8020/data/val_list.txt"
+    assert rp.keyset == ["/data/file_list.keyset"]
