@@ -668,10 +668,35 @@ class _Converter:
 def convert(
     onnx_model_path: str,
     graph_config: str,
-    snapshot_dir: str,
+    dense_model: str,
+    convert_embedding: bool = True,
+    sparse_models=None,
+    ntp_file: Optional[str] = None,
+    graph_name: str = "hugectr",
     batch_size: Optional[int] = None,
 ) -> None:
-    """Reference-parity entry point (hugectr2onnx.converter.convert)."""
+    """Reference-parity entry point (hugectr2onnx.converter.convert,
+    onnx_converter/hugectr2onnx/converter.py — same positional/keyword
+    spelling). `dense_model` may be a snapshot DIRECTORY (this framework's
+    layout: dense_model.npz + sparse_<name>/ side by side) or the
+    dense_model.npz file itself; `sparse_models`/`ntp_file` are accepted for
+    signature compatibility — tables and non-trainable state live in the
+    snapshot dir here, so separate paths are unnecessary (a list of
+    `sparse_<name>` dirs inside another directory is honored via their
+    common parent)."""
+    snapshot_dir = dense_model
+    if snapshot_dir.endswith(".npz"):
+        snapshot_dir = os.path.dirname(snapshot_dir) or "."
+    if sparse_models:
+        parents = {os.path.dirname(os.path.abspath(p.rstrip("/")))
+                   for p in sparse_models}
+        if len(parents) == 1 and next(iter(parents)) != os.path.abspath(
+            snapshot_dir
+        ):
+            # sparse dirs live elsewhere; only usable if dense is there too
+            alt = next(iter(parents))
+            if os.path.exists(os.path.join(alt, "dense_model.npz")):
+                snapshot_dir = alt
     with open(graph_config) as f:
         graph = json.load(f)
     _Converter(graph, snapshot_dir, batch_size).run(onnx_model_path)
