@@ -28,6 +28,7 @@ from hugectr_tpu.parallel.plan import (
 )
 
 BASE_ENV = {
+    "HCTR_TPU_ONEHOT_KERNEL": "xla",
     "HCTR_TPU_HOT_ROWS": "0",
     "HCTR_TPU_SUPERHOT_ROWS": "0",
     "HCTR_TPU_ONEHOT_VOCAB": "0",
@@ -73,6 +74,7 @@ def _draw_model(rng):
 def _draw_env(rng):
     env = dict(BASE_ENV)
     env["HCTR_TPU_ONEHOT_VOCAB"] = str(int(rng.choice([0, 1024])))
+    env["HCTR_TPU_ONEHOT_KERNEL"] = str(rng.choice(["xla", "pallas"]))
     hot = int(rng.choice([0, 256]))
     env["HCTR_TPU_HOT_ROWS"] = str(hot)
     if hot:
