@@ -185,7 +185,12 @@ class DataSourceParams:
         fs = FileSystemType_t(self.source)
         if fs == FileSystemType_t.Local or "://" in path:
             return path
-        scheme = {"hdfs": "hdfs", "s3": "s3", "gcs": "gs"}[fs.value]
+        scheme = {"hdfs": "hdfs", "s3": "s3", "gcs": "gs"}.get(fs.value)
+        if scheme is None:
+            raise ValueError(
+                f"DataSourceParams: unsupported backend {fs!r} — pass a "
+                "fully qualified scheme:// path instead"
+            )
         if fs == FileSystemType_t.HDFS:
             return f"{scheme}://{self.server}:{self.port}{path}"
         return f"{scheme}://{path.lstrip('/')}"

@@ -33,7 +33,7 @@ DynamicEmbeddingTable.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -1503,6 +1503,60 @@ class EmbeddingCollection:
                 jnp.asarray(idx),
                 jnp.asarray(vals, dtype=self.dtype),
             )
+        return new
+
+    def export_key_store(
+        self, tables: Dict[str, Array], table_name: str
+    ) -> Optional[np.ndarray]:
+        """Per-table slice of the exact dynamic-table key store, row-aligned
+        with ``export_table``'s rows (reference: DynamicEmbeddingTable dump
+        writes keys alongside vectors, dynamic_embedding.cu). Returns None
+        for static tables — their key→row mapping is positional."""
+        if table_name in self.plan.table_splits:
+            return None  # split tables are static by construction
+        g, ti = self._find_table(table_name)
+        ks = tables.get(f"{g.name}#keys")
+        if ks is None or not g.tables[ti].is_dynamic:
+            return None
+        vocab = int(g.table_vocab[ti])
+        idx = self._table_storage_rows(g, ti, vocab)
+        host = np.asarray(
+            jax.jit(lambda x: x, out_shardings=self.rm.replicated_sharding())(ks)
+        )
+        return host[idx]
+
+    def import_key_store(
+        self, tables: Dict[str, Array], table_name: str, keys: np.ndarray
+    ) -> Dict[str, Array]:
+        """Restore a per-table key-store slice written by export_key_store.
+        Without this, positionally imported dynamic-table values would pair
+        with whatever key→row assignments the live store holds."""
+        g, ti = self._find_table(table_name)
+        ks = tables.get(f"{g.name}#keys")
+        if ks is None or not g.tables[ti].is_dynamic:
+            return tables
+        vocab = int(g.table_vocab[ti])
+        keys = np.asarray(keys)
+        if keys.shape != (vocab,):
+            raise ValueError(
+                f"table {table_name}: expected key store shape {(vocab,)}, "
+                f"got {keys.shape}"
+            )
+        idx = self._table_storage_rows(g, ti, vocab)
+        if g.is_model_parallel and g.num_replicas > 1:
+            stride = g.num_shards * g.total_local_rows
+            idx = np.concatenate(
+                [idx + r * stride for r in range(g.num_replicas)]
+            )
+            keys = np.tile(keys, g.num_replicas)
+        host = np.asarray(
+            jax.jit(lambda x: x, out_shardings=self.rm.replicated_sharding())(ks)
+        ).copy()
+        host[idx] = keys.astype(np.int32)
+        new = dict(tables)
+        new[f"{g.name}#keys"] = jax.device_put(
+            jnp.asarray(host, jnp.int32), ks.sharding
+        )
         return new
 
     def evict(

@@ -8,26 +8,12 @@ installed (gated with a clear error otherwise).
 """
 from __future__ import annotations
 
-import dataclasses
 import os
 from typing import List
 
-
-@dataclasses.dataclass
-class DataSourceParams:
-    """Reference-parity backend selector (include/io/filesystem.hpp:122)."""
-
-    source: str = "local"  # local | hdfs | s3 | gcs
-    server: str = ""
-    port: int = 0
-
-    def prefix(self) -> str:
-        if self.source == "local":
-            return ""
-        scheme = {"hdfs": "hdfs", "s3": "s3", "gcs": "gs"}[self.source]
-        if self.server:
-            return f"{scheme}://{self.server}:{self.port}/"
-        return f"{scheme}://"
+# the canonical DataSourceParams (make_uri) lives in core.config; re-export
+# so older imports keep working without a second scheme-mapping copy
+from ..core.config import DataSourceParams  # noqa: F401
 
 
 class FileSystem:
@@ -117,7 +103,10 @@ def listdir(path: str):
     fs = FileSystem(path)
     if fs.fs is None:
         return sorted(os.listdir(path))
-    return sorted(os.path.basename(p.rstrip("/")) for p in fs.fs.ls(path))
+    # detail=False: fsspec ls() defaults to detail dicts, not path strings
+    return sorted(
+        os.path.basename(p.rstrip("/")) for p in fs.fs.ls(path, detail=False)
+    )
 
 
 def open_file(path: str, mode: str = "rb"):

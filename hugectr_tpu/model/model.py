@@ -106,7 +106,7 @@ class _DataReaderHandle:
         DataReader::is_eof)."""
         if self._train:
             return bool(getattr(self._model, "_train_eof", False))
-        return False
+        return bool(getattr(self._model, "_eval_eof", False))
 
 
 class Model:
@@ -704,7 +704,9 @@ class Model:
             batch = self._decode_batch(batch)
             step = state["step"] + 1
             ov = state.get("lr_override", jnp.asarray(-1.0, jnp.float32))
-            lr = jnp.where(ov > 0, ov, lr_sch(step))
+            # >= 0: an explicit set_learning_rate(0.0) must freeze updates,
+            # not silently re-enable the scheduler
+            lr = jnp.where(ov >= 0, ov, lr_sch(step))
             if rng is None:
                 # in-graph per-step stream. NOTE: callers that loop
                 # train_async without any host-side per-step work must NOT
@@ -982,10 +984,12 @@ class Model:
             acc.reset()
         source, feeder = self._eval_batches()
         n = 0
+        exhausted = True  # flipped off when max_eval_batches stops us first
         for batch in source:
             if n >= self.solver.max_eval_batches:
                 if feeder:
                     feeder.stop()
+                exhausted = False
                 break
             loss, preds, labels = self._eval_step(self.state, batch)
             spec = self.network.loss_specs[0]
@@ -995,6 +999,11 @@ class Model:
             for name, acc in self._task_metrics.items():
                 acc.update(preds[name], labels[name])
             n += 1
+        # non-repeating eval source ran dry before max_eval_batches
+        # (reference: DataReader::is_eof on the eval reader). Cached/
+        # synthetic sources are finite views of repeating data — not EOF.
+        if exhausted and feeder is not None:
+            self._eval_eof = True
         vals = self.metrics.finalize()
         for name, acc in self._task_metrics.items():
             for m, v in acc.finalize().items():
@@ -1285,6 +1294,13 @@ class Model:
                 p = os.path.join(paths, f"sparse_{n}", "emb_vector.npy")
                 if iofs.exists(p):
                     out[n] = p
+            # hot/cold-split sub-tables duplicate the merged user-level view
+            # (snapshots carry both); importing both would write every split
+            # table's device buffer twice — keep only the merged one
+            for user in self.ec.plan.table_splits:
+                if user in out:
+                    for sub, _off in self.ec.plan.table_splits[user]:
+                        out.pop(sub, None)
             return out
         if isinstance(paths, dict):
             return {k: v for k, v in paths.items()}
@@ -1302,6 +1318,27 @@ class Model:
             self.state["emb_tables"] = self.ec.import_table(
                 self.state["emb_tables"], name, iofs.load_npy(path)
             )
+            # per-table key store written by embedding_dump (dynamic tables)
+            kpath = os.path.join(os.path.dirname(path), "key_store.npy")
+            if iofs.exists(kpath):
+                self.state["emb_tables"] = self.ec.import_key_store(
+                    self.state["emb_tables"], name, iofs.load_npy(kpath)
+                )
+        if isinstance(sparse_embedding_files, str):
+            # snapshot-dir form: restore whole-group dynamic key stores
+            # (keystore_<group>.npy, written by download_params_to_files) so
+            # positional values pair with the keys they were dumped under
+            for name in list(self.state["emb_tables"]):
+                if name.endswith("#keys"):
+                    p = os.path.join(
+                        sparse_embedding_files,
+                        f"keystore_{name.replace('#keys', '')}.npy",
+                    )
+                    if iofs.exists(p):
+                        self.state["emb_tables"][name] = jax.device_put(
+                            jnp.asarray(iofs.load_npy(p)),
+                            self.state["emb_tables"][name].sharding,
+                        )
 
     def load_sparse_optimizer_states(self, path) -> None:
         """Load sparse optimizer slots from a snapshot dir's
@@ -1345,10 +1382,15 @@ class Model:
         write = self.rm.is_master_process()
         for name in table_names:
             arr = self.ec.export_table(self.state["emb_tables"], name)
+            ks = self.ec.export_key_store(self.state["emb_tables"], name)
             if write:
                 tdir = os.path.join(dump_path, name)
                 iofs.makedirs(tdir)
                 iofs.save_npy(os.path.join(tdir, "emb_vector.npy"), arr)
+                if ks is not None:
+                    # dynamic tables: keys are the row alignment — without
+                    # them the positional values are meaningless on reload
+                    iofs.save_npy(os.path.join(tdir, "key_store.npy"), ks)
 
     def embedding_load(self, load_path: str, table_names=None) -> None:
         """Load per-table dumps written by embedding_dump (reference:
@@ -1365,11 +1407,17 @@ class Model:
             self.state["emb_tables"] = self.ec.import_table(
                 self.state["emb_tables"], name, vals
             )
+            kpath = os.path.join(load_path, name, "key_store.npy")
+            if iofs.exists(kpath):
+                self.state["emb_tables"] = self.ec.import_key_store(
+                    self.state["emb_tables"], name, iofs.load_npy(kpath)
+                )
 
     # -------------------------------------------- low-level training API
     def set_learning_rate(self, lr: float) -> None:
         """Explicit LR for subsequent steps (reference low-level API
-        Model::set_learning_rate); lr <= 0 restores the scheduler."""
+        Model::set_learning_rate); lr == 0 freezes updates, lr < 0 restores
+        the scheduler."""
         self.state["lr_override"] = jnp.asarray(float(lr), jnp.float32)
 
     def get_learning_rate_scheduler(self):
@@ -1415,9 +1463,14 @@ class Model:
         """Swap dataset sources mid-run (reference: Model::set_source —
         epoch-mode flows re-point the readers between epochs). Rebuilds the
         affected readers; training continues from the current state."""
+        dsp = getattr(self.reader_params, "data_source_params", None)
+        mk = dsp.make_uri if dsp is not None else (lambda s: s)
         if source is not None:
+            # apply the same remote-FS prefixing as the constructor path
+            # (DataReaderParams.__post_init__)
             self.reader_params.source = (
-                [source] if isinstance(source, str) else list(source)
+                [mk(source)] if isinstance(source, str)
+                else [mk(s) for s in source]
             )
             self.train_reader = self._make_reader(train=True)
             if getattr(self, "_train_feeder", None) is not None:
@@ -1426,9 +1479,10 @@ class Model:
             self._train_feeder = None
             self._train_eof = False
         if eval_source:
-            self.reader_params.eval_source = eval_source
+            self.reader_params.eval_source = mk(eval_source)
             self.eval_reader = self._make_reader(train=False)
             self._eval_cache = None
+            self._eval_eof = False
 
     # -------------------------------------------------------------- utility
     def _perf_log(self, key: str, **kw) -> None:

@@ -582,13 +582,39 @@ class SGD:
         return self._lr
 
     def apply_gradients(self, grads_and_vars, global_step=None, name=None):
+        from ..core.types import Optimizer_t
+        from ..optim.params import OptParams
+
         for g, v in grads_and_vars:
             if g is None:
                 continue
             if hasattr(g, "values") and hasattr(g, "indices"):
                 values, idx = g.values, g.indices
-            else:
+            elif isinstance(g, tuple):
                 values, idx = g
+            else:
+                # dense ndarray gradient: applies to every row (TF dense-grad
+                # on a variable semantics)
+                values = jnp.asarray(g)
+                idx = jnp.arange(values.shape[0], dtype=jnp.int32)
+            # sok.SGD ALWAYS does the plain w[idx] -= lr*g scatter-sub
+            # (reference: sok.SGD, optimizer.py) — the variable's own engine
+            # optimizer is replaced, never silently applied in its place
+            # (each Variable owns a private engine, so this is local to v)
+            ec = v.engine.ec
+            if any(
+                ec.group_opt[gr.name].optimizer != Optimizer_t.SGD
+                for gr in ec.plan.groups
+            ):
+                if getattr(ec, "packed_groups", None):
+                    raise ValueError(
+                        "sok.SGD cannot rebind a packed-storage variable "
+                        "(its table layout carries the original optimizer's "
+                        "accumulator); use sok.OptimizerWrapper instead"
+                    )
+                for gr in ec.plan.groups:
+                    ec.group_opt[gr.name] = OptParams(Optimizer_t.SGD, lr=self._lr)
+                v.opt_state = v.engine.init_optimizer(v.tables)
             v.apply_gradients(jnp.asarray(idx), jnp.asarray(values), self._lr)
 
 

@@ -26,14 +26,35 @@ __all__ = ["convert"]
 
 
 class _Converter:
-    def __init__(self, graph: dict, snapshot_dir: str, batch: Optional[int]):
+    def __init__(
+        self,
+        graph: dict,
+        snapshot_dir: str,
+        batch: Optional[int],
+        dense_npz: Optional[str] = None,
+        sparse_dirs: Optional[Dict[str, str]] = None,
+        convert_embedding: bool = True,
+    ):
         self.graph = graph
         self.snap = snapshot_dir
+        self.sparse_dirs = sparse_dirs or {}
+        self.convert_embedding = convert_embedding
         self.batch = batch or "N"
         self.g = OnnxGraph(name=graph.get("solver", {}).get("model_name") or "model")
-        data = np.load(os.path.join(snapshot_dir, "dense_model.npz"))
+        data = np.load(dense_npz or os.path.join(snapshot_dir, "dense_model.npz"))
         self.dense: Dict[str, np.ndarray] = {k: data[k] for k in data.files}
         self.shapes: Dict[str, tuple] = {}
+
+    def _table_dir(self, dirname: str) -> str:
+        """Resolve a sparse-model dir: explicit sparse_models entries win
+        over the snapshot-dir layout (reference converter takes them as a
+        separate list)."""
+        name = dirname[len("sparse_"):] if dirname.startswith("sparse_") else dirname
+        if name in self.sparse_dirs:
+            return self.sparse_dirs[name]
+        if dirname in self.sparse_dirs:
+            return self.sparse_dirs[dirname]
+        return os.path.join(self.snap, dirname)
 
     # ------------------------------------------------------------- helpers
     def w(self, layer_idx: int, pname: str) -> np.ndarray:
@@ -72,14 +93,35 @@ class _Converter:
         key_inputs = {}
         for name, p in feats.items():
             tot = sum(feat_hotness(p))
-            self.g.add_input(name, [b, tot], INT64)
+            if self.convert_embedding:
+                # without embeddings the keys never enter the graph — the
+                # embedding outputs themselves become the model inputs
+                self.g.add_input(name, [b, tot], INT64)
             key_inputs[name] = tot
 
         # embedding collections
         for e in self.graph.get("embedding_collections", []):
+            if not self.convert_embedding:
+                # reference convert_embedding=False: the ONNX graph starts
+                # at the embedding outputs — declare each lookup top as a
+                # model input sized from the graph config
+                evs = {t["name"]: t["ev_size"] for t in e.get("tables", [])}
+                widths: Dict[str, int] = {}
+                for lk in e["lookups"]:
+                    ev = evs[lk["table"]]
+                    w = (
+                        key_inputs[lk["bottom_name"]] * ev
+                        if lk["combiner"] == "concat"
+                        else ev
+                    )
+                    widths[lk["top_name"]] = widths.get(lk["top_name"], 0) + w
+                for top, w in widths.items():
+                    self.g.add_input(top, [b, w])
+                    self.shapes[top] = (b, w)
+                continue
             tops: Dict[str, List[str]] = {}
             for lk in e["lookups"]:
-                tdir = os.path.join(self.snap, f"sparse_{lk['table']}")
+                tdir = self._table_dir(f"sparse_{lk['table']}")
                 table = np.load(os.path.join(tdir, "emb_vector.npy"))
                 tname = self.init_const(f"table_{lk['table']}", table)
                 keys = lk["bottom_name"]
@@ -119,8 +161,15 @@ class _Converter:
 
         # legacy sparse embeddings: [B, slots, ev] tops
         for se in self.graph.get("sparse_embeddings", []):
-            tdir = os.path.join(
-                self.snap, f"sparse_sparse_table_{se['sparse_embedding_name']}"
+            if not self.convert_embedding:
+                p = feats[se["bottom_name"]]
+                ev = se.get("embedding_vec_size")
+                top = se["sparse_embedding_name"]
+                self.g.add_input(top, [b, p["slot_num"], ev])
+                self.shapes[top] = (b, p["slot_num"], ev)
+                continue
+            tdir = self._table_dir(
+                f"sparse_sparse_table_{se['sparse_embedding_name']}"
             )
             table = np.load(os.path.join(tdir, "emb_vector.npy"))
             tname = self.init_const("table", table)
@@ -679,24 +728,30 @@ def convert(
     onnx_converter/hugectr2onnx/converter.py — same positional/keyword
     spelling). `dense_model` may be a snapshot DIRECTORY (this framework's
     layout: dense_model.npz + sparse_<name>/ side by side) or the
-    dense_model.npz file itself; `sparse_models`/`ntp_file` are accepted for
-    signature compatibility — tables and non-trainable state live in the
-    snapshot dir here, so separate paths are unnecessary (a list of
-    `sparse_<name>` dirs inside another directory is honored via their
-    common parent)."""
-    snapshot_dir = dense_model
-    if snapshot_dir.endswith(".npz"):
-        snapshot_dir = os.path.dirname(snapshot_dir) or "."
-    if sparse_models:
-        parents = {os.path.dirname(os.path.abspath(p.rstrip("/")))
-                   for p in sparse_models}
-        if len(parents) == 1 and next(iter(parents)) != os.path.abspath(
-            snapshot_dir
-        ):
-            # sparse dirs live elsewhere; only usable if dense is there too
-            alt = next(iter(parents))
-            if os.path.exists(os.path.join(alt, "dense_model.npz")):
-                snapshot_dir = alt
+    dense_model.npz file itself; explicit `sparse_models` dirs (each named
+    `sparse_<table>` or `<table>`) override the snapshot-dir tables, and the
+    explicit dense_model is always the one exported. `ntp_file` is accepted
+    for signature compatibility — non-trainable state lives inside
+    dense_model.npz here. `convert_embedding=False` exports the dense graph
+    with the embedding outputs as model inputs (reference behavior)."""
+    if dense_model.endswith(".npz"):
+        dense_npz = dense_model
+        snapshot_dir = os.path.dirname(dense_model) or "."
+    else:
+        dense_npz = os.path.join(dense_model, "dense_model.npz")
+        snapshot_dir = dense_model
+    sparse_dirs: Dict[str, str] = {}
+    for p in sparse_models or []:
+        base = os.path.basename(p.rstrip("/"))
+        name = base[len("sparse_"):] if base.startswith("sparse_") else base
+        sparse_dirs[name] = p
     with open(graph_config) as f:
         graph = json.load(f)
-    _Converter(graph, snapshot_dir, batch_size).run(onnx_model_path)
+    _Converter(
+        graph,
+        snapshot_dir,
+        batch_size,
+        dense_npz=dense_npz,
+        sparse_dirs=sparse_dirs,
+        convert_embedding=convert_embedding,
+    ).run(onnx_model_path)

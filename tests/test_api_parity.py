@@ -135,16 +135,17 @@ def test_lowlevel_training_api(mesh1):
     assert model.get_current_loss() == pytest.approx(loss)
     vals = model.eval()
     assert model.get_eval_metrics() == vals
-    # explicit-LR override: with lr=0 a step must not change the weights
-    model.set_learning_rate(1e-12)
+    # explicit-LR override: set_learning_rate(0.0) must FREEZE updates, not
+    # silently fall back to the scheduler (reference low-level semantics)
+    model.set_learning_rate(0.0)
     before = np.asarray(
         model.ec.export_table(model.state["emb_tables"], "t0")
     ).copy()
     model.train()
     after = np.asarray(model.ec.export_table(model.state["emb_tables"], "t0"))
-    np.testing.assert_allclose(after, before, atol=1e-6)
-    # restore scheduler: training changes weights again
-    model.set_learning_rate(0.0)
+    np.testing.assert_array_equal(after, before)
+    # negative restores the scheduler: training changes weights again
+    model.set_learning_rate(-1.0)
     model.train()
     after2 = np.asarray(model.ec.export_table(model.state["emb_tables"], "t0"))
     assert np.abs(after2 - before).max() > 1e-6
@@ -228,6 +229,34 @@ def test_embedding_dump_load(mesh1, tmp_path):
     )
 
 
+def test_embedding_gen_tool_output_loads(mesh1, tmp_path):
+    """tools/embedding_gen.py writes snapshot tables loadable via
+    embedding_load (reference: tools/model_generation/embedding_gen.py)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "embedding_gen",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "embedding_gen.py"),
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    gen.generate([64], 8, str(tmp_path / "snap"), names=["t0"], seed=7)
+    expected = np.load(tmp_path / "snap" / "sparse_t0" / "emb_vector.npy")
+    assert expected.shape == (64, 8)
+    bound = np.sqrt(1.0 / 64)
+    assert np.abs(expected).max() <= bound
+
+    model = _tiny_model(mesh1)
+    # embedding_load expects <dir>/<table>/emb_vector.npy layout
+    os.rename(tmp_path / "snap" / "sparse_t0", tmp_path / "snap" / "t0")
+    model.embedding_load(str(tmp_path / "snap"))
+    np.testing.assert_allclose(
+        np.asarray(model.ec.export_table(model.state["emb_tables"], "t0")),
+        expected,
+        rtol=1e-6,
+    )
+
+
 def test_set_source_and_eof(mesh1, tmp_path):
     """Raw reader: exhausting a non-repeating source flips is_eof; a
     set_source re-points and resets (reference epoch-mode flow,
@@ -268,6 +297,18 @@ def test_set_source_and_eof(mesh1, tmp_path):
     rd.set_source(str(tmp_path / "b.bin"))
     assert not rd.is_eof()
     model.train()  # reads from the new source
+
+    # eval reader EOF: a non-repeating eval source that runs dry before
+    # max_eval_batches flips the eval handle's is_eof
+    model.solver.max_eval_batches = 100
+    model.eval_reader = model._make_reader(train=False)
+    model._eval_cache = None
+    erd = model.get_data_reader_eval()
+    assert not erd.is_eof()
+    model.eval()
+    assert erd.is_eof()
+    erd.set_source(str(tmp_path / "a.bin"))
+    assert not erd.is_eof()
 
 
 def test_data_reader_params_data_source_params():

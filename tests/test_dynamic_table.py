@@ -91,6 +91,43 @@ def test_forward_miss_then_hit(mesh1):
     assert np.abs(np.asarray(out1["e"])).sum() > 0
 
 
+def test_key_store_export_import_roundtrip(mesh1):
+    """export_key_store/import_key_store restore key→row alignment in a
+    fresh collection whose live store placed DIFFERENT keys (the
+    embedding_dump/embedding_load dynamic-table contract; without the key
+    store the positionally imported values pair with the wrong keys)."""
+    ebc, tables, state = _build(mesh1, capacity=32)
+    keys = np.array([[7, 9]], dtype=np.int32)
+    tables, state = _step(ebc, tables, state, keys, np.ones((1, 8), np.float32))
+    out_ref = np.asarray(jax.jit(ebc.forward)(tables, {"f": keys})["e"])
+    vals = ebc.export_table(tables, "dyn")
+    ks = ebc.export_key_store(tables, "dyn")
+    assert ks is not None and 7 in ks and 9 in ks
+
+    # fresh collection trains OTHER keys -> different live placement
+    ebc2, tables2, state2 = _build(mesh1, capacity=32)
+    tables2, state2 = _step(
+        ebc2, tables2, state2, np.array([[3, 21]], np.int32),
+        np.ones((1, 8), np.float32),
+    )
+    tables2 = ebc2.import_table(tables2, "dyn", vals)
+    tables2 = ebc2.import_key_store(tables2, "dyn", ks)
+    out2 = np.asarray(jax.jit(ebc2.forward)(tables2, {"f": keys})["e"])
+    np.testing.assert_allclose(out2, out_ref, rtol=1e-6)
+
+    # static tables have no key store
+    from hugectr_tpu.parallel.plan import (
+        EmbeddingTableConfig as _T, LookupConfig as _L, ShardingPlan as _P,
+        compile_plan as _cp,
+    )
+    st = _T(name="s", max_vocabulary_size=16, ev_size=8)
+    comp = _cp([_L(0, st, "f", "e", Combiner_t.Sum, 1)],
+               _P(strategy=[("mp", ["s"])]), num_shards=1)
+    ebc_s = EmbeddingCollection(comp, mesh1, OptParams(Optimizer_t.SGD, lr=0.1))
+    t_s = ebc_s.init(jax.random.key(1))
+    assert ebc_s.export_key_store(t_s, "s") is None
+
+
 def test_dynamic_adagrad_dedup(mesh1):
     """Duplicate dynamic keys see ONE summed-gradient update (exact store +
     segment dedup compose)."""

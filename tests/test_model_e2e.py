@@ -436,3 +436,13 @@ def test_remote_fs_snapshot_roundtrip(mesh8, tmp_path):
     assert [l.layer_type for l in m2.dense_layers] == [
         l.layer_type for l in model.dense_layers
     ]
+    # remote listdir returns names (fsspec ls() defaults to detail dicts —
+    # regression for embedding_load's table discovery on remote dirs)
+    from hugectr_tpu.io import filesystem as iofs
+
+    names = iofs.listdir("memory://ckpt/snap_iter3")
+    assert "dense_model.npz" in names
+    assert any(n.startswith("sparse_") for n in names)
+    # embedding_load discovers tables on the remote dir through listdir
+    model.embedding_dump("memory://ckpt/emb", ["t0"])
+    model.embedding_load("memory://ckpt/emb")

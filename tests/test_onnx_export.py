@@ -283,6 +283,41 @@ def test_dcn_onnx_roundtrip(mesh1, tmp_path):
     want = 1.0 / (1.0 + np.exp(-logits.reshape(-1)))
     np.testing.assert_allclose(onnx_pred, want, rtol=1e-4, atol=1e-5)
 
+    # --- explicit sparse_models dirs must NOT override the explicit dense
+    # model with a decoy dense_model.npz found next to them
+    import shutil
+
+    alt = tmp_path / "alt_sparse"
+    alt.mkdir()
+    for t in ("t0", "t1"):
+        shutil.copytree(tmp_path / "snap_iter3" / f"sparse_{t}", alt / f"sparse_{t}")
+    decoy = dict(np.load(tmp_path / "snap_iter3" / "dense_model.npz"))
+    decoy = {k: np.zeros_like(v) for k, v in decoy.items()}  # poison
+    np.savez(alt / "dense_model.npz", **decoy)
+    onnx2 = str(tmp_path / "model2.onnx")
+    hugectr2onnx.convert(
+        onnx2,
+        gpath,
+        str(tmp_path / "snap_iter3" / "dense_model.npz"),
+        sparse_models=[str(alt / "sparse_t0"), str(alt / "sparse_t1")],
+        batch_size=32,
+    )
+    n2, i2, _, o2 = parse_model(open(onnx2, "rb").read())
+    pred2 = run_model(n2, i2, feeds)[o2[0]].reshape(-1)
+    np.testing.assert_allclose(pred2, want, rtol=1e-4, atol=1e-5)
+
+    # --- convert_embedding=False: embedding outputs become model inputs
+    onnx3 = str(tmp_path / "model3.onnx")
+    hugectr2onnx.convert(
+        onnx3, gpath, f"{prefix}_iter3", convert_embedding=False, batch_size=32
+    )
+    n3, i3, in3, o3 = parse_model(open(onnx3, "rb").read())
+    assert "emb" in in3 and "d0" not in in3 and "d1" not in in3
+    emb_live = model.check_out_tensor("emb", batch)
+    env3 = run_model(n3, i3, {"dense": feeds["dense"], "emb": emb_live})
+    pred3 = env3[o3[0]].reshape(-1)
+    np.testing.assert_allclose(pred3, want, rtol=1e-4, atol=1e-5)
+
 
 def test_din_style_attention_export(mesh1, tmp_path):
     """Legacy-embedding DIN-style subgraph (FusedReshapeConcat + Scale/Sub/

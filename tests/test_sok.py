@@ -450,3 +450,30 @@ def test_sok_sgd_optimizer(mesh1):
     np.testing.assert_allclose(after[[2, 7]], before[[2, 7]] - 0.5, rtol=1e-5)
     untouched = np.setdiff1d(np.arange(16), keys)
     np.testing.assert_array_equal(after[untouched], before[untouched])
+
+
+def test_sok_sgd_overrides_variable_optimizer(mesh1):
+    """sok.SGD performs the plain scatter-sub even on a variable configured
+    with another optimizer — never silently applies that optimizer
+    (reference: sok.SGD w[idx] -= lr*g regardless of the variable)."""
+    sok.init(mesh1)
+    v = sok.Variable(
+        16, 4, name="adam_var",
+        opt_params=OptParams(Optimizer_t.Adam, lr=0.5, beta1=0.9, beta2=0.999),
+    )
+    before = v.to_numpy().copy()
+    keys = np.asarray([1, 5], np.int32)
+    grads = np.full((2, 4), 0.25, np.float32)
+    sok.SGD(lr=0.2).apply_gradients([((grads, keys), v)])
+    after = v.to_numpy()
+    # plain SGD: -lr * g exactly (Adam would give -lr*mhat/(sqrt(vhat)+eps))
+    np.testing.assert_allclose(
+        after[[1, 5]], before[[1, 5]] - 0.2 * 0.25, rtol=1e-5
+    )
+
+    # dense ndarray gradient applies to every row
+    v2 = sok.Variable(8, 4, name="dense_grad_var")
+    b2 = v2.to_numpy().copy()
+    g = np.full((8, 4), 1.0, np.float32)
+    sok.SGD(lr=0.1).apply_gradients([(g, v2)])
+    np.testing.assert_allclose(v2.to_numpy(), b2 - 0.1, rtol=1e-5)
