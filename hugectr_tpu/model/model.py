@@ -1484,6 +1484,69 @@ class Model:
             self._eval_cache = None
             self._eval_eof = False
 
+    def update_label_weights(self, label_names, label_weights) -> None:
+        """Change multi-task label weights mid-training (reference:
+        Model::update_label_weights, model.hpp). Re-jits the step functions
+        — the weights are trace-time constants in the compiled program."""
+        if len(label_names) != len(label_weights):
+            raise ValueError("label_names and label_weights length mismatch")
+        w = dict(zip(label_names, (float(x) for x in label_weights)))
+        missing = [n for n in w if n not in {
+            s.label_name for s in self.network.loss_specs
+        }]
+        if missing:
+            raise ValueError(f"unknown label names: {missing}")
+        for spec in self.network.loss_specs:
+            if spec.label_name in w:
+                spec.weight = w[spec.label_name]
+        self.network.label_weights.update(w)
+        if self.input is not None:
+            self.input.label_weights = dict(self.network.label_weights)
+        self._build_steps()
+
+    def get_params_num(self) -> int:
+        """Total trainable parameter count: dense leaves + embedding rows
+        (reference: Model::get_params_num, model.hpp)."""
+        n = sum(
+            int(np.prod(x.shape))
+            for x in jax.tree.leaves(self.state["dense_params"])
+        )
+        if self.ec is not None:
+            for g in self.ec.plan.groups:
+                # split sub-tables partition their merged table's vocab, so
+                # summing per-table vocab counts each logical row once
+                for ti in range(len(g.tables)):
+                    n += int(g.table_vocab[ti]) * g.ev_size
+        return n
+
+    def copy_weights_for_evaluation(self) -> None:
+        """No-op for parity (reference: copy_weights_from_train_layers_to
+        _evaluate_layers — here train and eval share ONE parameter state, so
+        evaluation always sees the latest weights)."""
+
+    def read_a_batch(self, is_train: bool = True) -> bool:
+        """Advance the reader by one batch without training on it
+        (reference: Model::read_a_batch low-level flow); returns False once
+        a non-repeating source is exhausted."""
+        if is_train:
+            self.start_data_reading()
+            try:
+                next(self._train_iter)
+                return True
+            except StopIteration:
+                self._train_eof = True
+                return False
+        it = getattr(self, "_peek_eval_iter", None)
+        if it is None:
+            it = self._peek_eval_iter = iter(self.eval_reader)
+        try:
+            next(it)
+            return True
+        except StopIteration:
+            self._eval_eof = True
+            self._peek_eval_iter = None
+            return False
+
     # -------------------------------------------------------------- utility
     def _perf_log(self, key: str, **kw) -> None:
         """MLPerf-style timeline event (reference: HCTR_LOG_ARGS perf_logging

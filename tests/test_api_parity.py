@@ -229,6 +229,27 @@ def test_embedding_dump_load(mesh1, tmp_path):
     )
 
 
+def test_params_num_weights_and_batch_peek(mesh1):
+    """get_params_num / copy_weights_for_evaluation / read_a_batch /
+    update_label_weights (reference: model.hpp public surface)."""
+    model = _tiny_model(mesh1)
+    n = model.get_params_num()
+    emb = 64 * 8
+    dense = sum(
+        int(np.prod(x.shape)) for x in jax_leaves(model.state["dense_params"])
+    )
+    assert n == emb + dense
+    model.copy_weights_for_evaluation()  # shared-state no-op, must exist
+    assert model.read_a_batch(is_train=True) is True
+    assert model.read_a_batch(is_train=False) is True
+    # update_label_weights re-weights the (single) loss
+    model.train()
+    model.update_label_weights(["label"], [2.0])
+    with pytest.raises(ValueError):
+        model.update_label_weights(["nope"], [1.0])
+    assert model.network.loss_specs[0].weight == 2.0
+
+
 def test_embedding_gen_tool_output_loads(mesh1, tmp_path):
     """tools/embedding_gen.py writes snapshot tables loadable via
     embedding_load (reference: tools/model_generation/embedding_gen.py)."""
