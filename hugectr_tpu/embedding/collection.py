@@ -172,6 +172,9 @@ class EmbeddingCollection:
         )
         # size-aware scatter lowering (sparse_optimizer._scatter_streams)
         self.knob_scatter_auto = sparse_optimizer.scatter_auto_default()
+        # folded [K, E+1] segsum temp budget (split above it — huge-K
+        # shared groups would OOM on the 2x-padded folded temps)
+        self.knob_segsum_fold_bytes = sparse_optimizer._segsum_fold_budget_bytes()
         # one-hot engine backend: "xla" (default — measured 90.0k vs the
         # fused Pallas kernels' 88.7k ex/s on the DLRM bench; XLA's
         # compare-chain+matmul fusion wins at <=32k vocab, and the engine is
@@ -1366,6 +1369,7 @@ class EmbeddingCollection:
             dense_rows=self.knob_dense_update_rows,
             dense_grad_dtype=self.knob_dense_grad_dtype,
             scatter_auto=self.knob_scatter_auto,
+            fold_budget=self.knob_segsum_fold_bytes,
         )
 
     def auto_unique_caps(self, feature_keys) -> None:

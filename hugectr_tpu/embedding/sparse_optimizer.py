@@ -200,6 +200,23 @@ def dense_grad_dtype():
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
 
 
+def _segsum_fold_budget_bytes() -> int:
+    """Temp-memory budget for the folded [K, E+1] segment-sum form.
+
+    The fold halves the trio's scatter count but pads every [K, E+1] temp
+    to 2 lane tiles (2x bytes) and XLA holds ~3 of them live. Flagship
+    per-table chains (K <= ~1.7M at batch 16384, ~2.6 GB folded) stay
+    folded under the 4 GB default; many-table shared storage groups
+    (K = B*total_hotness, tens of millions) split instead of OOMing HBM
+    (measured: 200-table case at batch 2048 needs 13.6 GB of folded
+    temps on a 16 GB chip)."""
+    import os
+
+    return int(
+        os.environ.get("HCTR_TPU_SEGSUM_FOLD_BYTES", str(4 << 30))
+    )
+
+
 def unique_cap(k: int, factor: float = 0.0, min_k: int = 0) -> int:
     """Static capacity for the compacted unique-row prefix (xla segsum mode).
 
@@ -326,6 +343,7 @@ def apply_sparse(
     dense_grad_dtype=jnp.float32,
     presorted: bool = False,
     scatter_auto: Optional[bool] = None,
+    fold_budget: Optional[int] = None,
 ) -> Tuple[Array, State]:
     """Apply one sparse update for (possibly duplicated) row gradients.
 
@@ -470,27 +488,54 @@ def apply_sparse(
                 [jnp.ones((1,), dtype=bool), sidx[1:] != sidx[:-1]]
             )
             seg = jnp.cumsum(head.astype(jnp.int32)) - 1
-            # one extra f32 column carries the row id at segment heads (only
-            # the head contributes, so the segment sum IS the row id; exact
-            # in f32 for rows < 2^24 — the scatter is per-row issue-bound,
-            # so one more column is ~free while a separate segment_min
-            # scatter is not)
-            ext = jnp.concatenate(
-                [
-                    sgrads.astype(jnp.float32),
-                    jnp.where(head, sidx, 0).astype(jnp.float32)[:, None],
-                ],
-                axis=1,
+            rowid_src = jnp.where(head, sidx, 0).astype(jnp.float32)
+            # Folded form: one extra f32 column carries the row id at
+            # segment heads (only the head contributes, so the segment sum
+            # IS the row id; exact in f32 for rows < 2^24 — the scatter is
+            # per-row issue-bound, so one more column is ~free while a
+            # separate segment_min scatter is not). BUT [K, E+1] breaks
+            # 128-lane tiling: every temp pads to 2 lane tiles (2x bytes),
+            # and XLA keeps ~3 such temps live — at huge K (many-table
+            # shared storage groups, K = B*total_hotness) that is tens of
+            # GB. Size-aware: above the budget, split into a [K, E] grad
+            # segsum + a 1-D row-id segsum (layout-clean, no padding).
+            budget = (
+                fold_budget
+                if fold_budget is not None
+                else _segsum_fold_budget_bytes()
             )
-            summed_ext = jax.ops.segment_sum(
-                ext, seg, num_segments=kk, indices_are_sorted=True
-            )
+            fold = kk * (sgrads.shape[1] + 1) * 4 * 3 <= budget
+            if fold:
+                ext = jnp.concatenate(
+                    [sgrads.astype(jnp.float32), rowid_src[:, None]], axis=1
+                )
+                summed_ext = jax.ops.segment_sum(
+                    ext, seg, num_segments=kk, indices_are_sorted=True
+                )
+
+                def take(sl):
+                    ext_s = summed_ext[:sl] if sl is not None else summed_ext
+                    return ext_s[:, :-1], ext_s[:, -1]
+            else:
+                summed_g = jax.ops.segment_sum(
+                    sgrads.astype(jnp.float32), seg, num_segments=kk,
+                    indices_are_sorted=True,
+                )
+                summed_r = jax.ops.segment_sum(
+                    rowid_src, seg, num_segments=kk, indices_are_sorted=True
+                )
+
+                def take(sl):
+                    if sl is None:
+                        return summed_g, summed_r
+                    return summed_g[:sl], summed_r[:sl]
+
             nseg = jnp.sum(head.astype(jnp.int32))
 
-            def finish(ext_s):
-                k0 = ext_s.shape[0]
-                g = ext_s[:, :-1]  # stays f32; optimizer casts at scatter
-                urow = ext_s[:, -1].astype(sidx.dtype)
+            def finish(g, urow_f):
+                # g stays f32; optimizer casts at scatter
+                k0 = g.shape[0]
+                urow = urow_f.astype(sidx.dtype)
                 # empty segments (>= nseg) and sentinel rows get distinct
                 # increasing out-of-range ids: result stays sorted+unique
                 j = jnp.arange(k0, dtype=sidx.dtype)
@@ -510,7 +555,7 @@ def apply_sparse(
                     # capacity-drop mode: overflow segments beyond the cap
                     # lose their gradients (reference comm-buffer-capacity
                     # semantics); avoids the cond so scatters stay aliased
-                    return run(*finish(summed_ext[:ucap]), None)
+                    return run(*finish(*take(ucap)), None)
                 # Real segments occupy a prefix; run the trio on the static
                 # cap when it fits, exact full-K fallback otherwise.
                 real_count = jnp.sum(
@@ -518,10 +563,10 @@ def apply_sparse(
                 )
                 return jax.lax.cond(
                     real_count <= ucap,
-                    lambda: run(*finish(summed_ext[:ucap]), None),
-                    lambda: run(*finish(summed_ext), None),
+                    lambda: run(*finish(*take(ucap)), None),
+                    lambda: run(*finish(*take(None)), None),
                 )
-            return run(*finish(summed_ext), None)
+            return run(*finish(*take(None)), None)
 
         if 0 < valid_cap < k:
             # Valid-prefix compaction (HCTR_TPU_UCAP_FACTOR=auto measures

@@ -718,7 +718,7 @@ def convert(
     onnx_model_path: str,
     graph_config: str,
     dense_model: str,
-    convert_embedding: bool = True,
+    convert_embedding: bool = False,
     sparse_models=None,
     ntp_file: Optional[str] = None,
     graph_name: str = "hugectr",
@@ -732,8 +732,9 @@ def convert(
     `sparse_<table>` or `<table>`) override the snapshot-dir tables, and the
     explicit dense_model is always the one exported. `ntp_file` is accepted
     for signature compatibility — non-trainable state lives inside
-    dense_model.npz here. `convert_embedding=False` exports the dense graph
-    with the embedding outputs as model inputs (reference behavior)."""
+    dense_model.npz here. `convert_embedding=False` (the reference default)
+    exports the dense graph with the embedding outputs as model inputs;
+    pass True to inline the tables as ONNX Gather initializers."""
     if dense_model.endswith(".npz"):
         dense_npz = dense_model
         snapshot_dir = os.path.dirname(dense_model) or "."

@@ -341,6 +341,42 @@ def test_unique_cap_compaction_exact(mesh1, monkeypatch, unique_kind):
     )
 
 
+def test_segsum_split_matches_fold(mesh1, monkeypatch):
+    """HCTR_TPU_SEGSUM_FOLD_BYTES=0 forces the split [K,E]+1-D row-id
+    segment sums (the huge-K memory form); results must equal the default
+    folded [K,E+1] form bit-for-bit math (same f32 sums). Covers both the
+    ucap-windowed and unwindowed chains."""
+    t = EmbeddingTableConfig(name="t", max_vocabulary_size=2048, ev_size=8)
+    lookups = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 4)]
+    plan = ShardingPlan(strategy=[("mp", ["t"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    opt = OptParams(Optimizer_t.AdaGrad, lr=0.3, epsilon=1e-7)
+    rng = np.random.default_rng(21)
+    keys = rng.integers(0, 2048, (256, 4)).astype(np.int32)
+    keys[0, 0] = -1  # padding
+    d = rng.normal(size=(256, 8)).astype(np.float32)
+    results = {}
+    for ucap in ("0", "0.5"):
+        monkeypatch.setenv("HCTR_TPU_UCAP_FACTOR", ucap)
+        for budget in ("default", "0"):
+            if budget == "0":
+                monkeypatch.setenv("HCTR_TPU_SEGSUM_FOLD_BYTES", "0")
+            else:
+                monkeypatch.delenv("HCTR_TPU_SEGSUM_FOLD_BYTES", raising=False)
+            ebc = EmbeddingCollection(compiled, mesh1, opt)
+            tables = ebc.init(jax.random.key(4))
+            state = ebc.init_optimizer(tables)
+            tables, state = jax.jit(ebc.backward_and_update)(
+                tables, state, {"f": keys}, {"e": d},
+                jnp.asarray(0.3), jnp.asarray(1),
+            )
+            results[(ucap, budget)] = ebc.export_table(tables, "t")
+        np.testing.assert_allclose(
+            results[(ucap, "0")], results[(ucap, "default")],
+            rtol=1e-6, atol=1e-7,
+        )
+
+
 def test_rowwise_adagrad_matches_oracle(mesh1):
     """RowWiseAdaGrad (torchrec ROWWISE_ADAGRAD semantics): one accumulator
     scalar per row, accum += mean(g^2) over the row; duplicate keys see one

@@ -256,7 +256,9 @@ def test_dcn_onnx_roundtrip(mesh1, tmp_path):
     gpath = str(tmp_path / "graph.json")
     model.graph_to_json(gpath)
     onnx_path = str(tmp_path / "model.onnx")
-    hugectr2onnx.convert(onnx_path, gpath, f"{prefix}_iter3", batch_size=32)
+    hugectr2onnx.convert(
+        onnx_path, gpath, f"{prefix}_iter3", convert_embedding=True, batch_size=32
+    )
     assert os.path.getsize(onnx_path) > 1000
 
     nodes, inits, inputs, outputs = parse_model(open(onnx_path, "rb").read())
@@ -299,6 +301,7 @@ def test_dcn_onnx_roundtrip(mesh1, tmp_path):
         onnx2,
         gpath,
         str(tmp_path / "snap_iter3" / "dense_model.npz"),
+        convert_embedding=True,
         sparse_models=[str(alt / "sparse_t0"), str(alt / "sparse_t1")],
         batch_size=32,
     )
@@ -317,6 +320,25 @@ def test_dcn_onnx_roundtrip(mesh1, tmp_path):
     env3 = run_model(n3, i3, {"dense": feeds["dense"], "emb": emb_live})
     pred3 = env3[o3[0]].reshape(-1)
     np.testing.assert_allclose(pred3, want, rtol=1e-4, atol=1e-5)
+
+
+def test_hugectr2onnx_shim_package():
+    """`from hugectr2onnx import converter` works like the reference
+    onnx_converter package (converter.py:22 signature incl. the
+    convert_embedding=False default)."""
+    import inspect
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from hugectr2onnx import converter
+
+    sig = inspect.signature(converter.convert)
+    params = list(sig.parameters)
+    assert params[:7] == [
+        "onnx_model_path", "graph_config", "dense_model",
+        "convert_embedding", "sparse_models", "ntp_file", "graph_name",
+    ]
+    assert sig.parameters["convert_embedding"].default is False
 
 
 def test_din_style_attention_export(mesh1, tmp_path):
@@ -464,7 +486,9 @@ def test_din_style_attention_export(mesh1, tmp_path):
     gpath = str(tmp_path / "graph.json")
     model.graph_to_json(gpath)
     onnx_path = str(tmp_path / "din.onnx")
-    hugectr2onnx.convert(onnx_path, gpath, f"{prefix}_iter1", batch_size=16)
+    hugectr2onnx.convert(
+        onnx_path, gpath, f"{prefix}_iter1", convert_embedding=True, batch_size=16
+    )
 
     nodes, inits, inputs, outputs = parse_model(open(onnx_path, "rb").read())
     rng = np.random.default_rng(2)
@@ -692,7 +716,9 @@ def test_bst_style_export(mesh1, tmp_path):
     gpath = str(tmp_path / "graph.json")
     model.graph_to_json(gpath)
     onnx_path = str(tmp_path / "bst.onnx")
-    hugectr2onnx.convert(onnx_path, gpath, f"{prefix}_iter1", batch_size=16)
+    hugectr2onnx.convert(
+        onnx_path, gpath, f"{prefix}_iter1", convert_embedding=True, batch_size=16
+    )
 
     nodes, inits, inputs, outputs = parse_model(open(onnx_path, "rb").read())
     rng = np.random.default_rng(4)
@@ -791,7 +817,9 @@ def test_gru_export(mesh1, tmp_path):
     gpath = str(tmp_path / "graph.json")
     model.graph_to_json(gpath)
     onnx_path = str(tmp_path / "gru.onnx")
-    hugectr2onnx.convert(onnx_path, gpath, f"{prefix}_iter1", batch_size=8)
+    hugectr2onnx.convert(
+        onnx_path, gpath, f"{prefix}_iter1", convert_embedding=True, batch_size=8
+    )
     nodes, inits, inputs, outputs = parse_model(open(onnx_path, "rb").read())
     assert any(n["op"] == "GRU" for n in nodes)
     rng = np.random.default_rng(6)
@@ -902,7 +930,9 @@ def test_hot_cold_split_model_export(mesh1, tmp_path, monkeypatch):
     gpath = str(tmp_path / "graph.json")
     model.graph_to_json(gpath)
     onnx_path = str(tmp_path / "model.onnx")
-    hugectr2onnx.convert(onnx_path, gpath, f"{prefix}_iter3", batch_size=32)
+    hugectr2onnx.convert(
+        onnx_path, gpath, f"{prefix}_iter3", convert_embedding=True, batch_size=32
+    )
 
     nodes, inits, inputs, outputs = parse_model(open(onnx_path, "rb").read())
     rng = np.random.default_rng(0)
