@@ -22,15 +22,26 @@ p.add_argument("--lr", type=float, default=0.005)
 p.add_argument("--vocab_cap", type=int, default=2_000_000)
 p.add_argument("--num_devices", type=int, default=0)
 p.add_argument("--use_mixed_precision", action="store_true")
+# multi-node analog (reference: samples/dcn/dcn_2node_*.py, DLRM multi-node
+# configs): >1 slices build a hierarchical ("dcn","ici") mesh; Hierarchical
+# comm does the pooled reduce-scatter intra-slice first so the slow DCN
+# link carries 1/ici of the volume
+p.add_argument("--num_slices", type=int, default=1)
+p.add_argument(
+    "--comm_strategy", default="uniform", choices=["uniform", "hierarchical"]
+)
 args = p.parse_args()
 
-rm = ResourceManager.create(num_devices=args.num_devices)
+rm = ResourceManager.create(
+    num_devices=args.num_devices, num_slices=args.num_slices
+)
 model = build_dlrm_dcnv2(
     rm,
     batchsize=args.batchsize,
     vocab_cap=args.vocab_cap,
     lr=args.lr,
     use_mixed_precision=args.use_mixed_precision,
+    comm_strategy=args.comm_strategy,
 )
 if __name__ == "__main__":
     model.summary()

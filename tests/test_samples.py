@@ -25,6 +25,28 @@ SAMPLES = [
 ]
 
 
+def test_dlrm_sample_multislice_hierarchical(monkeypatch, mesh8):
+    """Flagship sample with --num_slices/--comm_strategy (the reference
+    multi-node config analog, samples/dcn/dcn_2node_*.py + DLRM multi-node):
+    a (2,4) hierarchical mesh with Hierarchical comm trains end-to-end."""
+    samples_dir = os.path.join(os.path.dirname(__file__), "..", "samples")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "dlrm_dcnv2", "--batchsize", "64", "--vocab_cap", "500",
+            "--num_slices", "2", "--comm_strategy", "hierarchical",
+        ],
+    )
+    mod = runpy.run_path(
+        os.path.join(samples_dir, "dlrm_dcnv2.py"), run_name="not_main"
+    )
+    model = mod["model"]
+    assert model.rm.is_hierarchical and model.rm.num_slices == 2
+    losses = [model.train() for _ in range(4)]
+    assert np.isfinite(losses).all(), f"non-finite loss {losses}"
+
+
 @pytest.mark.parametrize("name", SAMPLES)
 def test_sample_graph_trains(name, tmp_path, monkeypatch, mesh8):
     name, *extra = name.split()
