@@ -39,13 +39,19 @@ def build_dlrm_dcnv2(
     num_cross_layers: int = 3,
     comm_strategy=None,
     reader=None,
+    multi_hot_sizes=None,
 ):
     """DLRM-DCNv2; returns a compiled Model.
 
     `reader`: optional DataReaderParams overriding the default synthetic
     power-law source (e.g. a RawAsync/Parquet reader over a real or
-    generated dataset — the real-Criteo MLPerf entry point)."""
+    generated dataset — the real-Criteo MLPerf entry point).
+    `multi_hot_sizes`: per-table hotness override — [1]*26 gives the
+    one-hot DLRM E2E config (reference:
+    test/embedding_collection_test/dgx_a100_one_hot.py MULTI_HOT_SIZES)."""
     table_sizes = [min(v, vocab_cap) for v in MLPERF_TABLE_SIZES]
+    if multi_hot_sizes is None:
+        multi_hot_sizes = MLPERF_MULTI_HOT_SIZES
     import os
 
     solver = hugectr.CreateSolver(
@@ -84,7 +90,7 @@ def build_dlrm_dcnv2(
             dense_name="dense",
             data_reader_sparse_param_array=[
                 hugectr.DataReaderSparseParam(
-                    f"data{i}", MLPERF_MULTI_HOT_SIZES[i], True, 1
+                    f"data{i}", multi_hot_sizes[i], True, 1
                 )
                 for i in range(NUM_TABLE)
             ],

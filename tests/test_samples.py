@@ -47,6 +47,23 @@ def test_dlrm_sample_multislice_hierarchical(monkeypatch, mesh8):
     assert np.isfinite(losses).all(), f"non-finite loss {losses}"
 
 
+def test_dlrm_one_hot_e2e(mesh8):
+    """One-hot DLRM EBC E2E (reference:
+    test/embedding_collection_test/dgx_a100_one_hot.py — the same DLRM
+    graph with MULTI_HOT_SIZES = [1]*26): every lookup routes hotness-1
+    keys; trains with finite decreasing-ish loss and evals."""
+    from hugectr_tpu.tools.flagship import build_dlrm_dcnv2
+
+    model = build_dlrm_dcnv2(
+        mesh8, batchsize=64, vocab_cap=500, synthetic_batches=8,
+        multi_hot_sizes=[1] * 26,
+    )
+    losses = [model.train() for _ in range(6)]
+    assert np.isfinite(losses).all(), f"non-finite loss {losses}"
+    vals = model.eval()
+    assert 0.0 <= vals["auc"] <= 1.0
+
+
 @pytest.mark.parametrize("name", SAMPLES)
 def test_sample_graph_trains(name, tmp_path, monkeypatch, mesh8):
     name, *extra = name.split()
