@@ -44,6 +44,17 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         src = os.path.join(_native_dir(), "raw_reader.cpp")
         if not os.path.exists(src):
             return None
+        # a CMake-built artifact (native/CMakeLists.txt) pre-empts the lazy
+        # g++ compile when it is at least as new as the source
+        prebuilt = os.path.join(_native_dir(), "libraw_reader.so")
+        if os.path.exists(prebuilt) and os.path.getmtime(
+            prebuilt
+        ) >= os.path.getmtime(src):
+            try:
+                _LIB = _bind(ctypes.CDLL(prebuilt))
+                return _LIB
+            except OSError:
+                pass  # stale/foreign-arch artifact: fall through and rebuild
         cache = os.path.join(
             os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
             "hugectr_tpu",
@@ -62,26 +73,31 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         except OSError as e:
             logger.warning(f"native raw reader load failed ({e})")
             return None
-        lib.rr_open.restype = ctypes.c_void_p
-        lib.rr_open.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_long,
-            ctypes.c_long,
-            ctypes.c_long,
-            ctypes.c_long,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_long,
-        ]
-        lib.rr_num_batches.restype = ctypes.c_long
-        lib.rr_num_batches.argtypes = [ctypes.c_void_p]
-        lib.rr_next.restype = ctypes.c_long
-        lib.rr_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
-        lib.rr_reset.argtypes = [ctypes.c_void_p]
-        lib.rr_close.argtypes = [ctypes.c_void_p]
-        _LIB = lib
-        return lib
+        _LIB = _bind(lib)
+        return _LIB
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Attach ctypes signatures to a loaded raw-reader library."""
+    lib.rr_open.restype = ctypes.c_void_p
+    lib.rr_open.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_long,
+    ]
+    lib.rr_num_batches.restype = ctypes.c_long
+    lib.rr_num_batches.argtypes = [ctypes.c_void_p]
+    lib.rr_next.restype = ctypes.c_long
+    lib.rr_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.rr_reset.argtypes = [ctypes.c_void_p]
+    lib.rr_close.argtypes = [ctypes.c_void_p]
+    return lib
 
 
 def native_available() -> bool:

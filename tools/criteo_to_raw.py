@@ -30,6 +30,13 @@ def build_native() -> str:
     """Compile the converter once per source mtime; returns binary path or
     empty string."""
     src = os.path.abspath(NATIVE_SRC)
+    # a CMake-built artifact (native/CMakeLists.txt) pre-empts the lazy
+    # compile when it is at least as new as the source
+    prebuilt = os.path.join(os.path.dirname(src), "criteo2raw")
+    if os.path.exists(prebuilt) and os.access(prebuilt, os.X_OK) and (
+        os.path.getmtime(prebuilt) >= os.path.getmtime(src)
+    ):
+        return prebuilt
     out = os.path.join(
         tempfile.gettempdir(),
         f"criteo_convert_{os.getuid()}_{int(os.path.getmtime(src))}",
