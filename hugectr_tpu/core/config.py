@@ -93,6 +93,9 @@ class Solver:
     onehot_vocab: Optional[int] = None
     split_vocab: Optional[int] = None
     hot_rows: Optional[int] = None
+    #   group_rows: row cap per SHARED rowop storage group — bins many-table
+    #     collections into sub-GB operands (see plan.group_rows_threshold).
+    group_rows: Optional[int] = None
     #   dense_update_rows: shard-row threshold below which sparse updates
     #     run as scatter-into-dense-grad + element-wise sweep (exact).
     dense_update_rows: Optional[int] = None
@@ -113,6 +116,7 @@ class Solver:
             ("onehot_vocab", "HCTR_TPU_ONEHOT_VOCAB"),
             ("split_vocab", "HCTR_TPU_SPLIT_VOCAB"),
             ("hot_rows", "HCTR_TPU_HOT_ROWS"),
+            ("group_rows", "HCTR_TPU_GROUP_ROWS"),
             ("dense_update_rows", "HCTR_TPU_DENSE_UPDATE_ROWS"),
         ):
             v = getattr(self, field)

@@ -415,6 +415,24 @@ def split_vocab_threshold() -> int:
     return int(os.environ.get("HCTR_TPU_SPLIT_VOCAB", str(256 * 1024)))
 
 
+def group_rows_threshold() -> int:
+    """Max total rows per SHARED rowop storage group (0 disables).
+
+    Many-table collections (the reference EBC benchmark's 200/510-table
+    cases) concatenate hundreds of small tables into one multi-GB operand,
+    pushing every row op to the large-operand cost tier (~30 ns/row TLB
+    rate vs ~5-10 ns/row on sub-GB operands — measured, ROADMAP.md).
+    Per-table groups fix the operand size but compile hundreds of
+    sort/segsum chains. This cap bins tables greedily (first-appearance
+    order) so each shared group's storage stays small while the chain
+    count stays bounded: 200 tables at 64k rows with a 1M cap -> 13
+    groups of ~0.5 GB each. Default off — the flagship's 26-table regime
+    already uses per-table groups via HCTR_TPU_SPLIT_VOCAB."""
+    import os
+
+    return int(os.environ.get("HCTR_TPU_GROUP_ROWS", "0"))
+
+
 def onehot_vocab_threshold() -> int:
     """Vocab cutoff below which static sum/mean tables use the MXU one-hot
     engine (0 disables). Break-even on v5e, re-measured after the rowop
@@ -566,6 +584,45 @@ def compile_plan(
             group_lookups[key] = []
             group_keys.append(key)
         group_lookups[key].append(lk)
+
+    # Row-capped binning of SHARED rowop groups (HCTR_TPU_GROUP_ROWS):
+    # subdivide any shared group whose concatenated storage exceeds the cap
+    # into per-bin groups so row ops stay on small operands without paying
+    # a per-table chain for hundreds of tables.
+    bin_cap = group_rows_threshold()
+    if bin_cap > 0:
+        new_keys: List[Tuple] = []
+        new_lookups: Dict[Tuple, List[LookupConfig]] = {}
+        for key in group_keys:
+            placement, ev_size, kind, split, f = key
+            lks = group_lookups[key]
+            if kind != "rowop" or split:
+                new_keys.append(key)
+                new_lookups[key] = lks
+                continue
+            shards = f if placement == TablePlacementStrategy.ModelParallel else 1
+            bin_of: Dict[str, int] = {}
+            cur_bin, cur_rows = 0, 0
+            for lk in lks:
+                name = lk.table.name
+                if name in bin_of:
+                    continue
+                rows = _ceil_div(int(lk.table.vocabulary_size), shards)
+                if cur_rows and cur_rows + rows > bin_cap:
+                    cur_bin, cur_rows = cur_bin + 1, 0
+                bin_of[name] = cur_bin
+                cur_rows += rows
+            if cur_bin == 0:  # fits in one group — keep the un-binned name
+                new_keys.append(key)
+                new_lookups[key] = lks
+                continue
+            for lk in lks:
+                bkey = (placement, ev_size, kind, f"bin{bin_of[lk.table.name]}", f)
+                if bkey not in new_lookups:
+                    new_lookups[bkey] = []
+                    new_keys.append(bkey)
+                new_lookups[bkey].append(lk)
+        group_keys, group_lookups = new_keys, new_lookups
 
     groups: List[GroupPlan] = []
     for placement, ev_size, kind, split, f in group_keys:

@@ -37,6 +37,7 @@ BASE_ENV = {
     "HCTR_TPU_SCATTER_AUTO": "1",
     "HCTR_TPU_DENSE_UPDATE_ROWS": "0",
     "HCTR_TPU_SPLIT_VOCAB": "0",
+    "HCTR_TPU_GROUP_ROWS": "0",
 }
 
 
@@ -84,6 +85,7 @@ def _draw_env(rng):
     env["HCTR_TPU_SEGSUM"] = str(rng.choice(["xla", "scan"]))
     env["HCTR_TPU_SCATTER_AUTO"] = str(rng.choice(["0", "1"]))
     env["HCTR_TPU_DENSE_UPDATE_ROWS"] = str(int(rng.choice([0, 1 << 20])))
+    env["HCTR_TPU_GROUP_ROWS"] = str(int(rng.choice([0, 1000])))
     return env
 
 
