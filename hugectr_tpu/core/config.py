@@ -213,6 +213,11 @@ class DataReaderParams:
     num_samples: int = 0
     eval_num_samples: int = 0
     float_label_dense: bool = False
+    # reference: DataReaderParams.read_file_sequentially — keep the source
+    # file list in declared order instead of per-epoch shuffling (our readers
+    # already default to sequential order; True additionally pins any
+    # shuffle knob off)
+    read_file_sequentially: bool = False
     num_workers: int = 4
     slot_size_array: List[int] = dataclasses.field(default_factory=list)
     # keyset files for embedding-training-cache flows (reference: deprecated

@@ -28,6 +28,9 @@ class Optimizer_t(str, enum.Enum):
     RMSProp = "rmsprop"
     Adam = "adam"
     FTRL = "ftrl"
+    # reference pybind spelling (samples/ftrl/dlrm_train_ftrl.py uses
+    # hugectr.Optimizer_t.Ftrl) — enum alias of FTRL
+    Ftrl = "ftrl"
 
 
 class Update_t(str, enum.Enum):

@@ -108,6 +108,35 @@ class _DataReaderHandle:
             return bool(getattr(self._model, "_train_eof", False))
         return bool(getattr(self._model, "_eval_eof", False))
 
+    def is_started(self) -> bool:
+        """Whether batch production is running (reference:
+        DataReader::is_started — worker threads launched). Here: the device
+        feed iterator exists for this reader."""
+        if self._train:
+            return self._model._train_iter is not None
+        return getattr(self._model, "_peek_eval_iter", None) is not None
+
+    def read_a_batch_to_device(self) -> int:
+        """Stage the next batch onto the devices; returns the number of
+        examples read, 0 at EOF (reference:
+        DataReader::read_a_batch_to_device)."""
+        ok = self._model.read_a_batch(is_train=self._train)
+        if not ok:
+            return 0
+        s = self._model.solver
+        return int(s.batchsize if self._train else s.batchsize_eval)
+
+    def read_a_batch_to_device_delay_release(self) -> int:
+        """Reference split of read vs buffer release (delay_release +
+        ready_to_collect) is a CUDA double-buffer handshake; the XLA feed
+        pipeline has no host-visible buffer to release, so this is the same
+        staged read (DeviceFeeder keeps its own prefetch depth)."""
+        return self.read_a_batch_to_device()
+
+    def ready_to_collect(self) -> None:
+        """No-op for parity (reference: DataReader::ready_to_collect — frees
+        the delay-released buffer; see read_a_batch_to_device_delay_release)."""
+
 
 class Model:
     """add()/compile()/fit() orchestrator (reference: pybind Model)."""

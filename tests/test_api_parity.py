@@ -152,6 +152,17 @@ def test_lowlevel_training_api(mesh1):
     rd = model.get_data_reader_train()
     assert rd.is_eof() is False
     assert model.get_data_reader_eval().is_eof() is False
+    # reader-handle staging flow (reference: DataReader::is_started /
+    # read_a_batch_to_device[_delay_release] / ready_to_collect)
+    assert rd.is_started() is True  # start_data_reading() above
+    n = rd.read_a_batch_to_device()
+    assert n == model.solver.batchsize
+    n2 = rd.read_a_batch_to_device_delay_release()
+    assert n2 == model.solver.batchsize
+    rd.ready_to_collect()  # no-op handshake, must not raise
+    re = model.get_data_reader_eval()
+    assert re.read_a_batch_to_device() == model.solver.batchsize_eval
+    assert re.is_started() is True
 
 
 def test_reset_learning_rate_scheduler(mesh1):
