@@ -214,9 +214,9 @@ class DataReaderParams:
     eval_num_samples: int = 0
     float_label_dense: bool = False
     # reference: DataReaderParams.read_file_sequentially — keep the source
-    # file list in declared order instead of per-epoch shuffling (our readers
-    # already default to sequential order; True additionally pins any
-    # shuffle knob off)
+    # in declared order. Readers default to sequential order already; True
+    # additionally forces AsyncParam.shuffle off when Model builds the Raw
+    # reader (model._make_reader).
     read_file_sequentially: bool = False
     num_workers: int = 4
     slot_size_array: List[int] = dataclasses.field(default_factory=list)

@@ -81,6 +81,11 @@ Batch = Dict[str, np.ndarray]
 # host->device transfer per batch instead of one per feature, and zero
 # host-side decode work in the feeder thread.
 FUSED_KEY = "__raw_rows__"
+# host-side batch annotation: actual sample count of a padded tail batch
+# (drop_incomplete=False). Popped before device upload; consumed by
+# Model.read_a_batch -> DataReader.read_a_batch_to_device (the reference
+# returns the true read count, data_readers/data_reader.hpp).
+ROWS_KEY = "__rows__"
 
 
 class BaseReader:
@@ -240,11 +245,15 @@ class RawReader(BaseReader):
     def _decode(self, rows: np.ndarray) -> Batch:
         s = self.spec
         n = rows.shape[0]
-        if n < s.batch_size:  # pad tail batch (labels repeat; metrics mask n/a)
+        partial = n < s.batch_size
+        if partial:  # pad tail batch (labels repeat; metrics mask n/a)
             pad = np.repeat(rows[-1:], s.batch_size - n, axis=0)
             rows = np.concatenate([rows, pad], axis=0)
         if getattr(self, "fused", False):
-            return {FUSED_KEY: np.ascontiguousarray(rows)}
+            b = {FUSED_KEY: np.ascontiguousarray(rows)}
+            if partial:
+                b[ROWS_KEY] = np.int64(n)
+            return b
         b: Batch = {}
         off = 0
         for name, dim in zip(s.label_names, s.label_dims):
@@ -265,6 +274,8 @@ class RawReader(BaseReader):
         for f in s.sparse:
             b[f.name] = rows[:, off : off + f.total_nnz].astype(self.spec.key_dtype)
             off += f.total_nnz
+        if partial:
+            b[ROWS_KEY] = np.int64(n)
         return b
 
 
@@ -432,11 +443,13 @@ class ParquetReader(BaseReader):
                 dn_a = np.concatenate(pend_dense)
                 cat_a = np.concatenate(pend_cat)
                 pad = s.batch_size - pending
-                yield self._emit(
+                tail = self._emit(
                     np.concatenate([lab_a, np.repeat(lab_a[-1:], pad, 0)]),
                     np.concatenate([dn_a, np.repeat(dn_a[-1:], pad, 0)]),
                     np.concatenate([cat_a, np.repeat(cat_a[-1:], pad, 0)]),
                 )
+                tail[ROWS_KEY] = np.int64(pending)
+                yield tail
             if not self.repeat:
                 return
 

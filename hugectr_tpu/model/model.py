@@ -31,6 +31,7 @@ from ..core.types import (
 )
 from ..data.reader import (
     FUSED_KEY,
+    ROWS_KEY,
     BaseReader,
     BatchSpec,
     DeviceFeeder,
@@ -110,21 +111,28 @@ class _DataReaderHandle:
 
     def is_started(self) -> bool:
         """Whether batch production is running (reference:
-        DataReader::is_started — worker threads launched). Here: the device
-        feed iterator exists for this reader."""
+        DataReader::is_started — worker threads launched, and they STAY
+        started; EOF does not un-start a reader). Here: an explicit
+        started flag set when this reader's feed first produces."""
         if self._train:
             return self._model._train_iter is not None
-        return getattr(self._model, "_peek_eval_iter", None) is not None
+        return bool(getattr(self._model, "_eval_feed_started", False))
 
     def read_a_batch_to_device(self) -> int:
         """Stage the next batch onto the devices; returns the number of
         examples read, 0 at EOF (reference:
-        DataReader::read_a_batch_to_device)."""
+        DataReader::read_a_batch_to_device). The staged train batch is
+        consumed by the NEXT Model.train() call (reference low-level
+        pattern: stage, then train on the staged data). Returns the ACTUAL
+        sample count, which is < batchsize for a padded tail batch when
+        drop_incomplete_batch=False."""
         ok = self._model.read_a_batch(is_train=self._train)
         if not ok:
             return 0
         s = self._model.solver
-        return int(s.batchsize if self._train else s.batchsize_eval)
+        nominal = int(s.batchsize if self._train else s.batchsize_eval)
+        actual = getattr(self._model, "_last_read_rows", 0)
+        return int(actual) if actual else nominal
 
     def read_a_batch_to_device_delay_release(self) -> int:
         """Reference split of read vs buffer release (delay_release +
@@ -553,6 +561,15 @@ class Model:
                     )
                 except RuntimeError as e:
                     logger.warning(f"native raw reader unavailable: {e}")
+            # AsyncParam.shuffle -> batch-order shuffling;
+            # read_file_sequentially pins it off (reference:
+            # DataReaderParams.read_file_sequentially)
+            shuf = bool(
+                train
+                and ap is not None
+                and getattr(ap, "shuffle", False)
+                and not rp.read_file_sequentially
+            )
             return RawReader(
                 src,
                 spec,
@@ -560,6 +577,8 @@ class Model:
                 float_label_dense=dense_float,
                 drop_incomplete=self.solver.drop_incomplete_batch,
                 repeat=self.solver.repeat_dataset if train else False,
+                shuffle=shuf,
+                seed=self.solver.seed or 0,
                 process_index=self.rm.process_index,
                 num_processes=self.rm.num_processes,
                 fused=fused,
@@ -924,6 +943,7 @@ class Model:
         self.ec.auto_unique_caps(fk)
 
     def _put_batch(self, batch) -> Dict[str, jax.Array]:
+        batch.pop(ROWS_KEY, None)  # host-only tail-batch annotation
         self._maybe_auto_ucap(batch)
         if self.solver.i64_input_key:
             batch = self._fold_i64_keys(batch)
@@ -957,7 +977,21 @@ class Model:
             self._train_iter = itertools.cycle(batches)
             self._train_feeder = None
         else:
-            feeder = DeviceFeeder(self.train_reader, self._put_batch, depth=3)
+            # tail-batch sample counts ride alongside the device feed in a
+            # FIFO (DeviceFeeder preserves order): read_a_batch pops one per
+            # consumed batch to report the ACTUAL read count
+            import collections
+
+            self._train_rows_fifo = collections.deque()
+
+            def put_train(b):
+                rows = b.get(ROWS_KEY)
+                self._train_rows_fifo.append(
+                    int(rows) if rows is not None else 0
+                )
+                return self._put_batch(b)
+
+            feeder = DeviceFeeder(self.train_reader, put_train, depth=3)
             self._train_iter = iter(feeder)
             self._train_feeder = feeder
 
@@ -973,14 +1007,24 @@ class Model:
         keep the accelerator busy as long as the host never blocks.
         """
         self.start_data_reading()
-        try:
-            batch = next(self._train_iter)
-        except StopIteration:
-            # non-repeating source exhausted (reference: IDataReader EOF;
-            # observable via get_data_reader_train().is_eof(), reset with
-            # set_source)
-            self._train_eof = True
-            raise
+        staged = getattr(self, "_staged_train_batch", None)
+        if staged is not None:
+            # consume the batch staged by read_a_batch (reference low-level
+            # pattern: read_a_batch_to_device() then train())
+            batch = staged
+            self._staged_train_batch = None
+        else:
+            try:
+                batch = next(self._train_iter)
+                fifo = getattr(self, "_train_rows_fifo", None)
+                if fifo:
+                    fifo.popleft()  # keep tail-count FIFO aligned
+            except StopIteration:
+                # non-repeating source exhausted (reference: IDataReader EOF;
+                # observable via get_data_reader_train().is_eof(), reset with
+                # set_source)
+                self._train_eof = True
+                raise
         # host-side split doubles as a dispatch throttle: the tiny per-step
         # host work keeps the async queue short enough that no device
         # straggles past XLA's collective-rendezvous timeout (CPU backend)
@@ -1011,6 +1055,7 @@ class Model:
         self.metrics.reset()
         for acc in self._task_metrics.values():
             acc.reset()
+        self._eval_feed_started = True
         source, feeder = self._eval_batches()
         n = 0
         exhausted = True  # flipped off when max_eval_batches stops us first
@@ -1554,22 +1599,34 @@ class Model:
         evaluation always sees the latest weights)."""
 
     def read_a_batch(self, is_train: bool = True) -> bool:
-        """Advance the reader by one batch without training on it
-        (reference: Model::read_a_batch low-level flow); returns False once
-        a non-repeating source is exhausted."""
+        """Stage the next batch without training on it (reference:
+        Model::read_a_batch low-level flow — the staged batch is what the
+        next train() consumes); returns False once a non-repeating source
+        is exhausted."""
         if is_train:
             self.start_data_reading()
+            if getattr(self, "_staged_train_batch", None) is not None:
+                logger.warning(
+                    "read_a_batch: overwriting a staged train batch that "
+                    "was never consumed by train()"
+                )
             try:
-                next(self._train_iter)
+                self._staged_train_batch = next(self._train_iter)
+                fifo = getattr(self, "_train_rows_fifo", None)
+                self._last_read_rows = fifo.popleft() if fifo else 0
                 return True
             except StopIteration:
                 self._train_eof = True
+                self._staged_train_batch = None
                 return False
+        self._eval_feed_started = True
         it = getattr(self, "_peek_eval_iter", None)
         if it is None:
             it = self._peek_eval_iter = iter(self.eval_reader)
         try:
-            next(it)
+            b = next(it)
+            rows = b.pop(ROWS_KEY, None) if isinstance(b, dict) else None
+            self._last_read_rows = int(rows) if rows is not None else 0
             return True
         except StopIteration:
             self._eval_eof = True

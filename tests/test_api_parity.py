@@ -240,6 +240,25 @@ def test_embedding_dump_load(mesh1, tmp_path):
     )
 
 
+def test_read_a_batch_stages_for_next_train(mesh1):
+    """read_a_batch stages a batch that the NEXT train() consumes (reference
+    low-level pattern: read_a_batch_to_device() then train() trains on the
+    staged data — no silently skipped batches)."""
+    model = _tiny_model(mesh1)
+    model.start_data_reading()
+    assert model.read_a_batch(is_train=True) is True
+    staged = model._staged_train_batch
+    assert staged is not None
+    seen = []
+    orig = model._train_step
+    model._train_step = lambda s, b, r: (seen.append(b), orig(s, b, r))[1]
+    model.train()
+    assert seen[0] is staged
+    assert model._staged_train_batch is None
+    model.train()  # unstaged path still works
+    assert len(seen) == 2 and seen[1] is not staged
+
+
 def test_params_num_weights_and_batch_peek(mesh1):
     """get_params_num / copy_weights_for_evaluation / read_a_batch /
     update_label_weights (reference: model.hpp public surface)."""

@@ -73,6 +73,40 @@ def test_raw_generator_and_reader(tmp_path):
     assert set(np.unique(b["label"])) <= {0.0, 1.0}
 
 
+def test_raw_reader_tail_batch_rows_annotation(tmp_path):
+    """drop_incomplete=False pads the tail batch but annotates the ACTUAL
+    sample count (ROWS_KEY) so read_a_batch_to_device can report it
+    (reference returns the true read count)."""
+    from hugectr_tpu.data.reader import ROWS_KEY
+
+    p = DataGeneratorParams(
+        format=DataReaderType_t.Raw,
+        label_dim=1,
+        dense_dim=4,
+        num_slot=3,
+        source=str(tmp_path / "train.bin"),
+        eval_source=str(tmp_path / "eval.bin"),
+        slot_size_array=[100, 200, 300],
+        nnz_array=[2, 2, 2],
+        num_samples=150,  # 2 full batches of 64 + tail of 22
+        eval_num_samples=64,
+        float_label_dense=True,
+    )
+    DataGenerator(p).generate()
+    r = RawReader(
+        str(tmp_path / "train.bin"),
+        _spec(batch=64),
+        float_label_dense=True,
+        drop_incomplete=False,
+        repeat=False,
+    )
+    batches = list(r)
+    assert len(batches) == 3
+    assert ROWS_KEY not in batches[0] and ROWS_KEY not in batches[1]
+    assert int(batches[2][ROWS_KEY]) == 150 - 2 * 64
+    assert batches[2]["label"].shape == (64, 1)  # still padded to full shape
+
+
 def test_parquet_generator_and_reader(tmp_path):
     p = DataGeneratorParams(
         format=DataReaderType_t.Parquet,
