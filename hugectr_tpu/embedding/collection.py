@@ -478,8 +478,71 @@ class EmbeddingCollection:
         return key_store
 
     # ------------------------------------------------------------ pooling
-    def _pool(self, g: GroupPlan, rows: Array, valid: Array) -> Array:
-        """[B, H, E] masked rows -> [B, W] per-lookup pooled output."""
+    def _mean_denom(self, g: GroupPlan, lm, valid, weights, dtype):
+        """[B, 1] mean-combiner denominator: valid-key count, or sum of
+        per-key weights for weighted lookups (reference:
+        weighted_network_forward.cu:71 divides by sp_weight_sum)."""
+        if weights is not None and lm.sp_weight_name:
+            sw = jnp.sum(
+                weights[:, lm.slot_begin : lm.slot_end].astype(dtype),
+                axis=1,
+                keepdims=True,
+            )
+            return jnp.where(sw == 0, jnp.asarray(1.0, dtype), sw)
+        cnt = jnp.sum(
+            valid[:, lm.slot_begin : lm.slot_end].astype(dtype),
+            axis=1,
+            keepdims=True,
+        )
+        return jnp.maximum(cnt, 1.0)
+
+    def _group_weights(
+        self, g: GroupPlan, feature_weights
+    ) -> Optional[Array]:
+        """[B, H] per-slot weights for a weighted group (None if the group
+        has no weighted lookup). Unweighted lookups in a weighted group get
+        weight 1.0; invalid-key masking happens at the use sites (weights
+        multiply rows that are already validity-masked)."""
+        if not g.has_weights:
+            return None
+        if feature_weights is None:
+            raise ValueError(
+                f"group {g.name} has weighted lookups; pass feature_weights "
+                "to forward/backward_and_update"
+            )
+        cols = []
+        b = None
+        for lm in g.lookups:
+            h = lm.slot_end - lm.slot_begin
+            if lm.sp_weight_name:
+                w = feature_weights[lm.sp_weight_name]
+                if w.ndim == 1:
+                    w = w[:, None]
+                if w.shape[1] != h:
+                    raise ValueError(
+                        f"sp_weight {lm.sp_weight_name}: width {w.shape[1]} "
+                        f"!= lookup hotness {h}"
+                    )
+                cols.append(w.astype(jnp.float32))
+                b = w.shape[0]
+            else:
+                cols.append(None)
+        b = b if b is not None else 1
+        cols = [
+            c
+            if c is not None
+            else jnp.ones((b, lm.slot_end - lm.slot_begin), jnp.float32)
+            for c, lm in zip(cols, g.lookups)
+        ]
+        return jnp.concatenate(cols, axis=1)
+
+    def _pool(
+        self, g: GroupPlan, rows: Array, valid: Array, weights=None
+    ) -> Array:
+        """[B, H, E] masked rows -> [B, W] per-lookup pooled output.
+
+        `weights` ([B, H] or None): rows are assumed ALREADY scaled by the
+        per-key weight; it is only consulted for the mean denominator."""
         b = rows.shape[0]
         outs: List[Array] = []
         for lm in g.lookups:
@@ -489,17 +552,12 @@ class EmbeddingCollection:
             else:
                 s = jnp.sum(w, axis=1)
                 if lm.combiner == Combiner_t.Mean:
-                    cnt = jnp.sum(
-                        valid[:, lm.slot_begin : lm.slot_end].astype(s.dtype),
-                        axis=1,
-                        keepdims=True,
-                    )
-                    s = s / jnp.maximum(cnt, 1.0)
+                    s = s / self._mean_denom(g, lm, valid, weights, s.dtype)
                 outs.append(s)
         return jnp.concatenate(outs, axis=1)
 
     def _grad_source(
-        self, g: GroupPlan, d_out: Array, valid: Array
+        self, g: GroupPlan, d_out: Array, valid: Array, weights=None
     ) -> Tuple[Array, np.ndarray]:
         """[B, W] output grads -> compact gradient source.
 
@@ -507,6 +565,8 @@ class EmbeddingCollection:
         sample b is row ``b*S + gsrc[h]`` of dsrc. Sum/mean lookups share ONE
         source row per sample (never broadcast to [B, H, E] — the sort works
         on int pairs and gradient rows are gathered once, post-sort).
+        Weighted lookups later scale per-key rows by w (see _row_grads);
+        here only the mean denominator changes (sum of weights).
         """
         b = d_out.shape[0]
         parts: List[Array] = []
@@ -519,19 +579,19 @@ class EmbeddingCollection:
             else:
                 d = d.reshape(b, 1, g.ev_size)
                 if lm.combiner == Combiner_t.Mean:
-                    cnt = jnp.sum(
-                        valid[:, lm.slot_begin : lm.slot_end].astype(d.dtype),
-                        axis=1,
-                        keepdims=True,
+                    d = d / self._mean_denom(
+                        g, lm, valid, weights, d.dtype
                     )[..., None]
-                    d = d / jnp.maximum(cnt, 1.0)
                 parts.append(d)
         dsrc = jnp.concatenate(parts, axis=1).reshape(-1, g.ev_size)
         return dsrc, gsrc
 
     # ------------------------------------------------------------- forward
     def forward(
-        self, tables: Dict[str, Array], feature_keys: Dict[str, Array]
+        self,
+        tables: Dict[str, Array],
+        feature_keys: Dict[str, Array],
+        feature_weights: Optional[Dict[str, Array]] = None,
     ) -> Dict[str, Array]:
         """Embedding forward.
 
@@ -539,6 +599,10 @@ class EmbeddingCollection:
           tables: {group_name: storage array} from `init`.
           feature_keys: {bottom_name: [B, hotness] int keys, -1 padded},
             batch-sharded over the data axis.
+          feature_weights: {sp_weight_name: [B, hotness] float weights} for
+            weighted lookups (reference sp_weight path,
+            weighted_model_forward.cu); required iff any lookup declares
+            sp_weight_name.
 
         Returns:
           {top_name: [B, out_width]} per-lookup outputs, batch-sharded.
@@ -546,45 +610,47 @@ class EmbeddingCollection:
         group_outs: Dict[str, Array] = {}
         for g in self.plan.groups:
             keys = self._group_keys(g, feature_keys)
+            w = self._group_weights(g, feature_weights)
+            if w is not None:
+                w = w * (keys != INVALID_KEY)
             if g.compute_kind == "onehot":
                 # MXU engine: replicated table, batch-sharded keys; plain jnp
-                # (XLA SPMD propagates shardings, no collective in fwd)
+                # (XLA SPMD propagates shardings, no collective in fwd).
+                # Weighted tables never compile to onehot (plan eligibility).
                 group_outs[g.name] = self._onehot_fwd(
                     g.name, tables[g.name], keys
                 )
             elif g.is_model_parallel and self.rm.data_parallel_size > 1:
                 ks = tables.get(f"{g.name}#keys")
-                if ks is None:
-                    fn = shard_map(
-                        functools.partial(self._mp_fwd_local, g.name),
-                        mesh=self.rm.mesh,
-                        in_specs=(
-                            P(self.rm.data_axes, None),
-                            P(self.rm.data_axes, None),
-                        ),
-                        out_specs=P(self.rm.data_axes, None),
-                        check_vma=False,
-                    )
-                    group_outs[g.name] = fn(tables[g.name], keys)
-                else:
-                    fn = shard_map(
-                        functools.partial(self._mp_fwd_local, g.name),
-                        mesh=self.rm.mesh,
-                        in_specs=(
-                            P(self.rm.data_axes, None),
-                            P(self.rm.data_axes, None),
-                            P(self.rm.data_axes),
-                        ),
-                        out_specs=P(self.rm.data_axes, None),
-                        check_vma=False,
-                    )
-                    group_outs[g.name] = fn(tables[g.name], keys, ks)
+                in_specs = [
+                    P(self.rm.data_axes, None),
+                    P(self.rm.data_axes, None),
+                ]
+                args = [tables[g.name], keys]
+                if ks is not None:
+                    in_specs.append(P(self.rm.data_axes))
+                    args.append(ks)
+                if w is not None:
+                    in_specs.append(P(self.rm.data_axes, None))
+                    args.append(w)
+                fn = shard_map(
+                    functools.partial(
+                        self._mp_fwd_local, g.name,
+                        with_store=ks is not None, weighted=w is not None,
+                    ),
+                    mesh=self.rm.mesh,
+                    in_specs=tuple(in_specs),
+                    out_specs=P(self.rm.data_axes, None),
+                    check_vma=False,
+                )
+                group_outs[g.name] = fn(*args)
             else:
                 # single shard or data-parallel: purely local
                 group_outs[g.name] = self._dp_fwd(
                     g.name, tables[g.name], keys,
                     tables.get(f"{g.name}#keys"),
                     feature_keys=feature_keys,
+                    weights=w,
                 )
         # slice per-lookup tops
         outs: Dict[str, Array] = {}
@@ -655,9 +721,12 @@ class EmbeddingCollection:
         return d_outs
 
     def _mp_fwd_local(
-        self, gname: str, table_shard: Array, keys_loc: Array, key_store=None
+        self, gname: str, table_shard: Array, keys_loc: Array, *rest,
+        with_store: bool = False, weighted: bool = False,
     ) -> Array:
-        import os
+        rest = list(rest)
+        key_store = rest.pop(0) if with_store else None
+        w_loc = rest.pop(0) if weighted else None
 
         g = self._meta[gname].plan
         meta = self._meta[gname]
@@ -665,6 +734,11 @@ class EmbeddingCollection:
         f = g.num_shards  # partial placement: f logical shards, n/f replicas
         my = jax.lax.axis_index(self.rm.data_axes)
         keys = jax.lax.all_gather(keys_loc, self.rm.data_axes, axis=0, tiled=True)
+        weights = (
+            jax.lax.all_gather(w_loc, self.rm.data_axes, axis=0, tiled=True)
+            if w_loc is not None
+            else None
+        )
         valid, owner, local_row = self._slot_placement(meta, keys, f, key_store)
         mine = valid & (owner == (my % f))
         if g.num_replicas > 1:
@@ -691,19 +765,24 @@ class EmbeddingCollection:
             # every shard) — the exact-store `found` mask is shard-LOCAL and
             # would divide by a different count per shard
             return self._mp_fwd_partitioned(
-                gname, table_shard, keys, keys != INVALID_KEY, mine, local_row, n
+                gname, table_shard, keys, keys != INVALID_KEY, mine, local_row,
+                n, weights=weights,
             )
         safe = jnp.where(mine, local_row, 0)
         rows = self._weights_view(gname, table_shard[safe])
-        rows = rows * mine[..., None].astype(table_shard.dtype)
-        partial = self._pool(g, rows, keys != INVALID_KEY)
+        if weights is not None:
+            rows = rows * jnp.where(mine, weights, 0.0)[..., None].astype(
+                table_shard.dtype
+            )
+        else:
+            rows = rows * mine[..., None].astype(table_shard.dtype)
+        partial = self._pool(g, rows, keys != INVALID_KEY, weights=weights)
         return self._psum_scatter_batch(partial)
 
     def _mp_fwd_partitioned(
-        self, gname, table_shard, keys, valid, mine, local_row, n
+        self, gname, table_shard, keys, valid, mine, local_row, n,
+        weights=None,
     ) -> Array:
-        import os
-
         meta = self._meta[gname]
         g = meta.plan
         bg = keys.shape[0]
@@ -714,7 +793,14 @@ class EmbeddingCollection:
             jnp.arange(bg, dtype=jnp.int32)[:, None] * s_slots
             + jnp.asarray(gsrc)[None, :]
         ).reshape(-1)
-        sidx, ssrc = jax.lax.sort((idx.astype(jnp.int32), src), num_keys=1)
+        if weights is None:
+            sidx, ssrc = jax.lax.sort((idx.astype(jnp.int32), src), num_keys=1)
+            sw = None
+        else:
+            # per-key weights ride the sort as a third operand
+            sidx, ssrc, sw = jax.lax.sort(
+                (idx.astype(jnp.int32), src, weights.reshape(-1)), num_keys=1
+            )
         k = sidx.shape[0]
         factor = self.knob_capacity_factor
         if n > 1 and factor > 0:
@@ -722,17 +808,21 @@ class EmbeddingCollection:
             if k_limit < k:
                 sidx = sidx[:k_limit]
                 ssrc = ssrc[:k_limit]
+                if sw is not None:
+                    sw = sw[:k_limit]
         rows = self._weights_view(
             gname,
             table_shard.at[sidx].get(
                 mode="fill", fill_value=0, indices_are_sorted=True
             ),
         )
+        if sw is not None:
+            rows = rows * sw[:, None].astype(rows.dtype)
         pooled = jnp.zeros(
             (bg * s_slots, g.ev_size), table_shard.dtype
         ).at[ssrc].add(rows)
         pooled = pooled.reshape(bg, s_slots, g.ev_size)
-        pooled = self._apply_mean_scaling(g, pooled, valid)
+        pooled = self._apply_mean_scaling(g, pooled, valid, weights=weights)
         partial = pooled.reshape(bg, g.out_width)
         return self._psum_scatter_batch(partial)
 
@@ -751,10 +841,11 @@ class EmbeddingCollection:
                 s_cursor += 1
         return gsrc
 
-    def _apply_mean_scaling(self, g: GroupPlan, pooled, valid):
+    def _apply_mean_scaling(self, g: GroupPlan, pooled, valid, weights=None):
         """Divide mean-combiner accumulator slots by the per-sample valid
-        count (global count — every shard scales its partial identically, so
-        the psum of partials equals mean)."""
+        count — or the per-sample weight sum for weighted lookups (global
+        count — every shard scales its partial identically, so the psum of
+        partials equals mean)."""
         parts = []
         s_cursor = 0
         for lm in g.lookups:
@@ -765,11 +856,9 @@ class EmbeddingCollection:
             else:
                 p = pooled[:, s_cursor : s_cursor + 1]
                 if lm.combiner == Combiner_t.Mean:
-                    cnt = jnp.sum(
-                        valid[:, lm.slot_begin : lm.slot_end].astype(p.dtype),
-                        axis=1,
-                    )[:, None, None]
-                    p = p / jnp.maximum(cnt, 1.0)
+                    p = p / self._mean_denom(
+                        g, lm, valid, weights, p.dtype
+                    )[..., None]
                 parts.append(p)
                 s_cursor += 1
         return jnp.concatenate(parts, axis=1)
@@ -966,7 +1055,7 @@ class EmbeddingCollection:
 
     def _dp_fwd(
         self, gname: str, table: Array, keys: Array, key_store=None,
-        feature_keys=None,
+        feature_keys=None, weights=None,
     ) -> Array:
         g = self._meta[gname].plan
         meta = self._meta[gname]
@@ -975,19 +1064,25 @@ class EmbeddingCollection:
             # mostly-padding key list (hot/cold window): sorted valid-prefix
             # gather + pooled scatter beats gathering every padded slot
             return self._dp_fwd_compact(
-                gname, table, keys, key_store, vcap, feature_keys=feature_keys
+                gname, table, keys, key_store, vcap,
+                feature_keys=feature_keys, weights=weights,
             )
         valid, _owner, local_row = self._slot_placement(meta, keys, 1, key_store)
         safe = jnp.where(valid, local_row, 0)
         rows = self._weights_view(gname, table[safe])
-        rows = rows * valid[..., None].astype(table.dtype)
+        if weights is not None:
+            rows = rows * jnp.where(valid, weights, 0.0)[..., None].astype(
+                table.dtype
+            )
+        else:
+            rows = rows * valid[..., None].astype(table.dtype)
         # mean counts use RAW validity (consistent across steps/shards even
         # when exact-store misses drop rows this step)
-        return self._pool(g, rows, keys != INVALID_KEY)
+        return self._pool(g, rows, keys != INVALID_KEY, weights=weights)
 
     def _dp_fwd_compact(
         self, gname: str, table: Array, keys: Array, key_store, vcap: int,
-        feature_keys=None,
+        feature_keys=None, weights=None,
     ) -> Array:
         """Forward for groups whose [B, H] key list is mostly padding (e.g.
         the cold half of a hot/cold split): sort (row, pool-slot) pairs so
@@ -998,7 +1093,8 @@ class EmbeddingCollection:
         meta = self._meta[gname]
         g = meta.plan
         b = keys.shape[0]
-        if feature_keys is not None and self._tier_shared_ok(g):
+        sw = None
+        if feature_keys is not None and weights is None and self._tier_shared_ok(g):
             s_slots = g.grad_src_slots
             sidx, ssrc = self._tier_sorted_rows(gname, feature_keys)
         else:
@@ -1012,15 +1108,25 @@ class EmbeddingCollection:
                 jnp.arange(b, dtype=jnp.int32)[:, None] * s_slots
                 + jnp.asarray(gsrc)[None, :]
             ).reshape(-1)
-            sidx, ssrc = jax.lax.sort((idx.astype(jnp.int32), src), num_keys=1)
+            if weights is None:
+                sidx, ssrc = jax.lax.sort(
+                    (idx.astype(jnp.int32), src), num_keys=1
+                )
+            else:
+                sidx, ssrc, sw = jax.lax.sort(
+                    (idx.astype(jnp.int32), src, weights.reshape(-1)),
+                    num_keys=1,
+                )
 
-        def pooled_from(si, ss):
+        def pooled_from(si, ss, w_s):
             rows = self._weights_view(
                 gname,
                 table.at[si].get(
                     mode="fill", fill_value=0, indices_are_sorted=True
                 ),
             )
+            if w_s is not None:
+                rows = rows * w_s[:, None].astype(rows.dtype)
             return jnp.zeros((b * s_slots, g.ev_size), table.dtype).at[ss].add(
                 rows
             )
@@ -1028,11 +1134,15 @@ class EmbeddingCollection:
         v_count = jnp.sum((sidx < g.total_local_rows).astype(jnp.int32))
         pooled = jax.lax.cond(
             v_count <= vcap,
-            lambda: pooled_from(sidx[:vcap], ssrc[:vcap]),
-            lambda: pooled_from(sidx, ssrc),
+            lambda: pooled_from(
+                sidx[:vcap], ssrc[:vcap], None if sw is None else sw[:vcap]
+            ),
+            lambda: pooled_from(sidx, ssrc, sw),
         )
         pooled = pooled.reshape(b, s_slots, g.ev_size)
-        pooled = self._apply_mean_scaling(g, pooled, keys != INVALID_KEY)
+        pooled = self._apply_mean_scaling(
+            g, pooled, keys != INVALID_KEY, weights=weights
+        )
         return pooled.reshape(b, g.out_width)
 
     # ------------------------------------------------- backward + update
@@ -1044,10 +1154,13 @@ class EmbeddingCollection:
         d_outs: Dict[str, Array],
         lr: Array,
         step: Array,
+        feature_weights: Optional[Dict[str, Array]] = None,
     ) -> Tuple[Dict[str, Array], Dict[str, Dict[str, Array]]]:
         """Fused embedding backward + sparse optimizer update.
 
         d_outs: {top_name: [B, out_width]} cotangents from the dense network.
+        feature_weights: per-key sparse weights (see `forward`) — row
+        gradients scale by w_i (reference: weighted_model_backward.cu).
         """
         new_tables = dict(tables)
         new_state = dict(opt_state)
@@ -1056,6 +1169,9 @@ class EmbeddingCollection:
         d_outs = self._expand_d_outs(d_outs, feature_keys)
         for g in self.plan.groups:
             keys = self._group_keys(g, feature_keys)
+            w = self._group_weights(g, feature_weights)
+            if w is not None:
+                w = w * (keys != INVALID_KEY)
             d_group = jnp.concatenate(
                 [d_outs[lm.top_name].astype(self.dtype) for lm in g.lookups], axis=1
             )
@@ -1105,8 +1221,14 @@ class EmbeddingCollection:
                     in_specs.append(P(self.rm.data_axes))
                     out_specs.append(P(self.rm.data_axes))
                     args.append(ks)
+                if w is not None:
+                    in_specs.append(P(self.rm.data_axes, None))
+                    args.append(w)
                 fn = shard_map(
-                    functools.partial(self._mp_bwd_local, g.name),
+                    functools.partial(
+                        self._mp_bwd_local, g.name,
+                        with_store=ks is not None, weighted=w is not None,
+                    ),
                     mesh=self.rm.mesh,
                     in_specs=tuple(in_specs),
                     out_specs=tuple(out_specs),
@@ -1133,8 +1255,14 @@ class EmbeddingCollection:
                     in_specs.append(P())
                     out_specs.append(P())
                     args.append(ks)
+                if w is not None:
+                    in_specs.append(P(self.rm.data_axes, None))
+                    args.append(w)
                 fn = shard_map(
-                    functools.partial(self._dp_bwd_local, g.name),
+                    functools.partial(
+                        self._dp_bwd_local, g.name,
+                        with_store=ks is not None, weighted=w is not None,
+                    ),
                     mesh=self.rm.mesh,
                     in_specs=tuple(in_specs),
                     out_specs=tuple(out_specs),
@@ -1153,7 +1281,7 @@ class EmbeddingCollection:
                 ks = tables.get(f"{g.name}#keys")
                 out = self._bwd_single(
                     g.name, tables[g.name], opt_state[g.name], keys, d_group,
-                    lr, step, key_store=ks,
+                    lr, step, key_store=ks, weights=w,
                 )
                 new_tables[g.name], new_state[g.name] = out[0], out[1]
                 if ks is not None:
@@ -1231,11 +1359,15 @@ class EmbeddingCollection:
 
     def _row_grads(
         self, gname: str, keys: Array, d_group: Array, num_shards: int, my,
-        key_store=None,
+        key_store=None, weights=None,
     ) -> Tuple[Array, Array, Array]:
         """Shared bwd math: (flat row idx with sentinel, grad source row ids,
         compact grad source). Foreign/invalid keys carry the sentinel row and
-        are dropped as whole segments downstream (no [K, E] mask multiply)."""
+        are dropped as whole segments downstream (no [K, E] mask multiply).
+
+        Weighted groups expand to PER-KEY gradient rows (w_i * d) since keys
+        sharing a pooled source row carry different weights (reference:
+        weighted_model_backward.cu coordinate_sp_weight scaling)."""
         meta = self._meta[gname]
         g = meta.plan
         valid, owner, local_row = self._slot_placement(
@@ -1250,27 +1382,42 @@ class EmbeddingCollection:
                 )
             )
             mine = mine & unfrozen[None, :]
-        dsrc, gsrc = self._grad_source(g, d_group, keys != INVALID_KEY)
+        dsrc, gsrc = self._grad_source(
+            g, d_group, keys != INVALID_KEY, weights=weights
+        )
         n_src = g.grad_src_slots
         b = keys.shape[0]
+        idx = jnp.where(mine, local_row, g.total_local_rows).reshape(-1)
+        if weights is not None:
+            # per-key grad rows: dsrc_key[b, h] = w[b, h] * dsrc[b, gsrc[h]]
+            dk = dsrc.reshape(b, n_src, g.ev_size)[:, np.asarray(gsrc), :]
+            dk = dk * weights[..., None].astype(dk.dtype)
+            src = jnp.arange(b * g.hotness_total, dtype=jnp.int32)
+            return idx, src, dk.reshape(-1, g.ev_size)
         src = (
             jnp.arange(b, dtype=jnp.int32)[:, None] * n_src
             + jnp.asarray(gsrc)[None, :]
         )
-        idx = jnp.where(mine, local_row, g.total_local_rows).reshape(-1)
         return idx, src.reshape(-1), dsrc
 
     def _mp_bwd_local(
-        self, gname, table_shard, state, keys_loc, d_loc, lr, step,
-        key_store=None,
+        self, gname, table_shard, state, keys_loc, d_loc, lr, step, *rest,
+        with_store: bool = False, weighted: bool = False,
     ):
-        import os
+        rest = list(rest)
+        key_store = rest.pop(0) if with_store else None
+        w_loc = rest.pop(0) if weighted else None
 
         my = jax.lax.axis_index(self.rm.data_axes)
         meta = self._meta[gname]
         f = meta.plan.num_shards  # partial placement shard count
         keys = jax.lax.all_gather(keys_loc, self.rm.data_axes, axis=0, tiled=True)
         d_group = jax.lax.all_gather(d_loc, self.rm.data_axes, axis=0, tiled=True)
+        weights = (
+            jax.lax.all_gather(w_loc, self.rm.data_axes, axis=0, tiled=True)
+            if w_loc is not None
+            else None
+        )
         if key_store is not None:
             # insert-on-backward for exact dynamic tables: every replica of
             # a shard computes the identical insertion (deterministic
@@ -1283,7 +1430,7 @@ class EmbeddingCollection:
         # every replica of shard s applies the FULL update for s, keeping
         # replica groups bit-identical (like DP wgrad allreduce)
         idx, src, dsrc = self._row_grads(
-            gname, keys, d_group, f, my % f, key_store
+            gname, keys, d_group, f, my % f, key_store, weights=weights
         )
         opt = self.group_opt[gname]
         # owner-partition capacity: each shard's owned entries are a sorted
@@ -1306,18 +1453,29 @@ class EmbeddingCollection:
         return new_t, new_s
 
     def _dp_bwd_local(
-        self, gname, table, state, keys_loc, d_loc, lr, step, key_store=None
+        self, gname, table, state, keys_loc, d_loc, lr, step, *rest,
+        with_store: bool = False, weighted: bool = False,
     ):
+        rest = list(rest)
+        key_store = rest.pop(0) if with_store else None
+        w_loc = rest.pop(0) if weighted else None
         # Replicated tables: every device applies the update for the GLOBAL
         # batch so replicas stay bit-identical (analog of DP wgrad allreduce).
         keys = jax.lax.all_gather(keys_loc, self.rm.data_axes, axis=0, tiled=True)
         d_group = jax.lax.all_gather(d_loc, self.rm.data_axes, axis=0, tiled=True)
+        weights = (
+            jax.lax.all_gather(w_loc, self.rm.data_axes, axis=0, tiled=True)
+            if w_loc is not None
+            else None
+        )
         if key_store is not None:
             meta = self._meta[gname]
             key_store = self._dynamic_insert(
                 meta, key_store, keys, keys != INVALID_KEY, 1
             )
-        idx, src, dsrc = self._row_grads(gname, keys, d_group, 1, None, key_store)
+        idx, src, dsrc = self._row_grads(
+            gname, keys, d_group, 1, None, key_store, weights=weights
+        )
         opt = self.group_opt[gname]
         new_t, new_s = sparse_optimizer.apply_sparse(
             opt, table, state, idx, src, dsrc, lr, step, **self._opt_knobs(gname)
@@ -1341,14 +1499,17 @@ class EmbeddingCollection:
         )
 
     def _bwd_single(
-        self, gname, table, state, keys, d_group, lr, step, key_store=None
+        self, gname, table, state, keys, d_group, lr, step, key_store=None,
+        weights=None,
     ):
         if key_store is not None:
             meta = self._meta[gname]
             key_store = self._dynamic_insert(
                 meta, key_store, keys, keys != INVALID_KEY, 1
             )
-        idx, src, dsrc = self._row_grads(gname, keys, d_group, 1, None, key_store)
+        idx, src, dsrc = self._row_grads(
+            gname, keys, d_group, 1, None, key_store, weights=weights
+        )
         opt = self.group_opt[gname]
         new_t, new_s = sparse_optimizer.apply_sparse(
             opt, table, state, idx, src, dsrc, lr, step, **self._opt_knobs(gname)

@@ -43,6 +43,7 @@ class _LookupDecl:
     bottom_name: str
     top_name: str  # user-level top (may be shared by several lookups)
     combiner: Combiner_t
+    sp_weight_name: str = ""  # per-key weight feature ("" = unweighted)
 
 
 class EmbeddingCollectionConfig:
@@ -67,15 +68,23 @@ class EmbeddingCollectionConfig:
         bottom_name: Union[str, Sequence[str]],
         top_name: Union[str, Sequence[str]],
         combiner: Union[str, Sequence[str]],
+        sp_weight_name: Union[str, Sequence[str]] = "",
     ) -> None:
         """Register one or many lookups. List args broadcast like the
         reference (samples/dlrm/train.py:398-404): a single `top_name` shared
-        by N lookups yields one batch-major concatenated output tensor."""
+        by N lookups yields one batch-major concatenated output tensor.
+
+        `sp_weight_name` names a float input feature of shape [batch,
+        hotness] supplying a per-key weight for this lookup (reference:
+        the weighted embedding path, weighted_mp_index_calculation.cu /
+        weighted_network_forward.cu — sum pools sum(w_i*e_i), mean divides
+        by sum(w_i), gradients scale by w_i). "" = unweighted."""
         tables = _as_list(table_config)
         n = len(tables)
         bottoms = _as_list(bottom_name, n)
         tops = _as_list(top_name, n)
         combs = _as_list(combiner, n)
+        wnames = _as_list(sp_weight_name, n)
         if not (len(bottoms) == len(tops) == len(combs) == n) and n > 1:
             # scalar top shared across n lookups
             if len(tops) == 1:
@@ -84,13 +93,16 @@ class EmbeddingCollectionConfig:
                 combs = combs * n
             if len(bottoms) != n or len(tops) != n or len(combs) != n:
                 raise ValueError("embedding_lookup: inconsistent list lengths")
-        for t, b, tp, c in zip(tables, bottoms, tops, combs):
+        if len(wnames) == 1 and n > 1:
+            wnames = wnames * n
+        for t, b, tp, c, w in zip(tables, bottoms, tops, combs, wnames):
             self.lookup_decls.append(
                 _LookupDecl(
                     table=t,
                     bottom_name=b,
                     top_name=tp,
                     combiner=Combiner_t(c),
+                    sp_weight_name=w or "",
                 )
             )
 
@@ -147,6 +159,7 @@ class EmbeddingCollectionConfig:
                     top_name=f"{d.top_name}:{i}",
                     combiner=d.combiner,
                     max_hotness=1,  # patched by Model from Input specs
+                    sp_weight_name=d.sp_weight_name,
                 )
             )
         return out

@@ -719,6 +719,29 @@ class Model:
             out[top] = k
         return out
 
+    def _feature_weights(self, batch) -> Optional[Dict[str, jax.Array]]:
+        """Per-key sparse-weight features for weighted lookups (reference
+        sp_weight path): sp_weight_name must name a batch feature of shape
+        [B, hotness] (e.g. a dense Input block or an extra reader column)."""
+        if self.ec is None:
+            return None
+        names = {
+            lk.sp_weight_name
+            for lk in self.ec.plan.lookups
+            if lk.sp_weight_name
+        }
+        if not names:
+            return None
+        out = {}
+        for n in names:
+            if n not in batch:
+                raise KeyError(
+                    f"weighted lookup needs feature {n!r} in the batch "
+                    "(declare it as an input feature)"
+                )
+            out[n] = jnp.asarray(batch[n]).astype(jnp.float32)
+        return out
+
     def _user_tensors(self, emb_outs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         """Per-lookup outputs -> user-level top tensors (2D concat, or 3D
         for legacy SparseEmbedding tops)."""
@@ -784,7 +807,10 @@ class Model:
                         del emb_outs[sub]
             else:
                 emb_outs = (
-                    ec.forward(state["emb_tables"], feature_keys)
+                    ec.forward(
+                        state["emb_tables"], feature_keys,
+                        feature_weights=self._feature_weights(batch),
+                    )
                     if ec is not None
                     else {}
                 )
@@ -837,6 +863,7 @@ class Model:
                         egrads,
                         lr,
                         step,
+                        feature_weights=self._feature_weights(batch),
                     )
                 new_state["emb_tables"] = new_tables
                 new_state["eopt"] = new_eopt
@@ -846,7 +873,10 @@ class Model:
             batch = self._decode_batch(batch)
             feature_keys = self._feature_keys(batch) if ec is not None else {}
             emb_outs = (
-                ec.forward(state["emb_tables"], feature_keys)
+                ec.forward(
+                    state["emb_tables"], feature_keys,
+                    feature_weights=self._feature_weights(batch),
+                )
                 if ec is not None
                 else {}
             )
@@ -1834,7 +1864,10 @@ class Model:
         batch = self._decode_batch(batch)
         feature_keys = self._feature_keys(batch) if self.ec is not None else {}
         emb_outs = (
-            self.ec.forward(self.state["emb_tables"], feature_keys)
+            self.ec.forward(
+                self.state["emb_tables"], feature_keys,
+                feature_weights=self._feature_weights(batch),
+            )
             if self.ec is not None
             else {}
         )

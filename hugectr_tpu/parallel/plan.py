@@ -96,6 +96,12 @@ class LookupConfig:
     key_lo: int = 0
     key_hi: int = -1  # -1: no upper bound
     key_shift: int = 0
+    # per-key sparse-weight feature name ("" = unweighted). Weighted lookups
+    # pool sum(w_i * e_i) (mean divides by sum(w_i)) and scale row gradients
+    # by w_i — reference: weighted_model_forward.cu (per-key weight multiply),
+    # weighted_network_forward.cu:71 (Average divides by sp_weight_sum),
+    # weighted_model_backward.cu:127 (coordinate_sp_weight grad scaling).
+    sp_weight_name: str = ""
 
     @property
     def out_width(self) -> int:
@@ -144,6 +150,7 @@ class LookupMeta:
     key_lo: int = 0
     key_hi: int = -1
     key_shift: int = 0
+    sp_weight_name: str = ""  # per-key weight feature ("" = unweighted)
 
 
 @dataclasses.dataclass
@@ -219,6 +226,11 @@ class GroupPlan:
         if self.is_model_parallel:
             return self.total_local_rows * self.mesh_size
         return self.total_local_rows
+
+    @property
+    def has_weights(self) -> bool:
+        """Whether any lookup in this group carries per-key sparse weights."""
+        return any(lm.sp_weight_name for lm in self.lookups)
 
     @property
     def grad_src_slots(self) -> int:
@@ -322,6 +334,7 @@ def _split_hot_cold(
             and t.vocabulary_size >= max(4 * hot, 2 * onehot_vocab_threshold())
             and all(
                 lk.combiner in (Combiner_t.Sum, Combiner_t.Mean)
+                and not lk.sp_weight_name  # weighted: single rowop table
                 for lk in by_table[t.name]
             )
             and t.name not in plan.column_factors
@@ -499,6 +512,10 @@ def _onehot_eligible(
         ok = (
             size_ok
             and not t.is_dynamic
+            # weighted lookups stay on the rowop engine: the counts-matrix
+            # touch column sums signed weights (can cancel to 0 on a
+            # genuinely touched row), so exactness keeps them out
+            and not any(lk.sp_weight_name for lk in lks)
             and all(
                 lk.combiner in (Combiner_t.Sum, Combiner_t.Mean)
                 or (lk.combiner == Combiner_t.Concat and lk.max_hotness == 1)
@@ -666,6 +683,7 @@ def compile_plan(
                 key_lo=lk.key_lo,
                 key_hi=lk.key_hi,
                 key_shift=lk.key_shift,
+                sp_weight_name=lk.sp_weight_name,
             )
             lookup_metas.append(lm)
             slot_table.extend([ti] * lk.max_hotness)

@@ -1,0 +1,314 @@
+"""Weighted (per-key sp_weight) embedding lookups vs a NumPy oracle.
+
+Reference semantics (HugeCTR/embedding/operators/weighted_model_forward.cu,
+weighted_network_forward.cu:71, weighted_model_backward.cu:127,
+weighted_mp_index_calculation.cu): forward pools sum(w_i * e_i), the mean
+("Average") combiner divides by sum(w_i), and row gradients scale by w_i.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hugectr_tpu.core.types import Combiner_t, Optimizer_t, INVALID_KEY
+from hugectr_tpu.optim.params import OptParams
+from hugectr_tpu.parallel.plan import (
+    EmbeddingTableConfig,
+    LookupConfig,
+    ShardingPlan,
+    compile_plan,
+)
+from hugectr_tpu.embedding.collection import EmbeddingCollection
+
+
+def make_weighted_lookups():
+    t0 = EmbeddingTableConfig(name="t0", max_vocabulary_size=100, ev_size=8)
+    t1 = EmbeddingTableConfig(name="t1", max_vocabulary_size=57, ev_size=8)
+    t2 = EmbeddingTableConfig(name="t2", max_vocabulary_size=31, ev_size=8)
+    return [
+        LookupConfig(0, t0, "f0", "e0", Combiner_t.Sum, 4, sp_weight_name="w0"),
+        LookupConfig(1, t1, "f1", "e1", Combiner_t.Mean, 3, sp_weight_name="w1"),
+        # unweighted lookup sharing a group with weighted ones
+        LookupConfig(2, t0, "f2", "e2", Combiner_t.Sum, 2),
+        LookupConfig(3, t2, "f3", "e3", Combiner_t.Concat, 2, sp_weight_name="w3"),
+    ]
+
+
+def random_keys(rng, batch, hotness, vocab, pad_prob=0.3):
+    keys = rng.integers(0, vocab, size=(batch, hotness)).astype(np.int32)
+    mask = rng.random((batch, hotness)) < pad_prob
+    mask[:, 0] = False
+    keys[mask] = INVALID_KEY
+    return keys
+
+
+def oracle_forward(lookups, tables, feats, weights):
+    outs = {}
+    for lk in lookups:
+        keys = feats[lk.bottom_name]
+        tab = tables[lk.table.name]
+        valid = keys != INVALID_KEY
+        safe = np.where(valid, keys, 0)
+        w = (
+            weights[lk.sp_weight_name]
+            if lk.sp_weight_name
+            else np.ones_like(keys, np.float32)
+        ) * valid
+        rows = tab[safe] * w[..., None]
+        if lk.combiner == Combiner_t.Concat:
+            outs[lk.top_name] = rows.reshape(keys.shape[0], -1)
+        elif lk.combiner == Combiner_t.Mean:
+            if lk.sp_weight_name:
+                den = w.sum(1, keepdims=True)
+                den = np.where(den == 0, 1.0, den)
+            else:
+                den = np.maximum(valid.sum(1, keepdims=True), 1)
+            outs[lk.top_name] = rows.sum(1) / den
+        else:
+            outs[lk.top_name] = rows.sum(1)
+    return outs
+
+
+def oracle_sgd(lookups, tables, feats, weights, d_outs, lr):
+    for lk in lookups:
+        keys = feats[lk.bottom_name]
+        d = d_outs[lk.top_name]
+        tab = tables[lk.table.name]
+        valid = keys != INVALID_KEY
+        b, h = keys.shape
+        e = tab.shape[1]
+        w = (
+            weights[lk.sp_weight_name]
+            if lk.sp_weight_name
+            else np.ones_like(keys, np.float32)
+        ) * valid
+        if lk.combiner == Combiner_t.Concat:
+            d_rows = d.reshape(b, h, e) * w[..., None]
+        elif lk.combiner == Combiner_t.Mean:
+            if lk.sp_weight_name:
+                den = w.sum(1, keepdims=True)
+                den = np.where(den == 0, 1.0, den)
+            else:
+                den = np.maximum(valid.sum(1, keepdims=True), 1)
+            d_rows = (d / den)[:, None, :] * w[..., None]
+        else:
+            d_rows = d[:, None, :] * w[..., None]
+        for bi in range(b):
+            for hi in range(h):
+                if valid[bi, hi]:
+                    tab[keys[bi, hi]] -= lr * d_rows[bi, hi]
+
+
+def _data(rng, batch=32):
+    feats = {
+        "f0": random_keys(rng, batch, 4, 100),
+        "f1": random_keys(rng, batch, 3, 57),
+        "f2": random_keys(rng, batch, 2, 100, pad_prob=0.0),
+        "f3": random_keys(rng, batch, 2, 31, pad_prob=0.0),
+    }
+    # mixed-sign weights, plus one all-zero weight row to hit the den==0 guard
+    weights = {
+        "w0": rng.normal(size=(batch, 4)).astype(np.float32),
+        "w1": rng.random((batch, 3)).astype(np.float32) + 0.1,
+        "w3": rng.normal(size=(batch, 2)).astype(np.float32),
+    }
+    weights["w1"][0, :] = 0.0
+    return feats, weights
+
+
+@pytest.mark.parametrize("strategy", ["all_mp", "all_dp", "mixed"])
+def test_weighted_forward_matches_oracle(mesh8, strategy):
+    lookups = make_weighted_lookups()
+    names = ["t0", "t1", "t2"]
+    if strategy == "all_mp":
+        plan = ShardingPlan(strategy=[("mp", names)])
+    elif strategy == "all_dp":
+        plan = ShardingPlan(strategy=[("dp", names)])
+    else:
+        plan = ShardingPlan(strategy=[("mp", ["t0"]), ("dp", ["t1", "t2"])])
+    compiled = compile_plan(lookups, plan, num_shards=mesh8.data_parallel_size)
+    ebc = EmbeddingCollection(compiled, mesh8, OptParams(Optimizer_t.SGD, lr=0.1))
+    tables = ebc.init(jax.random.key(0))
+    rng = np.random.default_rng(7)
+    feats, weights = _data(rng)
+    sh = mesh8.batch_sharding()
+    feats_dev = {k: jax.device_put(v, sh) for k, v in feats.items()}
+    w_dev = {k: jax.device_put(v, sh) for k, v in weights.items()}
+    outs = jax.jit(ebc.forward)(tables, feats_dev, feature_weights=w_dev)
+    dense = {n: ebc.export_table(tables, n) for n in names}
+    ref = oracle_forward(lookups, dense, feats, weights)
+    for lk in lookups:
+        np.testing.assert_allclose(
+            np.asarray(outs[lk.top_name]), ref[lk.top_name],
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+@pytest.mark.parametrize("strategy", ["all_mp", "mixed"])
+def test_weighted_sgd_backward_matches_oracle(mesh8, strategy):
+    lookups = make_weighted_lookups()
+    names = ["t0", "t1", "t2"]
+    if strategy == "all_mp":
+        plan = ShardingPlan(strategy=[("mp", names)])
+    else:
+        plan = ShardingPlan(strategy=[("mp", ["t0", "t1"]), ("dp", ["t2"])])
+    compiled = compile_plan(lookups, plan, num_shards=mesh8.data_parallel_size)
+    lr = 0.1
+    ebc = EmbeddingCollection(compiled, mesh8, OptParams(Optimizer_t.SGD, lr=lr))
+    tables = ebc.init(jax.random.key(0))
+    opt_state = ebc.init_optimizer(tables)
+    rng = np.random.default_rng(8)
+    batch = 32
+    feats, weights = _data(rng, batch)
+    d_outs = {
+        "e0": rng.normal(size=(batch, 8)).astype(np.float32),
+        "e1": rng.normal(size=(batch, 8)).astype(np.float32),
+        "e2": rng.normal(size=(batch, 8)).astype(np.float32),
+        "e3": rng.normal(size=(batch, 16)).astype(np.float32),
+    }
+    dense = {n: np.array(ebc.export_table(tables, n)) for n in names}
+    oracle_sgd(lookups, dense, feats, weights, d_outs, lr)
+    sh = mesh8.batch_sharding()
+    feats_dev = {k: jax.device_put(v, sh) for k, v in feats.items()}
+    w_dev = {k: jax.device_put(v, sh) for k, v in weights.items()}
+    d_dev = {k: jax.device_put(v, sh) for k, v in d_outs.items()}
+    tables, opt_state = jax.jit(ebc.backward_and_update)(
+        tables, opt_state, feats_dev, d_dev, jnp.asarray(lr), jnp.asarray(1),
+        feature_weights=w_dev,
+    )
+    for n in names:
+        np.testing.assert_allclose(
+            ebc.export_table(tables, n), dense[n], rtol=1e-4, atol=1e-5
+        )
+
+
+def test_weighted_adagrad_8way_matches_1way(mesh8, mesh1):
+    """Weighted lookups with a stateful optimizer: 8-way sharded training
+    step == single-device step (covers the per-key grad expansion through
+    the sort/segsum dedup path on both meshes)."""
+    lookups = make_weighted_lookups()
+    plan = ShardingPlan(strategy=[("mp", ["t0", "t1"]), ("dp", ["t2"])])
+    rng = np.random.default_rng(9)
+    batch = 16
+    feats, weights = _data(rng, batch)
+    d_outs = {
+        "e0": rng.normal(size=(batch, 8)).astype(np.float32),
+        "e1": rng.normal(size=(batch, 8)).astype(np.float32),
+        "e2": rng.normal(size=(batch, 8)).astype(np.float32),
+        "e3": rng.normal(size=(batch, 16)).astype(np.float32),
+    }
+    results = {}
+    fwd_results = {}
+    for rm in (mesh8, mesh1):
+        compiled = compile_plan(lookups, plan, num_shards=rm.data_parallel_size)
+        ebc = EmbeddingCollection(
+            compiled, rm, OptParams(Optimizer_t.AdaGrad, lr=0.1)
+        )
+        tables = ebc.init(jax.random.key(0))
+        # identical dense content across mesh sizes
+        dense = {}
+        for n in ("t0", "t1", "t2"):
+            g, ti = ebc._find_table(n)
+            v = int(g.table_vocab[ti])
+            dense[n] = np.asarray(
+                np.random.default_rng(17).normal(size=(v, 8)), np.float32
+            )
+            tables = ebc.import_table(tables, n, dense[n])
+        opt_state = ebc.init_optimizer(tables)
+        sh = rm.batch_sharding()
+        feats_dev = {k: jax.device_put(v, sh) for k, v in feats.items()}
+        w_dev = {k: jax.device_put(v, sh) for k, v in weights.items()}
+        d_dev = {k: jax.device_put(v, sh) for k, v in d_outs.items()}
+        outs = jax.jit(ebc.forward)(tables, feats_dev, feature_weights=w_dev)
+        fwd_results[rm] = {k: np.asarray(v) for k, v in outs.items()}
+        tables, opt_state = jax.jit(ebc.backward_and_update)(
+            tables, opt_state, feats_dev, d_dev,
+            jnp.asarray(0.1), jnp.asarray(1), feature_weights=w_dev,
+        )
+        results[rm] = {n: ebc.export_table(tables, n) for n in ("t0", "t1", "t2")}
+    for k in fwd_results[mesh8]:
+        np.testing.assert_allclose(
+            fwd_results[mesh8][k], fwd_results[mesh1][k], rtol=1e-4, atol=1e-5
+        )
+    for n in results[mesh8]:
+        np.testing.assert_allclose(
+            results[mesh8][n], results[mesh1][n], rtol=1e-4, atol=1e-5
+        )
+
+
+def test_all_ones_weights_match_unweighted(mesh8):
+    """sp_weights of 1.0 must reproduce the unweighted engine exactly."""
+    t0 = EmbeddingTableConfig(name="t0", max_vocabulary_size=64, ev_size=8)
+    mk = lambda wname: [
+        LookupConfig(0, t0, "f0", "e0", Combiner_t.Sum, 4, sp_weight_name=wname),
+        LookupConfig(1, t0, "f1", "e1", Combiner_t.Mean, 3, sp_weight_name=wname and "w1"),
+    ]
+    plan = ShardingPlan(strategy=[("mp", ["t0"])])
+    rng = np.random.default_rng(11)
+    batch = 16
+    feats = {
+        "f0": random_keys(rng, batch, 4, 64),
+        "f1": random_keys(rng, batch, 3, 64),
+    }
+    d_outs = {
+        "e0": rng.normal(size=(batch, 8)).astype(np.float32),
+        "e1": rng.normal(size=(batch, 8)).astype(np.float32),
+    }
+    dense = np.asarray(rng.normal(size=(64, 8)), np.float32)
+    out_tabs = {}
+    for wname in ("w0", ""):
+        lookups = mk(wname)
+        compiled = compile_plan(lookups, plan, num_shards=mesh8.data_parallel_size)
+        ebc = EmbeddingCollection(
+            compiled, mesh8, OptParams(Optimizer_t.AdaGrad, lr=0.1)
+        )
+        tables = ebc.init(jax.random.key(0))
+        tables = ebc.import_table(tables, "t0", dense)
+        opt_state = ebc.init_optimizer(tables)
+        sh = mesh8.batch_sharding()
+        feats_dev = {k: jax.device_put(v, sh) for k, v in feats.items()}
+        d_dev = {k: jax.device_put(v, sh) for k, v in d_outs.items()}
+        fw = (
+            {
+                "w0": jax.device_put(np.ones((batch, 4), np.float32), sh),
+                "w1": jax.device_put(np.ones((batch, 3), np.float32), sh),
+            }
+            if wname
+            else None
+        )
+        outs = jax.jit(ebc.forward)(tables, feats_dev, feature_weights=fw)
+        tables, opt_state = jax.jit(ebc.backward_and_update)(
+            tables, opt_state, feats_dev, d_dev,
+            jnp.asarray(0.1), jnp.asarray(1), feature_weights=fw,
+        )
+        out_tabs[wname] = (
+            {k: np.asarray(v) for k, v in outs.items()},
+            ebc.export_table(tables, "t0"),
+        )
+    for k in out_tabs["w0"][0]:
+        np.testing.assert_allclose(
+            out_tabs["w0"][0][k], out_tabs[""][0][k], rtol=1e-6, atol=1e-6
+        )
+    np.testing.assert_allclose(
+        out_tabs["w0"][1], out_tabs[""][1], rtol=1e-6, atol=1e-6
+    )
+
+
+def test_config_api_plumbs_sp_weight(mesh1):
+    """EmbeddingCollectionConfig.embedding_lookup(sp_weight_name=...) reaches
+    the compiled plan."""
+    from hugectr_tpu.embedding.config import EmbeddingCollectionConfig
+
+    t = EmbeddingTableConfig(name="t0", max_vocabulary_size=50, ev_size=8)
+    ebc_cfg = EmbeddingCollectionConfig()
+    ebc_cfg.embedding_lookup([t, t], ["f0", "f1"], "emb", "sum",
+                             sp_weight_name=["w0", ""])
+    lks = ebc_cfg.build_lookup_configs()
+    assert lks[0].sp_weight_name == "w0"
+    assert lks[1].sp_weight_name == ""
+    compiled = compile_plan(
+        lks, ebc_cfg.sharding_plan(), num_shards=1
+    )
+    (g,) = compiled.groups
+    assert g.has_weights
+    assert g.lookups[0].sp_weight_name == "w0"
