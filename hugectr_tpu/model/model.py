@@ -905,8 +905,11 @@ class Model:
         parser.hpp): device-side key math stays int32 for HBM/ICI
         efficiency, so 64-bit keys fold ON THE HOST while still wide:
         static tables take table-local `k mod vocab` (exact for in-range
-        keys, the documented wrap otherwise), dynamic tables mix 64 -> 31
-        bits (splitmix) before the exact-store probe."""
+        keys, the documented wrap otherwise); dynamic tables use an EXACT
+        host-side i64 -> 31-bit assignment (_i64_exact_fold) so two
+        distinct 64-bit keys can never share a row (reference
+        DynamicEmbeddingTable is exact for i64,
+        embedding_storage/dynamic_embedding.cu)."""
         fold: Dict[str, list] = {}
         if self.ec is None:
             return fold
@@ -921,9 +924,59 @@ class Model:
                     ks.col_end,
                     int(t.vocabulary_size) - ks.key_offset,
                     bool(t.is_dynamic),
+                    t.name.split("::", 1)[0],
                 )
             )
         return fold
+
+    @staticmethod
+    def _splitmix31(w: np.ndarray) -> np.ndarray:
+        """64 -> 31-bit mix (probe start for the exact fold); never emits
+        the key store's EMPTY sentinel 2^31-1."""
+        m = w.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        f = ((m >> np.uint64(33)) & np.uint64(0x7FFFFFFF)).astype(np.int64)
+        return np.where(f == 2**31 - 1, 0, f)
+
+    def _i64_exact_fold(self, tname: str, w: np.ndarray) -> np.ndarray:
+        """EXACT i64 -> int31 key assignment for one dynamic table.
+
+        A host-side open-addressed map (splitmix start, linear probe) hands
+        every distinct 64-bit key its own 31-bit id — unlike plain hash
+        folding, two distinct i64 keys can never alias (the round-3
+        exactness gap: >50% chance of an aliased pair beyond ~55k keys).
+        The map persists in snapshots (i64_fold_maps.npz) so assignments
+        survive checkpoint/restore. Negative keys are padding (handled by
+        the caller)."""
+        maps = getattr(self, "_i64_maps", None)
+        if maps is None:
+            maps = self._i64_maps = {}
+            self._i64_rev = {}
+        m = maps.setdefault(tname, {})
+        rev = self._i64_rev.setdefault(tname, {})
+        uq = np.unique(w[w >= 0])
+        missing = [k for k in uq.tolist() if k not in m]
+        if missing:
+            for k, c0 in zip(missing, self._splitmix31(np.asarray(missing))):
+                c = int(c0)
+                while True:
+                    owner = rev.get(c)
+                    if owner is None:
+                        m[k] = c
+                        rev[c] = k
+                        break
+                    if owner == k:  # concurrent duplicate in `missing`
+                        break
+                    c += 1
+                    if c >= 2**31 - 1:  # skip the EMPTY sentinel, wrap
+                        c = 0
+        flat = w.reshape(-1)
+        neg = flat < 0
+        uq2, inv = np.unique(np.where(neg, 0, flat), return_inverse=True)
+        lut = np.fromiter(
+            (m.get(int(k), 0) for k in uq2), np.int32, len(uq2)
+        )
+        out = lut[inv]
+        return np.where(neg, np.int32(INVALID_KEY), out).reshape(w.shape)
 
     def _fold_i64_keys(self, batch):
         if not getattr(self, "_i64_fold", None):
@@ -936,19 +989,57 @@ class Model:
             if k.dtype != np.int64:
                 continue
             k32 = np.empty(k.shape, np.int32)
-            for lo, hi, modulo, dynamic in windows:
+            for lo, hi, modulo, dynamic, tname in windows:
                 w = k[:, lo:hi]
                 neg = w < 0
+                if dynamic and self.rm.num_processes == 1:
+                    k32[:, lo:hi] = self._i64_exact_fold(tname, w)
+                    continue
                 if dynamic:
-                    m = (w.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-                    f = ((m >> np.uint64(33)) & np.uint64(0x7FFFFFFF)).astype(
-                        np.int32
-                    )
+                    # multi-controller: per-process exact maps would assign
+                    # the same key different ids across processes; keep the
+                    # deterministic (but aliasing) mix and say so once
+                    if not getattr(self, "_warned_i64_mp", False):
+                        self._warned_i64_mp = True
+                        logger.warning(
+                            "i64 dynamic keys use hash folding under "
+                            "multi-controller runs (exact assignment needs "
+                            "a shared map); distinct keys may alias"
+                        )
+                    f = self._splitmix31(w).astype(np.int32)
                 else:
                     f = (w % max(modulo, 1)).astype(np.int32)
                 k32[:, lo:hi] = np.where(neg, np.int32(INVALID_KEY), f)
             out[name] = k32
         return out
+
+    def _i64_fold_maps_arrays(self) -> Dict[str, np.ndarray]:
+        """{<table>.orig / <table>.fold} arrays for snapshot persistence."""
+        arrays: Dict[str, np.ndarray] = {}
+        for tname, m in getattr(self, "_i64_maps", {}).items():
+            if not m:
+                continue
+            arrays[f"{tname}.orig"] = np.fromiter(
+                m.keys(), np.int64, len(m)
+            )
+            arrays[f"{tname}.fold"] = np.fromiter(
+                m.values(), np.int32, len(m)
+            )
+        return arrays
+
+    def _restore_i64_fold_maps(self, arrays) -> None:
+        self._i64_maps = {}
+        self._i64_rev = {}
+        names = {k.rsplit(".", 1)[0] for k in arrays.keys()}
+        for tname in names:
+            orig = np.asarray(arrays[f"{tname}.orig"])
+            fold = np.asarray(arrays[f"{tname}.fold"])
+            self._i64_maps[tname] = dict(
+                zip(orig.tolist(), fold.tolist())
+            )
+            self._i64_rev[tname] = dict(
+                zip(fold.tolist(), orig.tolist())
+            )
 
     def _maybe_auto_ucap(self, host_batch) -> None:
         """First-batch hook for HCTR_TPU_UCAP_FACTOR=auto: measure per-group
@@ -1273,6 +1364,13 @@ class Model:
                             ),
                             host,
                         )
+        # exact i64 -> int31 dynamic-key assignments (meaningless to reload
+        # values without them — the device key store holds FOLDED keys)
+        fold_maps = self._i64_fold_maps_arrays()
+        if write and fold_maps:
+            iofs.save_npz(
+                os.path.join(out_dir, "i64_fold_maps.npz"), **fold_maps
+            )
         if write:
             with iofs.open_file(os.path.join(out_dir, "meta.json"), "w") as f:
                 json.dump(
@@ -1326,6 +1424,9 @@ class Model:
                             jnp.asarray(iofs.load_npy(p)),
                             self.state["emb_tables"][name].sharding,
                         )
+            fmap_path = os.path.join(out_dir, "i64_fold_maps.npz")
+            if iofs.exists(fmap_path):
+                self._restore_i64_fold_maps(iofs.load_npz(fmap_path))
         edir = os.path.join(out_dir, "emb_opt_states")
         if self.ec is not None and iofs.isdir(edir):
             for gname, st in self.state["eopt"].items():

@@ -308,3 +308,130 @@ def test_growth_preserves_sibling_tables(mesh1):
     old_acc = _np.asarray(state[gs.name]["accum"])[old_rows]
     new_acc = _np.asarray(state2[ngs.name]["accum"])[new_rows]
     np.testing.assert_allclose(new_acc, old_acc, rtol=1e-6)
+
+
+# ---------------------------------------------------------- exact i64 keys
+def _find_splitmix_collision():
+    """Two distinct i64 keys whose 31-bit splitmix folds collide (the round-3
+    aliasing gap: hash folding silently shared a row between them)."""
+    from hugectr_tpu.model.model import Model
+
+    rng = np.random.default_rng(0)
+    ks = np.unique(rng.integers(0, 2**62, size=300_000, dtype=np.int64))
+    h = Model._splitmix31(ks)
+    uq, cnt = np.unique(h, return_counts=True)
+    dups = uq[cnt >= 2]
+    assert len(dups) > 0, "no splitmix collision in sample (raise sample size)"
+    pair = np.where(h == dups[0])[0][:2]
+    return int(ks[pair[0]]), int(ks[pair[1]])
+
+
+def test_i64_exact_fold_distinct_ids_and_roundtrip():
+    """Colliding i64 keys get DISTINCT 31-bit ids (reference:
+    DynamicEmbeddingTable is exact for i64, dynamic_embedding.cu), and the
+    assignment map survives a save/restore roundtrip."""
+    from types import SimpleNamespace
+
+    from hugectr_tpu.model.model import Model
+
+    k1, k2 = _find_splitmix_collision()
+    assert int(Model._splitmix31(np.asarray([k1]))[0]) == int(
+        Model._splitmix31(np.asarray([k2]))[0]
+    )
+    ns = SimpleNamespace(_splitmix31=Model._splitmix31)
+    w = np.array([[k1, k2, -1]], dtype=np.int64)
+    out = Model._i64_exact_fold(ns, "dyn", w)
+    assert out[0, 0] != out[0, 1], "colliding i64 keys must not share an id"
+    assert out[0, 2] == INVALID_KEY
+    assert out.dtype == np.int32 and (out[0, :2] >= 0).all()
+    assert (out[0, :2] != 2**31 - 1).all()  # never the EMPTY sentinel
+    # determinism: same keys -> same ids on re-fold
+    out2 = Model._i64_exact_fold(ns, "dyn", w)
+    np.testing.assert_array_equal(out, out2)
+    # persistence roundtrip
+    arrays = Model._i64_fold_maps_arrays(ns)
+    ns2 = SimpleNamespace(_splitmix31=Model._splitmix31)
+    Model._restore_i64_fold_maps(ns2, arrays)
+    out3 = Model._i64_exact_fold(ns2, "dyn", w)
+    np.testing.assert_array_equal(out, out3)
+    # a NEW key hitting an occupied slot probes onward, not onto k1/k2
+    k3_candidates = np.unique(
+        np.random.default_rng(1).integers(0, 2**62, 400_000, dtype=np.int64)
+    )
+    h3 = Model._splitmix31(k3_candidates)
+    target = int(Model._splitmix31(np.asarray([k1]))[0])
+    same = k3_candidates[(h3 == target) & (k3_candidates != k1)
+                         & (k3_candidates != k2)]
+    if len(same):
+        out4 = Model._i64_exact_fold(ns2, "dyn", same[:1].reshape(1, 1))
+        assert int(out4[0, 0]) not in (int(out[0, 0]), int(out[0, 1]))
+
+
+def test_i64_dynamic_model_trains_colliding_keys_distinctly(mesh1, tmp_path):
+    """End-to-end: an i64_input_key model with a dynamic table folds the
+    colliding pair to distinct rows; snapshot save/load preserves the map."""
+    import hugectr_tpu as hugectr
+    from hugectr_tpu.core.types import DataReaderType_t
+
+    k1, k2 = _find_splitmix_collision()
+    solver = hugectr.CreateSolver(
+        max_eval_batches=1, batchsize_eval=8, batchsize=8, lr=0.1,
+        i64_input_key=True, repeat_dataset=True,
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=2
+    )
+    model = hugectr.Model(
+        solver, reader,
+        hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.SGD),
+        resource_manager=mesh1,
+    )
+    model.add(
+        hugectr.Input(
+            label_dim=1, label_name="label", dense_dim=2, dense_name="dense",
+            data_reader_sparse_param_array=[
+                hugectr.DataReaderSparseParam("d0", 2, True, 1)
+            ],
+        )
+    )
+    tables = [
+        hugectr.EmbeddingTableConfig(
+            name="dyn", max_vocabulary_size=-1, ev_size=8, dynamic_capacity=64
+        )
+    ]
+    ebc = hugectr.EmbeddingCollectionConfig()
+    ebc.embedding_lookup(tables, ["d0"], "emb", ["sum"])
+    ebc.shard(shard_matrix=[["dyn"]], shard_strategy=[("mp", ["dyn"])])
+    model.add(ebc)
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Concat,
+            bottom_names=["emb", "dense"], top_names=["c"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=["c"], top_names=["out"], num_output=1,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+            bottom_names=["out", "label"], top_names=["loss"],
+        )
+    )
+    model.compile()
+    batch = {"d0": np.array([[k1, k2]] * 8, dtype=np.int64)}
+    folded = model._fold_i64_keys(batch)["d0"]
+    assert folded[0, 0] != folded[0, 1]
+    model.fit(max_iter=3, display=10, eval_interval=0)
+    # snapshot roundtrip preserves the assignment
+    model.download_params_to_files(str(tmp_path / "snap"), 3)
+    saved = dict(model._i64_maps["dyn"])
+    model._i64_maps = {}
+    model._i64_rev = {}
+    model.load_params_from_files(str(tmp_path / "snap_iter3"))
+    assert model._i64_maps["dyn"] == saved
+    folded2 = model._fold_i64_keys(batch)["d0"]
+    np.testing.assert_array_equal(folded2, folded)
