@@ -353,6 +353,12 @@ class _Converter:
             shp = np.asarray([-1, cfg["leading_dim"]], np.int64)
         s = self.init_const("shape", shp)
         self.g.add_node("Reshape", [bots[0], s], [tops[0]], allowzero=0)
+        ins = self.shapes.get(bots[0])
+        if ins is not None:
+            n = int(np.prod(ins))
+            dims = [int(d) for d in shp]
+            fill = n // max(int(np.prod([d for d in dims if d > 0])), 1)
+            self.shapes[tops[0]] = tuple(fill if d == -1 else d for d in dims)
         return []
 
     def _op_Slice(self, li, cfg, bots, tops):
@@ -365,6 +371,8 @@ class _Converter:
 
     def _op_ReLU(self, li, cfg, bots, tops):
         self.g.add_node("Relu", bots, tops)
+        if bots[0] in self.shapes:
+            self.shapes[tops[0]] = self.shapes[bots[0]]
         return []
 
     def _op_Sigmoid(self, li, cfg, bots, tops):
@@ -479,6 +487,90 @@ class _Converter:
 
     def _op_Softmax(self, li, cfg, bots, tops):
         self.g.add_node("Softmax", bots[:1], tops, axis=-1)
+        return []
+
+    def _op_MatrixMultiply(self, li, cfg, bots, tops):
+        """Plain MatMul (reference converter: graph_builder.py:1158); the
+        layer's transpose_b (3-D attention products, gemm.py::_mm_apply)
+        becomes an explicit Transpose, and the 2-D x 3-D contraction
+        bm,mgh->bgh lowers to Reshape+MatMul+Reshape."""
+        a, b = bots
+        sa, sb = self.shapes.get(a), self.shapes.get(b)
+        if cfg.get("transpose_b"):
+            # transpose_b only applies to 3-D operands (gemm.py::_mm_apply)
+            bt = self.g.uname("mmT")
+            self.g.add_node("Transpose", [b], [bt], perm=[0, 2, 1])
+            if sb is not None and len(sb) == 3:
+                self.shapes[bt] = (sb[0], sb[2], sb[1])
+            b = bt
+            sb = self.shapes.get(bt)
+        if sa is not None and sb is not None and len(sa) == 2 and len(sb) == 3:
+            # bm,mgh->bgh: flatten b to [M, G*H], matmul, reshape back
+            m, gdim, h = sb
+            bf = self.g.uname("mmf")
+            shp = self.init_const("mmshape", np.asarray([m, gdim * h], np.int64))
+            self.g.add_node("Reshape", [b, shp], [bf], allowzero=0)
+            mm = self.g.uname("mm")
+            self.g.add_node("MatMul", [a, bf], [mm])
+            shp2 = self.init_const(
+                "mmshape2", np.asarray([sa[0], gdim, h], np.int64)
+            )
+            self.g.add_node("Reshape", [mm, shp2], tops, allowzero=0)
+            self.shapes[tops[0]] = (sa[0], gdim, h)
+            return []
+        self.g.add_node("MatMul", [a, b], tops)
+        if sa is not None and sb is not None:
+            if len(sa) == 2 and len(sb) == 2:
+                self.shapes[tops[0]] = (sa[0], sb[1])
+            elif len(sa) == 3 and len(sb) == 3:
+                self.shapes[tops[0]] = (sa[0], sa[1], sb[2])
+        return []
+
+    def _op_MaskedSoftmax(self, li, cfg, bots, tops):
+        """x*scale, mask==0 positions forced to -10000, softmax on the last
+        axis (reference: src/layers/masked_softmax_layer.cu)."""
+        x, mask = bots
+        scale = float(cfg.get("factor", 1.0) or 1.0)
+        xs = self.g.uname("msc")
+        self.g.add_node(
+            "Mul",
+            [x, self.init_const("scale", np.asarray([scale], np.float32))],
+            [xs],
+        )
+        gt = self.g.uname("msb")
+        self.g.add_node(
+            "Greater",
+            [mask, self.init_const("zero", np.asarray([0.0], np.float32))],
+            [gt],
+        )
+        w_ = self.g.uname("msw")
+        neg = self.init_const("neg", np.asarray([-10000.0], np.float32))
+        self.g.add_node("Where", [gt, xs, neg], [w_])
+        self.g.add_node("Softmax", [w_], tops, axis=-1)
+        if x in self.shapes:
+            self.shapes[tops[0]] = self.shapes[x]
+        return []
+
+    def _op_Select(self, li, cfg, bots, tops):
+        """Static index selection along `dim` (layers/core_layers.py::Select)
+        -> ONNX Gather with constant indices."""
+        dim = int(cfg.get("dim", 1))
+        idx = self.init_const("sel_idx", np.asarray(cfg["index"], np.int64))
+        self.g.add_node("Gather", [bots[0], idx], tops, axis=dim)
+        s = self.shapes.get(bots[0])
+        if s is not None:
+            s2 = list(s)
+            s2[dim] = len(cfg["index"])
+            self.shapes[tops[0]] = tuple(s2)
+        return []
+
+    def _op_Gather(self, li, cfg, bots, tops):
+        """Static batch-row gather (layers/core_layers.py::Gather, axis 0)."""
+        idx = self.init_const("gat_idx", np.asarray(cfg["indices"], np.int64))
+        self.g.add_node("Gather", [bots[0], idx], tops, axis=0)
+        s = self.shapes.get(bots[0])
+        if s is not None:
+            self.shapes[tops[0]] = (len(cfg["indices"]),) + tuple(s[1:])
         return []
 
     def _op_Scale(self, li, cfg, bots, tops):

@@ -957,3 +957,107 @@ def test_hot_cold_split_model_export(mesh1, tmp_path, monkeypatch):
     logits = model.check_out_tensor("logit", batch)
     want = 1.0 / (1.0 + np.exp(-logits.reshape(-1)))
     np.testing.assert_allclose(onnx_pred, want, rtol=1e-4, atol=1e-5)
+
+
+def test_matrixmultiply_maskedsoftmax_select_gather_export(mesh1, tmp_path):
+    """MatrixMultiply (3-D, incl. transpose_b — reference converter:
+    graph_builder.py:1158 MatMul) + MaskedSoftmax + Select + Gather export
+    and match the live model numerically (the round-3 converter gaps)."""
+    import hugectr_tpu as hugectr
+    from hugectr_tpu.core.types import DataReaderType_t
+
+    B = 8
+    solver = hugectr.CreateSolver(
+        max_eval_batches=1, batchsize_eval=B, batchsize=B, lr=0.01
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=2
+    )
+    model = hugectr.Model(
+        solver,
+        reader,
+        hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.SGD),
+        resource_manager=mesh1,
+    )
+    model.add(
+        hugectr.Input(
+            label_dim=1,
+            label_name="label",
+            dense_dim=8,
+            dense_name="dense",
+            data_reader_sparse_param_array=[
+                hugectr.DataReaderSparseParam("d0", 2, True, 1)
+            ],
+        )
+    )
+    tables = [
+        hugectr.EmbeddingTableConfig(name="t0", max_vocabulary_size=50, ev_size=8)
+    ]
+    ebc = hugectr.EmbeddingCollectionConfig()
+    ebc.embedding_lookup(tables, ["d0"], "emb", ["sum"])
+    ebc.shard(shard_matrix=[["t0"]], shard_strategy=[("mp", ["t0"])])
+    model.add(ebc)
+    L = hugectr.Layer_t
+    DL = hugectr.DenseLayer
+    model.add(DL(layer_type=L.Concat, bottom_names=["emb", "dense"], top_names=["c1"]))
+    model.add(DL(layer_type=L.InnerProduct, bottom_names=["c1"],
+                 top_names=["a16"], num_output=16,
+                 act_type=hugectr.Activation_t.Non))
+    model.add(DL(layer_type=L.Reshape, bottom_names=["a16"], top_names=["a3d"],
+                 leading_dim=4, time_step=4))
+    model.add(DL(layer_type=L.InnerProduct, bottom_names=["c1"],
+                 top_names=["b16"], num_output=16,
+                 act_type=hugectr.Activation_t.Non))
+    model.add(DL(layer_type=L.Reshape, bottom_names=["b16"], top_names=["b3d"],
+                 leading_dim=4, time_step=4))
+    # 3-D x 3-D with transpose_b (attention scores)
+    model.add(DL(layer_type=L.MatrixMultiply, bottom_names=["a3d", "b3d"],
+                 top_names=["mm"], transpose_b=True))
+    model.add(DL(layer_type=L.ReLU, bottom_names=["b3d"], top_names=["maskp"]))
+    model.add(DL(layer_type=L.MaskedSoftmax, bottom_names=["mm", "maskp"],
+                 top_names=["att"], factor=0.5))
+    # 3-D x 3-D plain
+    model.add(DL(layer_type=L.MatrixMultiply, bottom_names=["att", "a3d"],
+                 top_names=["ctx3"]))
+    model.add(DL(layer_type=L.Reshape, bottom_names=["ctx3"],
+                 top_names=["ctx"], leading_dim=16))
+    model.add(DL(layer_type=L.Select, bottom_names=["ctx"], top_names=["sel"],
+                 dim=1, index=[0, 2, 5, 7]))
+    model.add(DL(layer_type=L.Gather, bottom_names=["sel"], top_names=["gat"],
+                 indices=[3, 1, 0, 2, 7, 6, 4, 5]))
+    model.add(DL(layer_type=L.InnerProduct, bottom_names=["gat"],
+                 top_names=["logit"], num_output=1,
+                 act_type=hugectr.Activation_t.Non))
+    model.add(DL(layer_type=L.BinaryCrossEntropyLoss,
+                 bottom_names=["logit", "label"], top_names=["loss"]))
+    model.compile()
+    for _ in range(2):
+        model.train()
+
+    prefix = str(tmp_path / "snap")
+    model.download_params_to_files(prefix, 2)
+    gpath = str(tmp_path / "graph.json")
+    model.graph_to_json(gpath)
+    onnx_path = str(tmp_path / "model.onnx")
+    hugectr2onnx.convert(
+        onnx_path, gpath, f"{prefix}_iter2", convert_embedding=True, batch_size=B
+    )
+    nodes, inits, inputs, outputs = parse_model(open(onnx_path, "rb").read())
+    ops = {n["op"] for n in nodes}
+    assert "MatMul" in ops and "Where" in ops and "Transpose" in ops
+
+    rng = np.random.default_rng(5)
+    feeds = {
+        "dense": rng.random((B, 8), dtype=np.float32),
+        "d0": rng.integers(0, 50, (B, 2)).astype(np.int64),
+    }
+    env = run_model_ext(nodes, inits, feeds)
+    onnx_pred = env[outputs[0]].reshape(-1)
+    batch = {
+        "label": np.zeros((B, 1), np.float32),
+        "dense": feeds["dense"],
+        "d0": feeds["d0"].astype(np.int32),
+    }
+    logits = model.check_out_tensor("logit", batch)
+    want = 1.0 / (1.0 + np.exp(-logits.reshape(-1)))
+    np.testing.assert_allclose(onnx_pred, want, rtol=1e-4, atol=1e-5)
