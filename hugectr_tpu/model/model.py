@@ -482,6 +482,11 @@ class Model:
             )
             for spec in self.network.loss_specs[1:]
         }
+        # opt-in host-side out-of-range key assertion (captured here like
+        # the other engine knobs)
+        self._check_keys = bool(os.environ.get("HCTR_TPU_CHECK_KEYS"))
+        if self.rm.is_master_process():
+            s.warn_noop_knobs(logger)
         self._compiled = True
 
     # ------------------------------------------------------------- readers
@@ -1063,8 +1068,37 @@ class Model:
         }
         self.ec.auto_unique_caps(fk)
 
+    def _check_keys_in_range(self, batch) -> None:
+        """Opt-in (HCTR_TPU_CHECK_KEYS=1) host-side out-of-range key
+        assertion: static-table keys must satisfy 0 <= k < vocab. Off the
+        hot path by default — the engine's documented behavior is to wrap
+        (k % vocab), which masks dataset/config bugs the reference would
+        surface as corrupt lookups (reference diagnostics analog:
+        Model::check_overflow, model.cpp:1251-1258)."""
+        if not getattr(self, "_i64_fold", None):
+            self._i64_fold = self._build_i64_fold()
+        b = self._host_decode_batch(batch)
+        for name, windows in self._i64_fold.items():
+            if name not in b:
+                continue
+            k = np.asarray(b[name])
+            for lo, hi, modulo, dynamic, tname in windows:
+                if dynamic:
+                    continue  # any key is a valid dynamic-table key
+                w = k[:, lo:hi]
+                bad = w[(w >= modulo)]
+                if bad.size:
+                    raise ValueError(
+                        f"HCTR_TPU_CHECK_KEYS: feature {name!r} cols "
+                        f"[{lo},{hi}) has key {int(bad.max())} >= vocab "
+                        f"bound {modulo} of table {tname!r} (keys must be "
+                        "table-local; the engine would silently wrap)"
+                    )
+
     def _put_batch(self, batch) -> Dict[str, jax.Array]:
         batch.pop(ROWS_KEY, None)  # host-only tail-batch annotation
+        if getattr(self, "_check_keys", False):
+            self._check_keys_in_range(batch)
         self._maybe_auto_ucap(batch)
         if self.solver.i64_input_key:
             batch = self._fold_i64_keys(batch)

@@ -446,3 +446,106 @@ def test_remote_fs_snapshot_roundtrip(mesh8, tmp_path):
     # embedding_load discovers tables on the remote dir through listdir
     model.embedding_dump("memory://ckpt/emb", ["t0"])
     model.embedding_load("memory://ckpt/emb")
+
+
+def test_check_keys_env_asserts_out_of_range(mesh1, monkeypatch):
+    """HCTR_TPU_CHECK_KEYS=1: static-table keys >= vocab raise host-side
+    instead of silently wrapping (reference surfaces corrupt lookups;
+    Model::check_overflow analog for inputs)."""
+    monkeypatch.setenv("HCTR_TPU_CHECK_KEYS", "1")
+    model = _tiny_dlrm(mesh1) if "_tiny_dlrm" in globals() else None
+    if model is None:
+        import hugectr_tpu as hugectr
+
+        solver = hugectr.CreateSolver(
+            max_eval_batches=1, batchsize_eval=16, batchsize=16, lr=0.01,
+            repeat_dataset=True,
+        )
+        reader = hugectr.DataReaderParams(
+            data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=2
+        )
+        model = hugectr.Model(
+            solver, reader,
+            hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.SGD),
+            resource_manager=mesh1,
+        )
+        model.add(
+            hugectr.Input(
+                label_dim=1, label_name="label", dense_dim=4,
+                dense_name="dense",
+                data_reader_sparse_param_array=[
+                    hugectr.DataReaderSparseParam("d0", 2, True, 1)
+                ],
+            )
+        )
+        tables = [
+            hugectr.EmbeddingTableConfig(
+                name="t0", max_vocabulary_size=50, ev_size=8
+            )
+        ]
+        ebc = hugectr.EmbeddingCollectionConfig()
+        ebc.embedding_lookup(tables, ["d0"], "emb", ["sum"])
+        ebc.shard(shard_matrix=[["t0"]], shard_strategy=[("mp", ["t0"])])
+        model.add(ebc)
+        model.add(
+            hugectr.DenseLayer(
+                layer_type=hugectr.Layer_t.Concat,
+                bottom_names=["emb", "dense"], top_names=["c"],
+            )
+        )
+        model.add(
+            hugectr.DenseLayer(
+                layer_type=hugectr.Layer_t.InnerProduct,
+                bottom_names=["c"], top_names=["out"], num_output=1,
+            )
+        )
+        model.add(
+            hugectr.DenseLayer(
+                layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+                bottom_names=["out", "label"], top_names=["loss"],
+            )
+        )
+        model.compile()
+    ok_batch = {
+        "label": np.zeros((16, 1), np.float32),
+        "dense": np.zeros((16, 4), np.float32),
+        "d0": np.full((16, 2), 49, np.int32),
+    }
+    model._put_batch(dict(ok_batch))  # in-range: no raise
+    bad = dict(ok_batch)
+    bad["d0"] = np.full((16, 2), 50, np.int32)  # == vocab -> out of range
+    with pytest.raises(ValueError, match="t0"):
+        model._put_batch(bad)
+    # padding keys (-1) are fine
+    pad = dict(ok_batch)
+    pad["d0"] = np.full((16, 2), -1, np.int32)
+    model._put_batch(pad)
+
+
+def test_noop_knob_warnings():
+    """Non-default no-op Solver knobs emit one warning each (VERDICT r3)."""
+    import hugectr_tpu as hugectr
+
+    s = hugectr.CreateSolver(
+        train_inter_iteration_overlap=True,
+        all_reduce_algo="ONESHOT",
+        use_cuda_graph=False,
+    )
+
+    class Rec:
+        def __init__(self):
+            self.msgs = []
+
+        def warning(self, m):
+            self.msgs.append(m)
+
+    rec = Rec()
+    warned = s.warn_noop_knobs(rec)
+    assert set(warned) == {
+        "train_inter_iteration_overlap", "all_reduce_algo", "use_cuda_graph"
+    }
+    assert len(rec.msgs) == 3
+    assert any("XLA" in m for m in rec.msgs)
+    # defaults stay silent
+    s2 = hugectr.CreateSolver()
+    assert s2.warn_noop_knobs(rec) == []
