@@ -95,6 +95,11 @@ class _GroupMeta:
         self.slot_rows = jnp.asarray(
             g.rows_per_shard[g.slot_table], dtype=jnp.int32
         )
+        # per-table owner rotation, reduced mod the group's shard count f
+        # (key k -> shard (k + rot) % f; see plan.table_shard_rotation)
+        self.slot_rotation = jnp.asarray(
+            g.slot_rotation % max(int(g.num_shards), 1), dtype=jnp.int32
+        )
         self.slot_dynamic = jnp.asarray(g.slot_is_dynamic)
         self.any_dynamic = bool(g.slot_is_dynamic.any())
         self.any_static = bool((~g.slot_is_dynamic).any())
@@ -387,7 +392,9 @@ class EmbeddingCollection:
         # static tables: wrap out-of-range keys (documented; keys should be
         # table-local already)
         k_static = jnp.where(valid, k32 % meta.slot_vocab[None, :], 0)
-        owner_s = (k_static % num_shards).astype(jnp.int32)
+        owner_s = (
+            (k_static + meta.slot_rotation[None, :]) % num_shards
+        ).astype(jnp.int32)
         row_s = (k_static // num_shards).astype(jnp.int32)
         if meta.any_dynamic:
             dyn = meta.slot_dynamic[None, :]
@@ -1565,7 +1572,7 @@ class EmbeddingCollection:
             valid = keys != INVALID_KEY
             f = g.num_shards if g.is_model_parallel else 1
             kk = keys.astype(np.int64) % np.asarray(g.slot_vocab)[None, :]
-            owner = kk % f
+            owner = (kk + np.asarray(g.slot_rotation)[None, :]) % f
             local = kk // f + np.asarray(g.slot_local_offset)[None, :]
             gid = owner * int(g.total_local_rows) + local
             u_max, v_max = 0, 0
@@ -1762,7 +1769,8 @@ class EmbeddingCollection:
         else:
             kk = k32 % jnp.int32(int(g.table_vocab[ti]))
             row = kk // jnp.int32(max(n, 1))
-            owner = kk % jnp.int32(max(n, 1))
+            rot = int(g.table_rotation[ti]) % max(n, 1)
+            owner = (kk + jnp.int32(rot)) % jnp.int32(max(n, 1))
         local = row + jnp.int32(int(g.local_offsets[ti]))
         if g.is_model_parallel:
             storage_row = owner * jnp.int32(g.total_local_rows) + local
@@ -2117,7 +2125,8 @@ class EmbeddingCollection:
     def _table_storage_rows(self, g: GroupPlan, ti: int, vocab: int) -> np.ndarray:
         keys = np.arange(vocab, dtype=np.int32)
         if g.is_model_parallel:
-            shard = keys % g.num_shards
+            rot = int(g.table_rotation[ti]) % max(g.num_shards, 1)
+            shard = (keys + rot) % g.num_shards
             row = keys // g.num_shards
             return (shard * g.total_local_rows + int(g.local_offsets[ti]) + row).astype(
                 np.int32

@@ -8,7 +8,9 @@ Semantics mirrored from the reference (not the implementation):
     docs/source/api/hugectr_layer_book.md:1212-1231 and
     HugeCTR/embedding/common.hpp:206-268 (EmbeddingCollectionParam).
   - MP tables are row-sharded round-robin over devices: key `k` is owned by
-    device `k % num_shards` at local row `k // num_shards` — reference:
+    device `(k + rot_t) % num_shards` at local row `k // num_shards`, where
+    `rot_t` is a per-table rotation (table_shard_rotation) that spreads the
+    power-law head keys of different tables across shards — reference:
     HugeCTR/embedding/data_distributor/data_compression_operators.cu
     (shard partitioner) and embedding/common.hpp:253-267.
   - DP tables are replicated on every device with dense-allreduced gradients —
@@ -204,10 +206,24 @@ class GroupPlan:
     # shard d % f) — per-device memory is vocab/f rows, exactly the
     # reference's per-device footprint for a table on f devices.
     mesh_size: int = 0
+    # [T]/[H] per-table shard rotation: key k of table t lives in shard
+    # (k + rot_t) % f at local row k // f. Plain k % f puts EVERY table's
+    # power-law head (key 0) on shard 0 — measured 1.30x busiest-shard key
+    # volume at alpha=1.05 on the flagship shape; a per-table-name rotation
+    # restores ~1/N balance (tests/test_work_scaling.py). Derived from the
+    # base table name (stable across recompiles/processes/growth).
+    table_rotation: Optional[np.ndarray] = None
+    slot_rotation: Optional[np.ndarray] = None
 
     def __post_init__(self):
         if not self.mesh_size:
             self.mesh_size = self.num_shards
+        if self.table_rotation is None:
+            self.table_rotation = np.array(
+                [table_shard_rotation(t.name) for t in self.tables], np.int64
+            )
+        if self.slot_rotation is None:
+            self.slot_rotation = self.table_rotation[self.slot_table]
 
     @property
     def is_model_parallel(self) -> bool:
@@ -271,6 +287,22 @@ class CompiledEmbeddingPlan:
 
 def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def table_shard_rotation(name: str) -> int:
+    """Per-table owner rotation: key k -> shard (k + rot) % f.
+
+    Derived from the BASE table name (hot/cold `::tier` and column `#col`
+    sub-tables share their parent's rotation so row placement stays aligned
+    across splits), stable across plan recompiles, processes and dynamic
+    growth. Set HCTR_TPU_SHARD_ROTATION=0 to restore plain k % f."""
+    import os
+    import zlib
+
+    if os.environ.get("HCTR_TPU_SHARD_ROTATION", "1") == "0":
+        return 0
+    base = name.split("::", 1)[0].split("#col", 1)[0]
+    return zlib.crc32(base.encode()) & 0x7FFFFFFF
 
 
 def hot_split_rows() -> int:

@@ -126,11 +126,11 @@ def test_partial_evict_hits_all_replicas(mesh8):
     g, ti = ebc._find_table("t0")
     raw = np.asarray(tables[g.name])
     stride = g.num_shards * g.total_local_rows
+    # replica-0 storage row via the engine's own placement map (key k ->
+    # shard (k + rot) % f at local row k // f, plan.table_shard_rotation)
+    srow0 = int(ebc._table_storage_rows(g, ti, int(g.table_vocab[ti]))[10])
     for r in range(g.num_replicas):
-        shard = 10 % g.num_shards
-        row = 10 // g.num_shards
-        srow = r * stride + shard * g.total_local_rows + int(g.local_offsets[ti]) + row
-        np.testing.assert_array_equal(raw[srow], 0.0)
+        np.testing.assert_array_equal(raw[r * stride + srow0], 0.0)
 
 
 def test_planner_output_drives_engine(mesh8):
