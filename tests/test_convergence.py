@@ -15,6 +15,7 @@ def _model(
     batch=512,
     emb_dtype="float32",
     optimizer_type=None,
+    seed=7,
 ):
     solver = hugectr.CreateSolver(
         max_eval_batches=8,
@@ -23,7 +24,7 @@ def _model(
         lr=0.05,
         metrics_spec={Metric_t.AUC: 1.0, Metric_t.AverageLoss: 1.0},
         repeat_dataset=True,
-        seed=7,
+        seed=seed,
         embedding_vec_dtype=emb_dtype,
     )
     reader = hugectr.DataReaderParams(
@@ -100,6 +101,36 @@ def _model(
     return model
 
 
+GATE_STEPS = 1000
+NOISE_SEEDS = (7, 17, 27)
+
+
+def _train_auc(rm, steps=GATE_STEPS, **kw):
+    model = _model(rm, **kw)
+    for _ in range(steps):
+        model.train_async()
+    return model.eval()["auc"]
+
+
+@pytest.fixture(scope="module")
+def fp32_noise_floor(mesh8):
+    """Calibrated run-to-run AUC noise of the synthetic task: fp32/Adam at
+    GATE_STEPS across NOISE_SEEDS seeds -> (mean, sigma). The gates below
+    bound accuracy-affecting speed options at this floor instead of a loose
+    fixed tolerance (VERDICT r3 item 5 — MLPerf margins are ~0.0005 AUC, so
+    a 0.03 @ 300-step gate could pass options that fail a real run)."""
+    aucs = [_train_auc(mesh8, seed=s) for s in NOISE_SEEDS]
+    mean = float(np.mean(aucs))
+    sigma = float(np.std(aucs))
+    return mean, sigma, aucs
+
+
+def _gate(sigma):
+    # 2.5 sigma of measured seed noise, floored at 0.005 so a degenerate
+    # near-zero sigma (seeds agreeing by luck) cannot make the gate flaky
+    return max(2.5 * sigma, 0.005)
+
+
 def test_learnable_synthetic_converges(mesh8):
     """Key-parity labels are perfectly learnable by an embedding model: AUC
     must climb well above chance within a few hundred steps."""
@@ -110,55 +141,50 @@ def test_learnable_synthetic_converges(mesh8):
     assert vals["auc"] > 0.72, f"failed to learn: {vals}"
 
 
-def test_bf16_embedding_convergence_gate(mesh8):
-    """bf16 embedding-vector AUC must match fp32 within tolerance on the
-    learnable-synthetic dataset — the validation gate behind the bench's
-    bf16 operating point (VERDICT r1 item 10; reference mixed-precision
-    embedding uses fp16 vectors with fp32 optimizer math)."""
-    aucs = {}
-    for dt in ("float32", "bfloat16"):
-        model = _model(mesh8, emb_dtype=dt)
-        for _ in range(300):
-            model.train_async()
-        aucs[dt] = model.eval()["auc"]
-    assert aucs["bfloat16"] > 0.72, aucs
-    assert abs(aucs["bfloat16"] - aucs["float32"]) < 0.03, aucs
+def test_bf16_embedding_convergence_gate(mesh8, fp32_noise_floor):
+    """bf16 embedding vectors must cost no more AUC than run-to-run seed
+    variance at GATE_STEPS (the gate behind the bench's bf16 operating
+    point; reference mixed-precision embedding uses fp16 vectors with fp32
+    optimizer math)."""
+    mean, sigma, aucs = fp32_noise_floor
+    bf16 = _train_auc(mesh8, emb_dtype="bfloat16")
+    assert bf16 > 0.72, (bf16, aucs)
+    assert abs(bf16 - mean) < _gate(sigma), (bf16, mean, sigma, aucs)
 
 
-def test_bf16_optimizer_state_convergence_gate(mesh8, monkeypatch):
+def test_bf16_optimizer_state_convergence_gate(
+    mesh8, fp32_noise_floor, monkeypatch
+):
     """bf16 OPTIMIZER STATE gate (the bench operating point): with fp32
-    bias-correction scalars, bf16 moments converge within tolerance of
-    fp32 state on the learnable-synthetic dataset."""
+    bias-correction scalars, bf16 moments must cost no more AUC than seed
+    variance vs fp32 state (both with bf16 vectors)."""
+    mean, sigma, _ = fp32_noise_floor
     aucs = {}
     for dt in ("float32", "bfloat16"):
         monkeypatch.setenv("HCTR_TPU_EMB_STATE_DTYPE", dt)
-        model = _model(mesh8, emb_dtype="bfloat16")
-        for _ in range(300):
-            model.train_async()
-        aucs[dt] = model.eval()["auc"]
+        aucs[dt] = _train_auc(mesh8, emb_dtype="bfloat16")
     assert aucs["bfloat16"] > 0.72, aucs
-    assert abs(aucs["bfloat16"] - aucs["float32"]) < 0.03, aucs
+    assert abs(aucs["bfloat16"] - aucs["float32"]) < _gate(sigma), (
+        aucs, sigma,
+    )
 
 
-def test_rowwise_adagrad_convergence_gate(mesh8):
+def test_rowwise_adagrad_convergence_gate(mesh8, fp32_noise_floor):
     """RowWiseAdaGrad (torchrec-style scalar accumulator per row — the
-    MLPerf DLRM reference implementation's embedding optimizer) must
-    converge within tolerance of element-wise AdaGrad on the
-    learnable-synthetic dataset. This is the gate behind offering it as a
-    bench operating point."""
+    MLPerf DLRM reference implementation's embedding optimizer) must cost
+    no more AUC than seed variance vs element-wise AdaGrad. This is the
+    gate behind offering it as a bench operating point."""
+    _mean, sigma, _ = fp32_noise_floor
     aucs = {}
     for ot in (
         hugectr.Optimizer_t.AdaGrad,
         hugectr.Optimizer_t.RowWiseAdaGrad,
     ):
-        model = _model(mesh8, optimizer_type=ot)
-        for _ in range(300):
-            model.train_async()
-        aucs[ot] = model.eval()["auc"]
+        aucs[ot] = _train_auc(mesh8, optimizer_type=ot)
     rw = aucs[hugectr.Optimizer_t.RowWiseAdaGrad]
     ew = aucs[hugectr.Optimizer_t.AdaGrad]
     assert rw > 0.72, aucs
-    assert abs(rw - ew) < 0.03, aucs
+    assert abs(rw - ew) < _gate(sigma), (aucs, sigma)
 
 
 def test_auto_ucap_model_path(mesh8, monkeypatch):
