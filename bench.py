@@ -102,6 +102,20 @@ def main():
     _jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     ex_per_sec = iters * batch / dt
+
+    # eval throughput (MLPerf time-to-AUC includes the 89M-sample eval
+    # sweeps): full eval() passes — jitted fwd + device AUC accumulation +
+    # the per-batch host metric sync, max_eval_batches x batchsize_eval
+    # examples per pass
+    model.eval()  # compile + populate the device eval cache
+    eval_passes = 3
+    t0 = time.perf_counter()
+    for _ in range(eval_passes):
+        model.eval()
+    dt_e = time.perf_counter() - t0
+    eval_ex_per_sec = (
+        eval_passes * model.solver.max_eval_batches * batch / dt_e
+    )
     out = {
         "metric": "dlrm_dcnv2_train_examples_per_sec",
         "value": round(ex_per_sec, 1),
@@ -112,6 +126,7 @@ def main():
         "platform": jax.devices()[0].platform,
         "iters": iters,
         "sec_per_iter": round(dt / iters, 5),
+        "eval_examples_per_sec": round(eval_ex_per_sec, 1),
         "emb_dtype": os.environ["HCTR_TPU_EMB_DTYPE"],
         "emb_state_dtype": os.environ.get("HCTR_TPU_EMB_STATE_DTYPE", "float32"),
         "segsum": os.environ["HCTR_TPU_SEGSUM"],
