@@ -180,6 +180,14 @@ class EmbeddingCollection:
         # folded [K, E+1] segsum temp budget (split above it — huge-K
         # shared groups would OOM on the 2x-padded folded temps)
         self.knob_segsum_fold_bytes = sparse_optimizer._segsum_fold_budget_bytes()
+        # sorted-gather forward threshold for big-operand groups (bytes of
+        # the group's storage; 0 disables). Input-order gathers on multi-GB
+        # operands run ~30 ns/row (TLB reach) while sorted gathers hold
+        # ~6 ns/row at every size — above this operand size the forward
+        # reuses the backward's sort and gathers in sorted order.
+        self.knob_fwd_sorted_bytes = int(
+            _os.environ.get("HCTR_TPU_FWD_SORTED_BYTES", str(1 << 30))
+        )
         # one-hot engine backend: "xla" (default — measured 90.0k vs the
         # fused Pallas kernels' 88.7k ex/s on the DLRM bench; XLA's
         # compare-chain+matmul fusion wins at <=32k vocab, and the engine is
@@ -1067,9 +1075,15 @@ class EmbeddingCollection:
         g = self._meta[gname].plan
         meta = self._meta[gname]
         vcap = self.valid_caps.get(gname, 0)
-        if vcap and vcap < keys.size:
-            # mostly-padding key list (hot/cold window): sorted valid-prefix
-            # gather + pooled scatter beats gathering every padded slot
+        if (vcap and vcap < keys.size) or self._fwd_sorted_big(g):
+            # sorted-gather forward, two triggers:
+            # (a) mostly-padding key list (hot/cold window): the valid
+            #     prefix beats gathering every padded slot;
+            # (b) multi-GB operand (many-table shared group): input-order
+            #     gathers pay the ~30 ns/row TLB rate while SORTED gathers
+            #     run ~6 ns/row at ANY operand size (measured, ROADMAP) —
+            #     and the sort CSEs with the backward's, so the marginal
+            #     cost is one pool scatter into a small [B*S, E] operand.
             return self._dp_fwd_compact(
                 gname, table, keys, key_store, vcap,
                 feature_keys=feature_keys, weights=weights,
@@ -1086,6 +1100,15 @@ class EmbeddingCollection:
         # mean counts use RAW validity (consistent across steps/shards even
         # when exact-store misses drop rows this step)
         return self._pool(g, rows, keys != INVALID_KEY, weights=weights)
+
+    def _fwd_sorted_big(self, g: GroupPlan) -> bool:
+        """Whether this group's storage is big enough that the forward
+        should gather in sorted order (see _dp_fwd)."""
+        thr = self.knob_fwd_sorted_bytes
+        if not thr or g.compute_kind != "rowop":
+            return False
+        itemsize = 2 if self.dtype == jnp.bfloat16 else 4
+        return g.total_storage_rows * g.ev_size * itemsize >= thr
 
     def _dp_fwd_compact(
         self, gname: str, table: Array, keys: Array, key_store, vcap: int,
@@ -1138,14 +1161,19 @@ class EmbeddingCollection:
                 rows
             )
 
-        v_count = jnp.sum((sidx < g.total_local_rows).astype(jnp.int32))
-        pooled = jax.lax.cond(
-            v_count <= vcap,
-            lambda: pooled_from(
-                sidx[:vcap], ssrc[:vcap], None if sw is None else sw[:vcap]
-            ),
-            lambda: pooled_from(sidx, ssrc, sw),
-        )
+        if vcap and vcap < sidx.shape[0]:
+            v_count = jnp.sum((sidx < g.total_local_rows).astype(jnp.int32))
+            pooled = jax.lax.cond(
+                v_count <= vcap,
+                lambda: pooled_from(
+                    sidx[:vcap], ssrc[:vcap], None if sw is None else sw[:vcap]
+                ),
+                lambda: pooled_from(sidx, ssrc, sw),
+            )
+        else:
+            # big-operand sorted-gather trigger without a measured valid
+            # cap: run the full sorted list (no cond)
+            pooled = pooled_from(sidx, ssrc, sw)
         pooled = pooled.reshape(b, s_slots, g.ev_size)
         pooled = self._apply_mean_scaling(
             g, pooled, keys != INVALID_KEY, weights=weights
@@ -2010,6 +2038,7 @@ class EmbeddingCollection:
             "knob_ucap_drop", "knob_packed_state", "knob_rowwise_pack",
             "knob_shared_tier_sort", "knob_scatter_auto",
             "knob_dense_update_rows", "knob_dense_grad_dtype",
+            "knob_fwd_sorted_bytes",
         ):
             setattr(new_ec, attr, getattr(self, attr))
         new_ec.packed_kind = new_ec._compute_packed_kind(new_plan)

@@ -708,3 +708,36 @@ def test_valid_prefix_compaction_dense_path(mesh1, monkeypatch):
     np.testing.assert_allclose(
         results["auto"], results["0"], rtol=1e-5, atol=1e-6
     )
+
+
+def test_big_operand_sorted_forward_matches(mesh1, monkeypatch):
+    """HCTR_TPU_FWD_SORTED_BYTES: forcing the sorted-gather forward (the
+    multi-GB shared-group path — input-order gathers pay the ~30 ns/row TLB
+    rate, sorted gathers hold ~6 ns/row) must be numerically identical to
+    the masked-gather forward, mean/concat included."""
+    monkeypatch.setenv("HCTR_TPU_UCAP_FACTOR", "0")
+    lookups = make_lookups()
+    plan = ShardingPlan(strategy=[("mp", ["t0", "t1", "t2"])])
+    rng = np.random.default_rng(21)
+    batch = 16
+    feats = {
+        "f0": random_keys(rng, batch, 4, 100),
+        "f1": random_keys(rng, batch, 3, 57),
+        "f2": random_keys(rng, batch, 2, 31, pad_prob=0.0),
+        "f3": random_keys(rng, batch, 1, 100, pad_prob=0.0),
+    }
+    outs = {}
+    for thr in ("0", "1"):  # off vs force-on (1 byte threshold)
+        monkeypatch.setenv("HCTR_TPU_FWD_SORTED_BYTES", thr)
+        compiled = compile_plan(lookups, plan, num_shards=1)
+        ebc = EmbeddingCollection(
+            compiled, mesh1, OptParams(Optimizer_t.SGD, lr=0.1)
+        )
+        assert ebc.knob_fwd_sorted_bytes == int(thr)
+        tables = ebc.init(jax.random.key(3))
+        o = jax.jit(ebc.forward)(tables, feats)
+        outs[thr] = {k: np.asarray(v) for k, v in o.items()}
+    for k in outs["0"]:
+        np.testing.assert_allclose(
+            outs["1"][k], outs["0"][k], rtol=1e-5, atol=1e-6
+        )
