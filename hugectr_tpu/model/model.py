@@ -298,6 +298,7 @@ class Model:
                             top_name=top,
                             combiner=decl.combiner,
                             max_hotness=feat.total_nnz,
+                            sp_weight_name=getattr(decl, "sp_weight_name", ""),
                         )
                     )
                     self._key_sources[top] = _KeySource(

@@ -312,3 +312,73 @@ def test_config_api_plumbs_sp_weight(mesh1):
     (g,) = compiled.groups
     assert g.has_weights
     assert g.lookups[0].sp_weight_name == "w0"
+
+
+def test_model_level_weighted_lookup(mesh1):
+    """Model wiring: embedding_lookup(sp_weight_name=...) pulls the weight
+    feature from the batch through check_out_tensor/eval (reference: the
+    sparse-value tensors feeding the weighted embedding path)."""
+    import hugectr_tpu as hugectr
+    from hugectr_tpu.core.types import DataReaderType_t
+
+    B = 8
+    solver = hugectr.CreateSolver(
+        max_eval_batches=1, batchsize_eval=B, batchsize=B, lr=0.01
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=2
+    )
+    model = hugectr.Model(
+        solver, reader,
+        hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.SGD),
+        resource_manager=mesh1,
+    )
+    model.add(
+        hugectr.Input(
+            label_dim=1, label_name="label", dense_dim=2, dense_name="dense",
+            data_reader_sparse_param_array=[
+                hugectr.DataReaderSparseParam("d0", 3, True, 1)
+            ],
+        )
+    )
+    t = hugectr.EmbeddingTableConfig(name="t0", max_vocabulary_size=40, ev_size=8)
+    ebc = hugectr.EmbeddingCollectionConfig()
+    ebc.embedding_lookup([t], ["d0"], "emb", ["sum"], sp_weight_name=["w0"])
+    ebc.shard(shard_matrix=[["t0"]], shard_strategy=[("mp", ["t0"])])
+    model.add(ebc)
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Concat,
+            bottom_names=["emb", "dense"], top_names=["c"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=["c"], top_names=["out"], num_output=1,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+            bottom_names=["out", "label"], top_names=["loss"],
+        )
+    )
+    model.compile()
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 40, (B, 3)).astype(np.int32)
+    w = rng.normal(size=(B, 3)).astype(np.float32)
+    batch = {
+        "label": np.zeros((B, 1), np.float32),
+        "dense": np.zeros((B, 2), np.float32),
+        "d0": keys,
+        "w0": w,
+    }
+    emb = np.asarray(model.check_out_tensor("emb", dict(batch)))
+    tab = model.ec.export_table(model.state["emb_tables"], "t0")
+    want = (tab[keys] * w[..., None]).sum(1)
+    np.testing.assert_allclose(emb, want, rtol=1e-5, atol=1e-5)
+    # missing weight feature raises with a clear message
+    bad = {k: v for k, v in batch.items() if k != "w0"}
+    with pytest.raises(KeyError, match="w0"):
+        model.check_out_tensor("emb", bad)
