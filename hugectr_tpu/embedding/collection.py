@@ -181,12 +181,15 @@ class EmbeddingCollection:
         # shared groups would OOM on the 2x-padded folded temps)
         self.knob_segsum_fold_bytes = sparse_optimizer._segsum_fold_budget_bytes()
         # sorted-gather forward threshold for big-operand groups (bytes of
-        # the group's storage; 0 disables). Input-order gathers on multi-GB
-        # operands run ~30 ns/row (TLB reach) while sorted gathers hold
-        # ~6 ns/row at every size — above this operand size the forward
-        # reuses the backward's sort and gathers in sorted order.
+        # the group's storage; 0 = off, the DEFAULT). The isolated-op law
+        # (sorted gathers ~6 ns/row at every operand size vs ~30 input-
+        # order) does NOT survive the fused chain: on the 200-table case
+        # (3.4 GB shared group) the sorted forward measured 4,508 ex/s vs
+        # 6,417 masked — the masked gather fuses into the pool reduction
+        # while the sorted path pays a separate full-K pool scatter-add
+        # pass plus fill-mode select. Keep as an opt-in probe knob.
         self.knob_fwd_sorted_bytes = int(
-            _os.environ.get("HCTR_TPU_FWD_SORTED_BYTES", str(1 << 30))
+            _os.environ.get("HCTR_TPU_FWD_SORTED_BYTES", "0")
         )
         # one-hot engine backend: "xla" (default — measured 90.0k vs the
         # fused Pallas kernels' 88.7k ex/s on the DLRM bench; XLA's
