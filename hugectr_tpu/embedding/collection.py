@@ -155,6 +155,7 @@ class EmbeddingCollection:
         )
         self.knob_dense_update_rows = sparse_optimizer.dense_update_rows()
         self.knob_dense_grad_dtype = sparse_optimizer.dense_grad_dtype()
+        self.knob_dense_key_ratio = sparse_optimizer.dense_key_ratio()
         self.unique_caps: Dict[str, int] = {}
         # measured VALID-key caps (auto mode): groups whose key lists are
         # mostly padding/out-of-window (hot-cold splits, sharded smalls)
@@ -1567,6 +1568,7 @@ class EmbeddingCollection:
             packed=self.packed_kind.get(gname, False),
             dense_rows=self.knob_dense_update_rows,
             dense_grad_dtype=self.knob_dense_grad_dtype,
+            dense_ratio=self.knob_dense_key_ratio,
             scatter_auto=self.knob_scatter_auto,
             fold_budget=self.knob_segsum_fold_bytes,
         )
@@ -2041,7 +2043,7 @@ class EmbeddingCollection:
             "knob_ucap_drop", "knob_packed_state", "knob_rowwise_pack",
             "knob_shared_tier_sort", "knob_scatter_auto",
             "knob_dense_update_rows", "knob_dense_grad_dtype",
-            "knob_fwd_sorted_bytes",
+            "knob_dense_key_ratio", "knob_fwd_sorted_bytes",
         ):
             setattr(new_ec, attr, getattr(self, attr))
         new_ec.packed_kind = new_ec._compute_packed_kind(new_plan)

@@ -185,6 +185,21 @@ def dense_update_rows() -> int:
     return int(os.environ.get("HCTR_TPU_DENSE_UPDATE_ROWS", "262144"))
 
 
+def dense_key_ratio() -> float:
+    """K/R ratio above which the dense-sweep path beats the windowed
+    sort/segsum chain even on BIG shards (0 disables the ratio rule).
+
+    Measured on v5e (200-table EBC case, R=13.1M rows, K=7.27M keys/step,
+    K/R=0.55): dense sweep 8,151 ex/s vs windowed chain 6,417 — the
+    chain's per-key segsum-pair issues (~24 ns/key on the >2GB [K,E] temp)
+    exceed the sweep's R-proportional HBM passes once keys are dense in
+    rows. Flagship cold tiers (K/R~0.19) measure the other way. Only
+    AdaGrad-family optimizers take this route (exact zero-grad no-op)."""
+    import os
+
+    return float(os.environ.get("HCTR_TPU_DENSE_KEY_RATIO", "0.5"))
+
+
 def dense_grad_dtype():
     """Accumulation dtype of the dense-path [R, E] gradient buffer.
 
@@ -344,6 +359,7 @@ def apply_sparse(
     presorted: bool = False,
     scatter_auto: Optional[bool] = None,
     fold_budget: Optional[int] = None,
+    dense_ratio: Optional[float] = None,
 ) -> Tuple[Array, State]:
     """Apply one sparse update for (possibly duplicated) row gradients.
 
@@ -408,7 +424,23 @@ def apply_sparse(
     k = idx.shape[0]
     if dense_rows < 0:  # direct callers: env default; the collection passes
         dense_rows = dense_update_rows()  # its init-captured knob instead
-    if not packed and 0 < rows <= dense_rows:
+    if dense_ratio is None:
+        dense_ratio = dense_key_ratio()
+    # ratio rule (see dense_key_ratio): key-dense big shards take the dense
+    # sweep too — per-key segsum issues beat R-proportional sweep passes
+    # once true keys >= ratio * R. Use the MEASURED valid count when the
+    # key list is mostly padding (hot/cold windows), else the list length:
+    # flagship cold tiers have k ~ R-sized lists but only ~0.2*R true keys
+    # and must stay on the windowed chain. AdaGrad-family only (exact
+    # zero-grad no-op keeps the buffer [R, E] with no touch column).
+    k_eff = valid_cap if 0 < valid_cap < k else k
+    ratio_dense = (
+        dense_ratio > 0
+        and rows > 0
+        and k_eff >= rows * dense_ratio
+        and kind in (Optimizer_t.AdaGrad, Optimizer_t.RowWiseAdaGrad)
+    )
+    if not packed and ((0 < rows <= dense_rows) or ratio_dense):
         # Small-shard DENSE update: scatter the (sorted) duplicate row
         # grads straight into a dense [R, E+1] f32 buffer — the extra
         # ones-column gives per-row touch counts in the SAME scatter — and

@@ -14,8 +14,10 @@ os.environ["XLA_FLAGS"] = (
 os.environ.setdefault("HCTR_TPU_ONEHOT_VOCAB", "0")
 os.environ.setdefault("HCTR_TPU_HOT_ROWS", "0")
 # ... and to the windowed-trio update path (dense-sweep small-shard updates
-# have their own tests that re-enable them: test_dense_update_path)
+# have their own tests that re-enable them: test_dense_update_path); the
+# key-ratio dense rule would likewise reroute tiny test tables (K >= R/2)
 os.environ.setdefault("HCTR_TPU_DENSE_UPDATE_ROWS", "0")
+os.environ.setdefault("HCTR_TPU_DENSE_KEY_RATIO", "0")
 
 import jax  # noqa: E402
 
