@@ -189,15 +189,18 @@ def dense_key_ratio() -> float:
     """K/R ratio above which the dense-sweep path beats the windowed
     sort/segsum chain even on BIG shards (0 disables the ratio rule).
 
-    Measured on v5e (200-table EBC case, R=13.1M rows, K=7.27M keys/step,
-    K/R=0.55): dense sweep 8,151 ex/s vs windowed chain 6,417 — the
-    chain's per-key segsum-pair issues (~24 ns/key on the >2GB [K,E] temp)
-    exceed the sweep's R-proportional HBM passes once keys are dense in
-    rows. Flagship cold tiers (K/R~0.19) measure the other way. Only
-    AdaGrad-family optimizers take this route (exact zero-grad no-op)."""
+    Measured on v5e (EBC benchmark cases, bf16+rowwise+ucap-auto):
+    200-table K/R=0.55: dense 8,144 vs windowed 6,417 ex/s (+27%);
+    180-table K/R=0.63: 2,251 vs 1,700 (+32%); 510-table K/R=0.33:
+    8,594 vs 7,489 (+15%) — the windowed chain's per-key segsum-pair
+    issues (~24 ns/key on the >2GB [K,E] temp) exceed the sweep's
+    R-proportional HBM passes once keys are dense in rows. Flagship cold
+    tiers (measured-valid K/R ~0.20-0.24) measure the other way, hence
+    the 0.3 default. Only AdaGrad-family optimizers take this route
+    (exact zero-grad no-op)."""
     import os
 
-    return float(os.environ.get("HCTR_TPU_DENSE_KEY_RATIO", "0.5"))
+    return float(os.environ.get("HCTR_TPU_DENSE_KEY_RATIO", "0.3"))
 
 
 def dense_grad_dtype():
