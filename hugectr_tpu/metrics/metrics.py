@@ -159,8 +159,10 @@ class MetricAccumulator:
         self._labels = z
         self._valid = f
         self._nb = 0
-        self._loss_sum = 0.0
-        self._loss_cnt = 0
+        # device loss scalars accumulate LAZILY (no per-batch host sync —
+        # a float() per eval batch would serialize the async dispatch
+        # queue; the one sync happens in finalize)
+        self._loss_vals = []
 
     @staticmethod
     @jax.jit
@@ -183,15 +185,18 @@ class MetricAccumulator:
         )
         self._nb += 1
         if loss is not None:
-            self._loss_sum += float(loss)
-            self._loss_cnt += 1
+            self._loss_vals.append(loss)  # device scalar or float; no sync
 
     def finalize(self) -> Dict[str, float]:
         out: Dict[str, float] = {}
         for m in self.metrics:
             if m == Metric_t.AverageLoss:
                 out[m.value] = (
-                    self._loss_sum / self._loss_cnt if self._loss_cnt else 0.0
+                    float(
+                        jnp.mean(jnp.stack([jnp.asarray(v) for v in self._loss_vals]))
+                    )
+                    if self._loss_vals
+                    else 0.0
                 )
             else:
                 out[m.value] = float(

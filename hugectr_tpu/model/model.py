@@ -1223,8 +1223,10 @@ class Model:
                 break
             loss, preds, labels = self._eval_step(self.state, batch)
             spec = self.network.loss_specs[0]
+            # device loss accumulates lazily — a float(loss) here would
+            # host-sync every eval batch and serialize the dispatch queue
             self.metrics.update(
-                preds[spec.label_name], labels[spec.label_name], loss=float(loss)
+                preds[spec.label_name], labels[spec.label_name], loss=loss
             )
             for name, acc in self._task_metrics.items():
                 acc.update(preds[name], labels[name])
