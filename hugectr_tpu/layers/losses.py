@@ -23,10 +23,13 @@ def _loss_shape(cfg, in_shapes):
 def _bce_apply(params, state, ins, cfg, ctx):
     logits, labels = ins[0].astype(jnp.float32), ins[1].astype(jnp.float32)
     logits = logits.reshape(labels.shape)
-    # numerically stable sigmoid BCE
-    loss = jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(
-        jnp.exp(-jnp.abs(logits))
-    )
+    # numerically stable sigmoid BCE via logaddexp: same values as the
+    # max(l,0) - l*y + log1p(exp(-|l|)) form, but with the EXACT gradient
+    # sigmoid(l) - y everywhere — the max/abs form's autodiff subgradient
+    # at logits == 0 gives (1-y) instead of 0.5-y, silently zeroing
+    # label-0 gradients on cold starts (zero-init bias + empty dynamic
+    # tables put the whole first batch exactly there)
+    loss = jnp.logaddexp(0.0, logits) - logits * labels
     return [loss], state
 
 
@@ -46,10 +49,9 @@ register("CrossEntropyLoss")((stateless(_loss_shape), _ce_apply))
 
 def _mce_apply(params, state, ins, cfg, ctx):
     # independent per-target sigmoid BCE with optional target weights
+    # (logaddexp form — exact gradient at logits == 0, see _bce_apply)
     logits, labels = ins[0].astype(jnp.float32), ins[1].astype(jnp.float32)
-    loss = jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(
-        jnp.exp(-jnp.abs(logits))
-    )
+    loss = jnp.logaddexp(0.0, logits) - logits * labels
     if cfg.target_weight_vec:
         loss = loss * jnp.asarray(cfg.target_weight_vec, dtype=loss.dtype)
     return [jnp.mean(loss, axis=-1, keepdims=True)], state
