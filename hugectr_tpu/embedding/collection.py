@@ -1558,6 +1558,18 @@ class EmbeddingCollection:
         return new_t, new_s
 
     def _opt_knobs(self, gname: str):
+        # dense key-ratio rule needs a trustworthy key count: without a
+        # MEASURED valid cap, the fallback counts the padded [B, H] list
+        # length — hot/cold window groups are mostly padding, and routing
+        # them onto the R-proportional dense sweep is exactly the regime
+        # the 0.3 threshold was tuned to avoid
+        dense_ratio = self.knob_dense_key_ratio
+        g = self._meta[gname].plan
+        windowed = any(
+            lm.key_lo > 0 or lm.key_hi >= 0 for lm in g.lookups
+        )
+        if windowed and not self.valid_caps.get(gname, 0):
+            dense_ratio = 0.0
         return dict(
             segsum=self.knob_segsum,
             ucap_factor=self.knob_ucap_factor,
@@ -1568,7 +1580,7 @@ class EmbeddingCollection:
             packed=self.packed_kind.get(gname, False),
             dense_rows=self.knob_dense_update_rows,
             dense_grad_dtype=self.knob_dense_grad_dtype,
-            dense_ratio=self.knob_dense_key_ratio,
+            dense_ratio=dense_ratio,
             scatter_auto=self.knob_scatter_auto,
             fold_budget=self.knob_segsum_fold_bytes,
         )

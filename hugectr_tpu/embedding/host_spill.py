@@ -48,7 +48,6 @@ class HostSpillTier:
         self._host_values: Optional[np.ndarray] = None
         self._host_opt: Dict[str, np.ndarray] = {}
         self._host_index: Dict[int, int] = {}
-        self._host_free: list = []
         self._host_next = 0
 
     # ------------------------------------------------------------- helpers
@@ -80,8 +79,7 @@ class HostSpillTier:
                 slot: np.zeros((cap, a.shape[1]), np.float32)
                 for slot, a in st.items()
             }
-        need = sum(1 for k in keys if int(k) not in self._host_index)
-        need_fresh = max(0, need - len(self._host_free))
+        need_fresh = sum(1 for k in keys if int(k) not in self._host_index)
         cap = self._host_values.shape[0]
         if self._host_next + need_fresh > cap:
             new_cap = max(2 * cap, self._host_next + need_fresh)
@@ -97,13 +95,11 @@ class HostSpillTier:
             k = int(k)
             row = self._host_index.get(k)
             if row is None:
-                row = (
-                    self._host_free.pop()
-                    if self._host_free
-                    else self._host_next
-                )
-                if row == self._host_next:
-                    self._host_next += 1
+                # host-master rows are never freed (spill moves keys host-
+                # ward only; the master is append-only like the SOK hkv
+                # twin's steady state), so allocation is a bump pointer
+                row = self._host_next
+                self._host_next += 1
                 self._host_index[k] = row
             self._host_values[row] = vals[i]
             for slot, a in st.items():
@@ -135,6 +131,15 @@ class HostSpillTier:
         g, ti = self._g_ti()
         state = self.model.state
         keys = np.asarray(keys).reshape(-1)
+        if getattr(self.model.solver, "i64_input_key", False):
+            # the device key store and the spilled host master both hold
+            # FOLDED int31 ids — fold raw i64 keys through the model's
+            # exact assignment first (raw keys would silently miss, and a
+            # later int32 cast would wrap)
+            base = self.table_name.split("::", 1)[0]
+            keys = self.model._i64_exact_fold(
+                base, keys.astype(np.int64).reshape(-1, 1)
+            ).reshape(-1)
         uniq = [int(k) for k in np.unique(keys[keys >= 0]).tolist()]
 
         def plan():
@@ -156,13 +161,33 @@ class HostSpillTier:
             resident, want, fresh = plan()
         if not want:
             return 0
-        rows = np.asarray([self._host_index[k] for k in want])
-        vals = self._host_values[rows]
         from .collection import _fold_reserved_key
 
         tables = dict(state["emb_tables"])
         nks = np.array(ec._host_key_store(tables, g))
         placed = ec._host_insert_keys(nks, g, ti, np.asarray(want))
+        if (placed < 0).any():
+            # probe clustering: spill to free slots and retry once —
+            # dropping a wanted key here would let insert-on-backward
+            # recreate it as a fresh row, and the NEXT spill would then
+            # overwrite the host master's trained row with that restart
+            self.spill()
+            _res, want, _fresh = plan()  # spilled batch keys rejoin `want`
+            if not want:
+                return 0
+            tables = dict(state["emb_tables"])
+            nks = np.array(ec._host_key_store(tables, g))
+            placed = ec._host_insert_keys(nks, g, ti, np.asarray(want))
+            if (placed < 0).any():
+                dropped = [k for k, p in zip(want, placed) if p < 0]
+                logger.warning(
+                    f"host-spill: {len(dropped)} key(s) unplaceable after "
+                    f"spill (probe clustering, e.g. {dropped[:4]}): their "
+                    "host-master rows will be RESTARTED by insert-on-"
+                    "backward — raise dynamic_capacity"
+                )
+        rows = np.asarray([self._host_index[k] for k in want])
+        vals = self._host_values[rows]
         ok = placed >= 0
         dst = placed[ok]
         if not len(dst):

@@ -174,6 +174,11 @@ class Model:
         )
         self._compiled = False
         self._iter = 0
+        import threading
+
+        # guards the exact i64->int31 assignment maps (train + eval
+        # DeviceFeeder threads fold batches concurrently)
+        self._i64_lock = threading.Lock()
         self.lr_sch = LearningRateScheduler(
             base_lr=solver.lr,
             warmup_steps=solver.warmup_steps,
@@ -484,8 +489,10 @@ class Model:
             for spec in self.network.loss_specs[1:]
         }
         # opt-in host-side out-of-range key assertion (captured here like
-        # the other engine knobs)
-        self._check_keys = bool(os.environ.get("HCTR_TPU_CHECK_KEYS"))
+        # the other engine knobs; "0"/"" disable like every HCTR_TPU_* knob)
+        self._check_keys = os.environ.get(
+            "HCTR_TPU_CHECK_KEYS", "0"
+        ) not in ("", "0")
         if self.rm.is_master_process():
             s.warn_noop_knobs(logger)
         self._compiled = True
@@ -962,19 +969,29 @@ class Model:
         uq = np.unique(w[w >= 0])
         missing = [k for k in uq.tolist() if k not in m]
         if missing:
-            for k, c0 in zip(missing, self._splitmix31(np.asarray(missing))):
-                c = int(c0)
-                while True:
-                    owner = rev.get(c)
-                    if owner is None:
-                        m[k] = c
-                        rev[c] = k
-                        break
-                    if owner == k:  # concurrent duplicate in `missing`
-                        break
-                    c += 1
-                    if c >= 2**31 - 1:  # skip the EMPTY sentinel, wrap
-                        c = 0
+            # serialized assignment: train and eval DeviceFeeder threads
+            # fold concurrently, and an unlocked check-then-set on `rev`
+            # could hand the same int31 id to two DISTINCT i64 keys —
+            # exactly the aliasing this map exists to eliminate
+            import threading
+
+            lock = getattr(self, "_i64_lock", None) or threading.Lock()
+            with lock:
+                for k, c0 in zip(missing, self._splitmix31(np.asarray(missing))):
+                    if k in m:  # another thread placed it meanwhile
+                        continue
+                    c = int(c0)
+                    while True:
+                        owner = rev.get(c)
+                        if owner is None:
+                            m[k] = c
+                            rev[c] = k
+                            break
+                        if owner == k:
+                            break
+                        c += 1
+                        if c >= 2**31 - 1:  # skip the EMPTY sentinel, wrap
+                            c = 0
         flat = w.reshape(-1)
         neg = flat < 0
         uq2, inv = np.unique(np.where(neg, 0, flat), return_inverse=True)
@@ -1094,6 +1111,15 @@ class Model:
                         f"[{lo},{hi}) has key {int(bad.max())} >= vocab "
                         f"bound {modulo} of table {tname!r} (keys must be "
                         "table-local; the engine would silently wrap)"
+                    )
+                # negative keys other than the -1 padding sentinel would
+                # silently wrap through Python-style % too
+                neg = w[(w < 0) & (w != INVALID_KEY)]
+                if neg.size:
+                    raise ValueError(
+                        f"HCTR_TPU_CHECK_KEYS: feature {name!r} cols "
+                        f"[{lo},{hi}) has negative key {int(neg.min())} "
+                        f"(only -1 padding is valid) for table {tname!r}"
                     )
 
     def _put_batch(self, batch) -> Dict[str, jax.Array]:
@@ -1411,11 +1437,54 @@ class Model:
         if write:
             with iofs.open_file(os.path.join(out_dir, "meta.json"), "w") as f:
                 json.dump(
-                    {"iteration": iteration, "step": int(self.state["step"])}, f
+                    {
+                        "iteration": iteration,
+                        "step": int(self.state["step"]),
+                        # physical storage layout stamp: opt states / packed
+                        # groups / key stores are saved as RAW storage
+                        # arrays, whose row order depends on the per-table
+                        # shard rotation — loading across a rotation flip
+                        # would silently pair rows with the wrong state
+                        "shard_rotation": int(self._rotated_layout()),
+                    },
+                    f,
                 )
             logger.info(f"snapshot written to {out_dir}")
 
+    def _rotated_layout(self) -> bool:
+        """Whether the per-table shard rotation actually affects this
+        model's physical storage layout (MP groups with >1 shard and a
+        nonzero reduced rotation)."""
+        if self.ec is None:
+            return False
+        for g in self.ec.plan.groups:
+            if g.is_model_parallel and g.num_shards > 1:
+                if any(int(r) % g.num_shards for r in g.table_rotation):
+                    return True
+        return False
+
     def load_params_from_files(self, out_dir: str) -> None:
+        # layout-stamp check BEFORE touching any raw storage array: a
+        # rotation mismatch would silently pair every row with the wrong
+        # optimizer state / packed vector (per-table shard rotation moved
+        # key->shard placement in round 4)
+        meta_path = os.path.join(out_dir, "meta.json")
+        if iofs.exists(meta_path):
+            with iofs.open_file(meta_path, "r") as f:
+                meta = json.load(f)
+            saved_rot = int(meta.get("shard_rotation", 0))
+            cur_rot = int(self._rotated_layout())
+            if saved_rot != cur_rot:
+                raise ValueError(
+                    f"snapshot {out_dir} was written with shard_rotation="
+                    f"{saved_rot} but this model compiled with "
+                    f"{cur_rot}: raw storage layouts differ (opt states / "
+                    "packed groups / key stores would silently misalign). "
+                    "Set HCTR_TPU_SHARD_ROTATION="
+                    f"{saved_rot or '0'} before building the model, or "
+                    "re-export via embedding_dump (positional per-table "
+                    "format, layout-independent)."
+                )
         data = iofs.load_npz(os.path.join(out_dir, "dense_model.npz"))
 
         def _restore(tree, prefix=""):

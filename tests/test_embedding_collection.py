@@ -783,3 +783,32 @@ def test_dense_key_ratio_rule_matches_trio(mesh1, monkeypatch, opt_kind):
             res["0.5"][1][k], res["0"][1][k], rtol=2e-5, atol=1e-6,
             err_msg=f"state slot {k}",
         )
+
+
+def test_dense_ratio_guarded_for_unmeasured_window_groups(mesh1, monkeypatch):
+    """Windowed (hot/cold) key lists are mostly padding; without a measured
+    valid cap the ratio rule must NOT count the padded list length (review
+    finding: HOT_ROWS without UCAP auto would misroute cold tiers onto the
+    R-proportional dense sweep)."""
+    monkeypatch.setenv("HCTR_TPU_DENSE_KEY_RATIO", "0.3")
+    t = EmbeddingTableConfig(name="t", max_vocabulary_size=4096, ev_size=8)
+    lookups = [
+        LookupConfig(0, t, "f", "e", Combiner_t.Sum, 4, key_lo=0, key_hi=1024,
+                     key_shift=0),
+    ]
+    plan = ShardingPlan(strategy=[("mp", ["t"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    ebc = EmbeddingCollection(compiled, mesh1, OptParams(Optimizer_t.AdaGrad, lr=0.1))
+    (g,) = compiled.groups
+    assert ebc._opt_knobs(g.name)["dense_ratio"] == 0.0  # guarded
+    # measured valid cap restores the rule
+    ebc.valid_caps[g.name] = 512
+    assert ebc._opt_knobs(g.name)["dense_ratio"] == 0.3
+    # non-windowed groups keep the rule without a measurement
+    lookups2 = [LookupConfig(0, t, "f", "e", Combiner_t.Sum, 4)]
+    compiled2 = compile_plan(lookups2, plan, num_shards=1)
+    ebc2 = EmbeddingCollection(
+        compiled2, mesh1, OptParams(Optimizer_t.AdaGrad, lr=0.1)
+    )
+    (g2,) = compiled2.groups
+    assert ebc2._opt_knobs(g2.name)["dense_ratio"] == 0.3

@@ -520,6 +520,11 @@ def test_check_keys_env_asserts_out_of_range(mesh1, monkeypatch):
     pad = dict(ok_batch)
     pad["d0"] = np.full((16, 2), -1, np.int32)
     model._put_batch(pad)
+    # negative non-padding keys are a dataset bug too (silent wrap)
+    neg = dict(ok_batch)
+    neg["d0"] = np.full((16, 2), -7, np.int32)
+    with pytest.raises(ValueError, match="negative"):
+        model._put_batch(neg)
 
 
 def test_noop_knob_warnings():
@@ -549,3 +554,133 @@ def test_noop_knob_warnings():
     # defaults stay silent
     s2 = hugectr.CreateSolver()
     assert s2.warn_noop_knobs(rec) == []
+
+
+def test_check_keys_env_zero_disables(mesh1, monkeypatch):
+    """HCTR_TPU_CHECK_KEYS=0 must DISABLE the check like every other knob
+    (review finding: bool(env) treated '0' as enabled)."""
+    monkeypatch.setenv("HCTR_TPU_CHECK_KEYS", "0")
+    import hugectr_tpu as hugectr
+
+    solver = hugectr.CreateSolver(
+        max_eval_batches=1, batchsize_eval=16, batchsize=16, lr=0.01,
+        repeat_dataset=True,
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=2
+    )
+    model = hugectr.Model(
+        solver, reader,
+        hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.SGD),
+        resource_manager=mesh1,
+    )
+    model.add(
+        hugectr.Input(
+            label_dim=1, label_name="label", dense_dim=4, dense_name="dense",
+            data_reader_sparse_param_array=[
+                hugectr.DataReaderSparseParam("d0", 2, True, 1)
+            ],
+        )
+    )
+    tables = [
+        hugectr.EmbeddingTableConfig(name="t0", max_vocabulary_size=50, ev_size=8)
+    ]
+    ebc = hugectr.EmbeddingCollectionConfig()
+    ebc.embedding_lookup(tables, ["d0"], "emb", ["sum"])
+    ebc.shard(shard_matrix=[["t0"]], shard_strategy=[("mp", ["t0"])])
+    model.add(ebc)
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Concat,
+            bottom_names=["emb", "dense"], top_names=["c"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=["c"], top_names=["out"], num_output=1,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+            bottom_names=["out", "label"], top_names=["loss"],
+        )
+    )
+    model.compile()
+    assert model._check_keys is False
+    bad = {
+        "label": np.zeros((16, 1), np.float32),
+        "dense": np.zeros((16, 4), np.float32),
+        "d0": np.full((16, 2), 50, np.int32),  # out of range, but check off
+    }
+    model._put_batch(bad)  # must not raise
+
+
+def test_snapshot_rotation_layout_stamp(mesh8, tmp_path):
+    """Snapshots stamp the shard-rotation layout; loading across a rotation
+    mismatch raises instead of silently misaligning raw storage arrays
+    (review finding)."""
+    import json as _json
+
+    import hugectr_tpu as hugectr
+
+    solver = hugectr.CreateSolver(
+        max_eval_batches=1, batchsize_eval=16, batchsize=16, lr=0.01,
+        repeat_dataset=True,
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=2
+    )
+    model = hugectr.Model(
+        solver, reader,
+        hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.AdaGrad),
+        resource_manager=mesh8,
+    )
+    model.add(
+        hugectr.Input(
+            label_dim=1, label_name="label", dense_dim=4, dense_name="dense",
+            data_reader_sparse_param_array=[
+                hugectr.DataReaderSparseParam("d0", 2, True, 1)
+            ],
+        )
+    )
+    tables = [
+        hugectr.EmbeddingTableConfig(
+            name="t0", max_vocabulary_size=4096, ev_size=8
+        )
+    ]
+    ebc = hugectr.EmbeddingCollectionConfig()
+    ebc.embedding_lookup(tables, ["d0"], "emb", ["sum"])
+    ebc.shard(shard_matrix=[["t0"]] * 8, shard_strategy=[("mp", ["t0"])])
+    model.add(ebc)
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.Concat,
+            bottom_names=["emb", "dense"], top_names=["c"],
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.InnerProduct,
+            bottom_names=["c"], top_names=["out"], num_output=1,
+        )
+    )
+    model.add(
+        hugectr.DenseLayer(
+            layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+            bottom_names=["out", "label"], top_names=["loss"],
+        )
+    )
+    model.compile()
+    model.train()
+    assert model._rotated_layout() is True  # 8-way MP + default rotation
+    model.download_params_to_files(str(tmp_path / "snap"), 1)
+    meta = _json.load(open(tmp_path / "snap_iter1" / "meta.json"))
+    assert meta["shard_rotation"] == 1
+    model.load_params_from_files(str(tmp_path / "snap_iter1"))  # same: ok
+    # forge a mismatching stamp -> load must refuse
+    meta["shard_rotation"] = 0
+    _json.dump(meta, open(tmp_path / "snap_iter1" / "meta.json", "w"))
+    with pytest.raises(ValueError, match="shard_rotation"):
+        model.load_params_from_files(str(tmp_path / "snap_iter1"))
