@@ -202,6 +202,21 @@ class EmbeddingCollection:
         # trace-time consumer (_onehot_counts) must see the SAME threshold
         # the plan was compiled with — capture here, never re-read the env
         self.knob_onehot_compare_max = onehot_vocab_threshold()
+        # plan-SHAPING env as seen at compile time (Solver apply-and-restore
+        # may remove these afterwards): grow_dynamic_capacity re-runs
+        # compile_plan and must see the same layout knobs or the rebuilt
+        # plan loses hot/cold splits / storage groups / onehot peeling
+        self._plan_env = {
+            k: _os.environ.get(k)
+            for k in (
+                "HCTR_TPU_HOT_ROWS", "HCTR_TPU_SUPERHOT_ROWS",
+                "HCTR_TPU_WARM_ROWS", "HCTR_TPU_SPLIT_VOCAB",
+                "HCTR_TPU_GROUP_ROWS", "HCTR_TPU_ONEHOT_VOCAB",
+                "HCTR_TPU_ONEHOT_SCATTER_RATIO",
+                "HCTR_TPU_ONEHOT_SCATTER_MAXV",
+                "HCTR_TPU_SHARD_ROTATION",
+            )
+        }
         self._meta = {g.name: _GroupMeta(g) for g in plan.groups}
         # per-group optimizer (table-level override must be group-uniform)
         self.group_opt: Dict[str, OptParams] = {}
@@ -473,14 +488,22 @@ class EmbeddingCollection:
         scatter-min arbitration per probe round: contenders write their key
         into an empty slot with `min`, then re-read to learn the winner;
         losers move to the next probe. Keys still unplaced after NUM_PROBES
-        rounds are dropped this step (capacity pressure — grow the table)."""
+        rounds are dropped this step (capacity pressure — grow the table).
+
+        A FULL probe runs first: evict() punches EMPTY holes at arbitrary
+        probe positions, and a key already resident at a LATER slot must
+        not re-insert into an earlier hole (first-hit probing would then
+        find the fresh zeroed row and silently abandon the trained one)."""
         k32 = _fold_reserved_key(keys.astype(jnp.int32))
         h = _hash_mix(k32)
         rows_t = meta.slot_rows[None, :].astype(jnp.uint32)
         base = ((h // jnp.uint32(num_shards)) % rows_t).astype(jnp.int32)
         dyn = meta.slot_dynamic[None, :]
         sentinel = key_store.shape[0]
-        need = mine_valid & dyn
+        _o, _r, already = self._dynamic_probe(
+            meta, keys, num_shards, key_store
+        )
+        need = mine_valid & dyn & ~already
         for j in range(self.NUM_PROBES):
             cand = (base + j) % meta.slot_rows[None, :]
             slot = cand + meta.slot_local_offset[None, :]
@@ -1568,8 +1591,14 @@ class EmbeddingCollection:
         windowed = any(
             lm.key_lo > 0 or lm.key_hi >= 0 for lm in g.lookups
         )
-        if windowed and not self.valid_caps.get(gname, 0):
-            dense_ratio = 0.0
+        if not self.valid_caps.get(gname, 0):
+            if windowed:
+                dense_ratio = 0.0
+            elif g.is_model_parallel and g.num_shards > 1:
+                # MP backward sees the GLOBAL all-gathered key list but
+                # each shard owns ~1/f of it; without a measured per-shard
+                # valid count, demand f x more list entries
+                dense_ratio *= g.num_shards
         return dict(
             segsum=self.knob_segsum,
             ucap_factor=self.knob_ucap_factor,
@@ -1648,8 +1677,13 @@ class EmbeddingCollection:
             cap = ((int(u_max * self.knob_ucap_headroom) + 511) // 512) * 512
             self.unique_caps[g.name] = max(cap, 512)
             vcap = ((int(v_max * self.knob_ucap_headroom) + 511) // 512) * 512
-            # only worth a cond when a sizable share of the list is padding
-            if vcap < 0.8 * keys_size:
+            # only worth a cond when a sizable share of the list is padding.
+            # Multi-controller: u/v were scaled to GLOBAL bounds above, so
+            # compare against the GLOBAL list size (the jitted step's key
+            # list is the all-gathered P*keys_size) — a per-process gate
+            # would be P x too strict and never engage
+            global_size = keys_size * self.rm.num_processes
+            if vcap < 0.8 * global_size:
                 self.valid_caps[g.name] = max(vcap, 512)
 
     # ------------------------------------------------------------- IO paths
@@ -1769,7 +1803,9 @@ class EmbeddingCollection:
         host = np.asarray(
             jax.jit(lambda x: x, out_shardings=self.rm.replicated_sharding())(ks)
         ).copy()
-        host[idx] = keys.astype(np.int32)
+        # fold the reserved key like every insert path: raw 2^31-1 would be
+        # written as the store's EMPTY marker and become unreachable
+        host[idx] = _fold_reserved_key(keys.astype(np.int32))
         new = dict(tables)
         new[f"{g.name}#keys"] = jax.device_put(
             jnp.asarray(host, jnp.int32), ks.sharding
@@ -1957,6 +1993,8 @@ class EmbeddingCollection:
         noff = int(ng.local_offsets[nti])
         placed = np.full(keys.shape, -1, dtype=np.int64)
         for i in range(keys.shape[0]):
+            slots = []
+            resident = -1
             for j in range(self.NUM_PROBES):
                 cand = int((base[i] + j) % int(nrows))
                 local = noff + cand
@@ -1965,6 +2003,14 @@ class EmbeddingCollection:
                     if ng.is_model_parallel
                     else local
                 )
+                slots.append(storage)
+                if nks[storage] == keys[i]:
+                    resident = storage  # already placed (duplicate input or
+                    break  # re-stage): never claim a second capacity slot
+            if resident >= 0:
+                placed[i] = resident
+                continue
+            for storage in slots:
                 if nks[storage] == int(self.EMPTY_KEY):
                     nks[storage] = keys[i]
                     placed[i] = storage
@@ -2037,27 +2083,60 @@ class EmbeddingCollection:
             if gg.is_model_parallel:
                 for n in names:
                     shard_counts[n] = gg.num_shards
-        new_plan = compile_plan(
-            new_lookups,
-            ShardingPlan(strategy=strategy),
-            num_shards=self.plan.num_shards,
-            shard_counts=shard_counts,
-        )
-        new_ec = EmbeddingCollection(
-            new_plan, self.rm, self.opt, dtype=self.dtype,
-            comm_strategy=self.comm_strategy,
-        )
+        # re-apply the plan-shaping env captured at OUR compile time (the
+        # Solver's apply-and-restore may have removed it since — without
+        # this, the rebuilt plan would drop hot/cold splits, storage-group
+        # splits and onehot peeling, crashing the migration loop below)
+        import os as _os
+
+        saved_env = {}
+        for k, v in self._plan_env.items():
+            saved_env[k] = _os.environ.get(k)
+            if v is None:
+                _os.environ.pop(k, None)
+            else:
+                _os.environ[k] = v
+        try:
+            new_plan = compile_plan(
+                new_lookups,
+                ShardingPlan(strategy=strategy),
+                num_shards=self.plan.num_shards,
+                shard_counts=shard_counts,
+            )
+            new_ec = EmbeddingCollection(
+                new_plan, self.rm, self.opt, dtype=self.dtype,
+                comm_strategy=self.comm_strategy,
+            )
+        finally:
+            for k, old in saved_env.items():
+                if old is None:
+                    _os.environ.pop(k, None)
+                else:
+                    _os.environ[k] = old
         new_ec.frozen_tables = set(self.frozen_tables)
         # keep the old collection's captured knobs (env may have moved on)
         for attr in (
             "state_dtype", "knob_fwd_partition", "knob_capacity_factor",
-            "knob_segsum", "knob_ucap_factor", "knob_ucap_min_k",
+            "knob_segsum", "knob_ucap_factor", "knob_ucap_auto",
+            "knob_ucap_headroom", "knob_ucap_min_k",
             "knob_ucap_drop", "knob_packed_state", "knob_rowwise_pack",
             "knob_shared_tier_sort", "knob_scatter_auto",
+            "knob_segsum_fold_bytes", "knob_onehot_kernel",
+            "knob_onehot_compare_max",
             "knob_dense_update_rows", "knob_dense_grad_dtype",
             "knob_dense_key_ratio", "knob_fwd_sorted_bytes",
         ):
             setattr(new_ec, attr, getattr(self, attr))
+        # measured compaction windows carry over for groups that still
+        # exist (they depend on batch key statistics, not capacity)
+        new_names = {g.name for g in new_plan.groups}
+        new_ec.unique_caps = {
+            k: v for k, v in self.unique_caps.items() if k in new_names
+        }
+        new_ec.valid_caps = {
+            k: v for k, v in self.valid_caps.items() if k in new_names
+        }
+        new_ec.ucap_measured = self.ucap_measured
         new_ec.packed_kind = new_ec._compute_packed_kind(new_plan)
         new_ec.packed_groups = set(new_ec.packed_kind)
         new_tables = new_ec.init(jax.random.key(0))
@@ -2125,41 +2204,57 @@ class EmbeddingCollection:
         return new_ec, new_tables, new_state
 
 
-    @functools.lru_cache(maxsize=None)
+    # IO jit fns cache PER INSTANCE (a class-level lru_cache keyed on self
+    # would pin every superseded EmbeddingCollection — grow/reserve replace
+    # the collection repeatedly — plus its executables, for process life)
+    def _io_fn_cache(self) -> dict:
+        return self.__dict__.setdefault("_io_fns", {})
+
     def _export_fn(self):
-        # jit with replicated output so exports work in multi-controller
-        # runs (eager take on a multi-process-sharded array is not
-        # addressable); cached so snapshots don't retrace per call
-        return jax.jit(
-            lambda t, i: jnp.take(t, i, axis=0),
-            out_shardings=self.rm.replicated_sharding(),
-        )
+        cache = self._io_fn_cache()
+        if "export" not in cache:
+            # jit with replicated output so exports work in multi-controller
+            # runs (eager take on a multi-process-sharded array is not
+            # addressable); cached so snapshots don't retrace per call
+            cache["export"] = jax.jit(
+                lambda t, i: jnp.take(t, i, axis=0),
+                out_shardings=self.rm.replicated_sharding(),
+            )
+        return cache["export"]
 
-    @functools.lru_cache(maxsize=None)
     def _import_packed_fn(self, model_parallel: bool):
-        sharding = (
-            self.rm.row_sharding()
-            if model_parallel
-            else self.rm.replicated_sharding()
-        )
+        cache = self._io_fn_cache()
+        key = ("import_packed", model_parallel)
+        if key not in cache:
+            sharding = (
+                self.rm.row_sharding()
+                if model_parallel
+                else self.rm.replicated_sharding()
+            )
 
-        def imp(t, i, v):
-            # full-row read-modify-write keeps the accum columns (a
-            # column-window scatter would hit XLA's slow path)
-            old = t.at[i].get(mode="fill", fill_value=0)
-            merged = jnp.concatenate([v, old[:, v.shape[1]:]], axis=1)
-            return t.at[i].set(merged)
+            def imp(t, i, v):
+                # full-row read-modify-write keeps the accum columns (a
+                # column-window scatter would hit XLA's slow path)
+                old = t.at[i].get(mode="fill", fill_value=0)
+                merged = jnp.concatenate([v, old[:, v.shape[1]:]], axis=1)
+                return t.at[i].set(merged)
 
-        return jax.jit(imp, out_shardings=sharding)
+            cache[key] = jax.jit(imp, out_shardings=sharding)
+        return cache[key]
 
-    @functools.lru_cache(maxsize=None)
     def _import_fn(self, model_parallel: bool):
-        sharding = (
-            self.rm.row_sharding()
-            if model_parallel
-            else self.rm.replicated_sharding()
-        )
-        return jax.jit(lambda t, i, v: t.at[i].set(v), out_shardings=sharding)
+        cache = self._io_fn_cache()
+        key = ("import", model_parallel)
+        if key not in cache:
+            sharding = (
+                self.rm.row_sharding()
+                if model_parallel
+                else self.rm.replicated_sharding()
+            )
+            cache[key] = jax.jit(
+                lambda t, i, v: t.at[i].set(v), out_shardings=sharding
+            )
+        return cache[key]
 
     def _find_table(self, table_name: str) -> Tuple[GroupPlan, int]:
         for g in self.plan.groups:

@@ -416,7 +416,8 @@ def apply_sparse(
         )
     elif packed:
         run = functools.partial(
-            _apply_rows_packed, opt, table, state, lr, True
+            _apply_rows_packed, opt, table, state, lr, True,
+            scatter_auto=scatter_auto,
         )
     else:
         run = functools.partial(
@@ -631,7 +632,8 @@ def apply_sparse(
             )
         elif packed:
             run = functools.partial(
-                _apply_rows_packed, opt, table, state, lr, False
+                _apply_rows_packed, opt, table, state, lr, False,
+                scatter_auto=scatter_auto,
             )
         else:
             run = functools.partial(
@@ -715,6 +717,7 @@ def _apply_rows_packed(
     uidx: Array,
     g: Array,
     tail,
+    scatter_auto: bool = True,
 ) -> Tuple[Array, State]:
     """Packed [R, 2E] AdaGrad apply: one gather, one ADD-form scatter."""
     if opt.optimizer != Optimizer_t.AdaGrad:
@@ -732,8 +735,16 @@ def _apply_rows_packed(
     delta = jnp.concatenate([delta_w, gg], axis=1).astype(table.dtype)
     if mask is not None:
         delta = jnp.where(mask, delta, jnp.zeros_like(delta))
+    # size-aware lowering like every sibling apply path (the packed layout
+    # DOUBLES operand bytes, doubling the flagged streaming-merge penalty
+    # on small windows into big operands) — same flag policy as
+    # _apply_rows.scatter_add
+    stream = _scatter_streams(
+        table.size * table.dtype.itemsize, uidx.shape[0], scatter_auto
+    )
     new_table = table.at[uidx].add(
-        delta, mode="drop", indices_are_sorted=True, unique_indices=is_unique
+        delta, mode="drop", indices_are_sorted=stream,
+        unique_indices=is_unique and stream,
     )
     return new_table, state
 

@@ -435,3 +435,44 @@ def test_i64_dynamic_model_trains_colliding_keys_distinctly(mesh1, tmp_path):
     assert model._i64_maps["dyn"] == saved
     folded2 = model._fold_i64_keys(batch)["d0"]
     np.testing.assert_array_equal(folded2, folded)
+
+
+def test_no_reinsert_into_evict_hole(mesh1):
+    """A key resident at a LATER probe slot must not re-insert into an
+    earlier hole punched by evict() (review finding: first-hit probing
+    would then serve the fresh zeroed row and abandon the trained one)."""
+    from hugectr_tpu.embedding.collection import _hash_mix
+
+    cap = 16
+    h = np.asarray(_hash_mix(jnp.arange(10_000))).astype(np.uint64) % cap
+    base = None
+    for slot in range(cap):
+        ks = np.where(h == slot)[0]
+        if len(ks) >= 2:
+            base = (int(ks[0]), int(ks[1]))
+            break
+    k1, k2 = base  # same base slot: k1 claims it, k2 probes onward
+
+    ebc, tables, state = _build(mesh1, capacity=cap)
+    keys = np.array([[k1, INVALID_KEY], [k2, INVALID_KEY]], dtype=np.int32)
+    d = np.ones((2, 8), np.float32)
+    tables, state = _step(ebc, tables, state, keys, d)
+    gname = ebc.plan.groups[0].name
+    ks_store = np.asarray(tables[f"{gname}#keys"])
+    slot2 = int(np.where(ks_store == k2)[0][0])
+    vec2 = np.asarray(tables[gname])[slot2].copy()
+
+    # evict k1 -> EMPTY hole at k2's earlier probe position
+    tables, state = ebc.evict(tables, state, "dyn", np.array([k1]))
+    ks_store = np.asarray(tables[f"{gname}#keys"])
+    assert k1 not in ks_store.tolist()
+
+    # train k2 again: must UPDATE the original slot, not re-insert at the hole
+    keys2 = np.array([[k2, INVALID_KEY]], dtype=np.int32)
+    tables, state = _step(ebc, tables, state, keys2, np.ones((1, 8), np.float32))
+    ks_store = np.asarray(tables[f"{gname}#keys"])
+    occurrences = np.where(ks_store == k2)[0]
+    assert len(occurrences) == 1, f"k2 duplicated at {occurrences}"
+    assert int(occurrences[0]) == slot2
+    vec2_after = np.asarray(tables[gname])[slot2]
+    assert not np.allclose(vec2_after, vec2), "k2's trained row not updated"
