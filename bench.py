@@ -78,6 +78,10 @@ def main():
     vocab_cap = int(
         os.environ.get("HCTR_BENCH_VOCAB_CAP", 2_000_000 if on_tpu else 2000)
     )
+    # eval sweep size: 320 batches x 16384 = 5.24M samples per eval() pass
+    # (MLPerf-scale AUC buffer; the 89M-sample Criteo eval set is 17 such
+    # passes). 32 distinct device-cached batches cycle to fill the sweep.
+    eval_batches = int(os.environ.get("HCTR_BENCH_EVAL_BATCHES", 320 if on_tpu else 8))
     rm = ResourceManager.create(num_devices=n_dev)
     model = build_dlrm_dcnv2(
         rm,
@@ -86,6 +90,7 @@ def main():
         synthetic_batches=32,
         use_mixed_precision=on_tpu,
         ev_size=128 if on_tpu else 32,
+        max_eval_batches=eval_batches,
     )
 
     warmup = 5
@@ -108,7 +113,7 @@ def main():
     # the per-batch host metric sync, max_eval_batches x batchsize_eval
     # examples per pass
     model.eval()  # compile + populate the device eval cache
-    eval_passes = 3
+    eval_passes = 2 if on_tpu else 3
     t0 = time.perf_counter()
     for _ in range(eval_passes):
         model.eval()
@@ -127,6 +132,7 @@ def main():
         "iters": iters,
         "sec_per_iter": round(dt / iters, 5),
         "eval_examples_per_sec": round(eval_ex_per_sec, 1),
+        "eval_sweep_batches": eval_batches,
         "emb_dtype": os.environ["HCTR_TPU_EMB_DTYPE"],
         "emb_state_dtype": os.environ.get("HCTR_TPU_EMB_STATE_DTYPE", "float32"),
         "segsum": os.environ["HCTR_TPU_SEGSUM"],

@@ -14,6 +14,7 @@ reference's trapezoidal integration over all distinct thresholds
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -150,14 +151,15 @@ class MetricAccumulator:
         self.reset()
 
     def reset(self):
-        z = jnp.zeros((self.capacity,), jnp.float32)
-        f = jnp.zeros((self.capacity,), bool)
-        if self.sharding is not None:
-            z = jax.device_put(z, self.sharding)
-            f = jax.device_put(f, self.sharding)
-        self._preds = z
-        self._labels = z
-        self._valid = f
+        # distinct allocations: _write donates all three buffers, so they
+        # must not alias each other
+        def _buf(dtype):
+            b = jnp.zeros((self.capacity,), dtype)
+            return jax.device_put(b, self.sharding) if self.sharding is not None else b
+
+        self._preds = _buf(jnp.float32)
+        self._labels = _buf(jnp.float32)
+        self._valid = _buf(bool)
         self._nb = 0
         # device loss scalars accumulate LAZILY (no per-batch host sync —
         # a float() per eval batch would serialize the async dispatch
@@ -165,8 +167,11 @@ class MetricAccumulator:
         self._loss_vals = []
 
     @staticmethod
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def _write(buf_p, buf_l, buf_v, preds, labels, offset):
+        # buffers are donated: without donation every eval batch pays a full
+        # copy of the [capacity] pred/label/valid buffers (measured round-5;
+        # at max_eval_batches in the hundreds that copy dominates eval)
         preds = preds.reshape(-1).astype(jnp.float32)
         labels = labels.reshape(-1).astype(jnp.float32)
         buf_p = jax.lax.dynamic_update_slice(buf_p, preds, (offset,))
@@ -187,13 +192,44 @@ class MetricAccumulator:
         if loss is not None:
             self._loss_vals.append(loss)  # device scalar or float; no sync
 
+    def update_batches(
+        self, preds: Array, labels: Array, count: int, losses: Optional[Array] = None
+    ):
+        """Bulk write of `count` stacked eval batches ([K, batch, label_dim]
+        leading-axis stacks from a scanned eval pass) in ONE device op."""
+        count = min(int(count), self.max_batches - self._nb)
+        if count <= 0:
+            return
+        n = count * self.batch_size * self.label_dim
+        off = jnp.asarray(self._nb * self.batch_size * self.label_dim, jnp.int32)
+        self._preds, self._labels, self._valid = self._write(
+            self._preds,
+            self._labels,
+            self._valid,
+            preds.reshape(-1)[:n],
+            labels.reshape(-1)[:n],
+            off,
+        )
+        self._nb += count
+        if losses is not None:
+            self._loss_vals.append(losses.reshape(-1)[:count])
+
     def finalize(self) -> Dict[str, float]:
         out: Dict[str, float] = {}
         for m in self.metrics:
             if m == Metric_t.AverageLoss:
+                # entries are device scalars (per-batch path) or [count]
+                # arrays (bulk scanned path) — every batch weighs equally
                 out[m.value] = (
                     float(
-                        jnp.mean(jnp.stack([jnp.asarray(v) for v in self._loss_vals]))
+                        jnp.mean(
+                            jnp.concatenate(
+                                [
+                                    jnp.atleast_1d(jnp.asarray(v))
+                                    for v in self._loss_vals
+                                ]
+                            )
+                        )
                     )
                     if self._loss_vals
                     else 0.0

@@ -908,8 +908,21 @@ class Model:
             }
             return loss, preds, labels
 
+        def eval_scan_step(state, stacked):
+            # K forwards in ONE dispatch over leading-axis-stacked cached
+            # batches: removes the ~6 ms/batch host dispatch+metric overhead
+            # measured round-5 (reference analog: the eval pipeline runs all
+            # eval batches inside one graph capture, model_pipeline.cpp:475)
+            def body(carry, batch):
+                loss, preds, labels = eval_step(state, batch)
+                return carry, (loss, preds, labels)
+
+            _, (losses, preds, labels) = jax.lax.scan(body, None, stacked)
+            return losses, preds, labels
+
         self._train_step = jax.jit(train_step, donate_argnums=0)
         self._eval_step = jax.jit(eval_step)
+        self._eval_scan_step = jax.jit(eval_scan_step)
 
     def _build_i64_fold(self) -> Dict[str, list]:
         """Per-sparse-feature column windows for host-side int64 key folding.
@@ -942,6 +955,26 @@ class Model:
             )
         return fold
 
+    def _mc_sync_feed(self) -> bool:
+        """True when batches must be folded on the CONSUMING thread.
+
+        Exact i64 assignment under multi-controller issues a host collective
+        per dynamic-table window per batch (_mc_union_missing); collective
+        order must match across processes, which only the user-program order
+        guarantees — prefetch threads could interleave train/eval collectives
+        differently per process. So this mode trades feeder overlap for
+        exactness (reference keeps exactness at full rate because its
+        dynamic table is device-resident per GPU; here keys fold host-side)."""
+        if self.rm.num_processes <= 1 or not self.solver.i64_input_key:
+            return False
+        if not getattr(self, "_i64_fold", None):
+            self._i64_fold = self._build_i64_fold()
+        return any(
+            dyn
+            for ws in self._i64_fold.values()
+            for (_lo, _hi, _mod, dyn, _t) in ws
+        )
+
     @staticmethod
     def _splitmix31(w: np.ndarray) -> np.ndarray:
         """64 -> 31-bit mix (probe start for the exact fold); never emits
@@ -968,6 +1001,19 @@ class Model:
         rev = self._i64_rev.setdefault(tname, {})
         uq = np.unique(w[w >= 0])
         missing = [k for k in uq.tolist() if k not in m]
+        if getattr(getattr(self, "rm", None), "num_processes", 1) > 1:
+            # EXACT multi-controller assignment: every process contributes
+            # its batch shard's new keys, each inserts the sorted UNION with
+            # the same deterministic probe — maps stay bit-identical by
+            # induction (they start identical: empty or restored from the
+            # master-written snapshot). The collective runs EVERY batch
+            # (even with no new keys anywhere) so call order matches;
+            # _mc_sync_feed() disables prefetch threads in this mode so the
+            # consuming thread issues these collectives in program order.
+            # Reference exactness analog: dynamic_embedding.cu's
+            # DynamicEmbeddingTable is exact for i64 in every deployment.
+            missing = self._mc_union_missing(missing)
+            missing = [k for k in missing if k not in m]
         if missing:
             # serialized assignment: train and eval DeviceFeeder threads
             # fold concurrently, and an unlocked check-then-set on `rev`
@@ -975,7 +1021,9 @@ class Model:
             # exactly the aliasing this map exists to eliminate
             import threading
 
-            lock = getattr(self, "_i64_lock", None) or threading.Lock()
+            lock = getattr(self, "_i64_lock", None)
+            if lock is None:
+                lock = self._i64_lock = threading.Lock()
             with lock:
                 for k, c0 in zip(missing, self._splitmix31(np.asarray(missing))):
                     if k in m:  # another thread placed it meanwhile
@@ -995,11 +1043,43 @@ class Model:
         flat = w.reshape(-1)
         neg = flat < 0
         uq2, inv = np.unique(np.where(neg, 0, flat), return_inverse=True)
+        # (uq2 keys are always present in m here: single-controller inserts
+        # every local unique; multi-controller inserts the union, a superset)
         lut = np.fromiter(
             (m.get(int(k), 0) for k in uq2), np.int32, len(uq2)
         )
         out = lut[inv]
         return np.where(neg, np.int32(INVALID_KEY), out).reshape(w.shape)
+
+    def _mc_union_missing(self, missing) -> list:
+        """Sorted union of every process's new i64 keys (host collective).
+
+        Two rounds: allgather per-process counts, then pad-to-max and
+        allgather the key arrays (skipped when no process has new keys —
+        the common steady-state, so the per-batch cost is ONE tiny
+        collective). Every process participates unconditionally; call sites
+        must execute in identical program order on all controllers."""
+        from jax.experimental import multihost_utils
+
+        n = np.asarray([len(missing)], np.int32)
+        counts = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+        mx = int(counts.max())
+        if mx == 0:
+            return []
+        pad = np.full((mx,), -1, np.int64)
+        if missing:
+            pad[: len(missing)] = np.asarray(missing, np.int64)
+        # allgather rides jnp arrays, which TRUNCATE int64 to int32 without
+        # jax_enable_x64 — ship each key as (lo, hi) int32 halves instead
+        lo = (pad & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        hi = (pad >> 32).astype(np.int64).astype(np.int32)
+        both = np.stack([lo, hi], axis=1)
+        allk = np.asarray(multihost_utils.process_allgather(both))
+        allk = allk.reshape(-1, 2)
+        keys = (allk[:, 1].astype(np.int64) << 32) | (
+            allk[:, 0].view(np.uint32).astype(np.int64)
+        )
+        return np.unique(keys[keys >= 0]).tolist()
 
     def _fold_i64_keys(self, batch):
         if not getattr(self, "_i64_fold", None):
@@ -1015,23 +1095,12 @@ class Model:
             for lo, hi, modulo, dynamic, tname in windows:
                 w = k[:, lo:hi]
                 neg = w < 0
-                if dynamic and self.rm.num_processes == 1:
+                if dynamic:
+                    # exact in EVERY deployment mode: multi-controller runs
+                    # union-sync the assignment (see _mc_union_missing)
                     k32[:, lo:hi] = self._i64_exact_fold(tname, w)
                     continue
-                if dynamic:
-                    # multi-controller: per-process exact maps would assign
-                    # the same key different ids across processes; keep the
-                    # deterministic (but aliasing) mix and say so once
-                    if not getattr(self, "_warned_i64_mp", False):
-                        self._warned_i64_mp = True
-                        logger.warning(
-                            "i64 dynamic keys use hash folding under "
-                            "multi-controller runs (exact assignment needs "
-                            "a shared map); distinct keys may alias"
-                        )
-                    f = self._splitmix31(w).astype(np.int32)
-                else:
-                    f = (w % max(modulo, 1)).astype(np.int32)
+                f = (w % max(modulo, 1)).astype(np.int32)
                 k32[:, lo:hi] = np.where(neg, np.int32(INVALID_KEY), f)
             out[name] = k32
         return out
@@ -1173,9 +1242,13 @@ class Model:
                 )
                 return self._put_batch(b)
 
-            feeder = DeviceFeeder(self.train_reader, put_train, depth=3)
-            self._train_iter = iter(feeder)
-            self._train_feeder = feeder
+            if self._mc_sync_feed():
+                self._train_iter = iter(map(put_train, iter(self.train_reader)))
+                self._train_feeder = None
+            else:
+                feeder = DeviceFeeder(self.train_reader, put_train, depth=3)
+                self._train_iter = iter(feeder)
+                self._train_feeder = feeder
 
     def train(self) -> float:
         """One training iteration; returns loss (blocking read)."""
@@ -1228,9 +1301,74 @@ class Model:
                 self._eval_cache = [
                     self._put_batch(next(it)) for _ in range(cache_n)
                 ]
+            if (
+                self.solver.repeat_dataset
+                and len(self._eval_cache) < self.solver.max_eval_batches
+            ):
+                # repeating dataset smaller than the eval sweep: cycle the
+                # cached device batches so eval() covers the FULL
+                # max_eval_batches window (reference semantics: eval always
+                # runs max_eval_batches when the source repeats)
+                import itertools
+
+                return (
+                    itertools.islice(
+                        itertools.cycle(self._eval_cache),
+                        self.solver.max_eval_batches,
+                    ),
+                    None,
+                )
             return self._eval_cache, None
+        if self._mc_sync_feed():
+            class _SyncFeed:
+                def __init__(s, it):
+                    s._it = it
+
+                def __iter__(s):
+                    return s._it
+
+                def stop(s):
+                    pass
+
+            sf = _SyncFeed(map(self._put_batch, iter(self.eval_reader)))
+            return sf, sf
         feeder = DeviceFeeder(self.eval_reader, self._put_batch, depth=3)
         return feeder, feeder
+
+    def _eval_scanned(self, cache) -> Dict[str, float]:
+        """Scanned eval over the device batch cache: chunks of K cached
+        batches run as ONE jitted lax.scan dispatch with bulk metric writes
+        (measured round-5: the per-batch path pays ~6 ms/batch of host
+        dispatch + metric-update overhead on top of a 33.8 ms forward)."""
+        total = self.solver.max_eval_batches
+        if not self.solver.repeat_dataset:
+            total = min(total, len(cache))
+        k = min(len(cache), total)
+        stacked, k_built = getattr(self, "_eval_cache_stacked", (None, 0))
+        if stacked is None or k_built != k:
+            stacked = {
+                name: jnp.stack([b[name] for b in cache[:k]])
+                for name in cache[0]
+            }
+            self._eval_cache_stacked = (stacked, k)
+        spec0 = self.network.loss_specs[0]
+        n = 0
+        while n < total:
+            cnt = min(k, total - n)
+            losses, preds, labels = self._eval_scan_step(self.state, stacked)
+            self.metrics.update_batches(
+                preds[spec0.label_name], labels[spec0.label_name], cnt,
+                losses=losses,
+            )
+            for name, acc in self._task_metrics.items():
+                acc.update_batches(preds[name], labels[name], cnt)
+            n += cnt
+        vals = self.metrics.finalize()
+        for name, acc in self._task_metrics.items():
+            for m, v in acc.finalize().items():
+                vals[f"{m}_{name}"] = v
+        self._last_eval_metrics = vals
+        return vals
 
     def eval(self) -> Dict[str, float]:
         """Full evaluation pass over max_eval_batches; returns metric dict."""
@@ -1239,6 +1377,23 @@ class Model:
             acc.reset()
         self._eval_feed_started = True
         source, feeder = self._eval_batches()
+        cache = getattr(self, "_eval_cache", None)
+        # scanned eval only off the CPU multi-device emulation: a K-batch
+        # scan packs K x (all_gather ...) into one dispatch, and the CPU
+        # backend's 40 s per-collective thread rendezvous can straggle under
+        # host load (observed as a fatal rendezvous abort in CI) — real TPU
+        # meshes and single-device runs have no such fragility
+        scan_ok = (
+            self.rm.data_parallel_size == 1
+            or jax.devices()[0].platform != "cpu"
+        )
+        if (
+            feeder is None
+            and cache
+            and scan_ok
+            and os.environ.get("HCTR_TPU_EVAL_SCAN", "1") != "0"
+        ):
+            return self._eval_scanned(cache)
         n = 0
         exhausted = True  # flipped off when max_eval_batches stops us first
         for batch in source:
@@ -1793,6 +1948,7 @@ class Model:
             self.reader_params.eval_source = mk(eval_source)
             self.eval_reader = self._make_reader(train=False)
             self._eval_cache = None
+            self._eval_cache_stacked = (None, 0)
             self._eval_eof = False
 
     def update_label_weights(self, label_names, label_weights) -> None:

@@ -40,6 +40,7 @@ def build_dlrm_dcnv2(
     comm_strategy=None,
     reader=None,
     multi_hot_sizes=None,
+    max_eval_batches: int = 8,
 ):
     """DLRM-DCNv2; returns a compiled Model.
 
@@ -55,7 +56,7 @@ def build_dlrm_dcnv2(
     import os
 
     solver = hugectr.CreateSolver(
-        max_eval_batches=8,
+        max_eval_batches=max_eval_batches,
         batchsize_eval=batchsize,
         batchsize=batchsize,
         lr=lr,

@@ -100,6 +100,188 @@ def _free_port():
     return port
 
 
+# Worker for the EXACT multi-controller i64 test: every process stages its
+# DISJOINT slice of a deterministic global batch stream; the fold maps must
+# come out bit-identical across processes AND identical to a
+# single-controller run over the same global batches (reference exactness:
+# DynamicEmbeddingTable is exact for i64 in every deployment mode,
+# embedding_storage/dynamic_embedding.cu).
+_I64_WORKER = r"""
+import os, sys, json
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+ndev = 8 // nproc
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") +
+    f" --xla_force_host_platform_device_count={ndev}"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+if nproc > 1:
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=nproc,
+        process_id=pid,
+    )
+import numpy as np
+import hugectr_tpu as hugectr
+from hugectr_tpu.core.mesh import ResourceManager
+from hugectr_tpu.core.types import DataReaderType_t
+
+GB = 64  # global batch
+rm = ResourceManager.create()
+solver = hugectr.CreateSolver(
+    max_eval_batches=1, batchsize_eval=GB, batchsize=GB, lr=0.1, seed=7,
+    i64_input_key=True, repeat_dataset=True,
+)
+reader = hugectr.DataReaderParams(
+    data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=2
+)
+model = hugectr.Model(
+    solver, reader,
+    hugectr.CreateOptimizer(optimizer_type=hugectr.Optimizer_t.SGD),
+    resource_manager=rm,
+)
+model.add(hugectr.Input(
+    label_dim=1, label_name="label", dense_dim=2, dense_name="dense",
+    data_reader_sparse_param_array=[
+        hugectr.DataReaderSparseParam("d0", 2, True, 1),
+        hugectr.DataReaderSparseParam("d1", 1, True, 1),
+    ],
+))
+tables = [
+    hugectr.EmbeddingTableConfig(
+        name="dyn", max_vocabulary_size=-1, ev_size=8, dynamic_capacity=512
+    ),
+    hugectr.EmbeddingTableConfig(name="st", max_vocabulary_size=50, ev_size=8),
+]
+ebc = hugectr.EmbeddingCollectionConfig()
+ebc.embedding_lookup(tables, ["d0", "d1"], "emb", ["sum", "sum"])
+ebc.shard(
+    shard_matrix=[[t.name for t in tables]] * rm.num_devices,
+    shard_strategy=[("mp", ["dyn", "st"])],
+)
+model.add(ebc)
+model.add(hugectr.DenseLayer(layer_type=hugectr.Layer_t.Concat,
+    bottom_names=["emb", "dense"], top_names=["c"]))
+model.add(hugectr.DenseLayer(layer_type=hugectr.Layer_t.InnerProduct,
+    bottom_names=["c"], top_names=["out"], num_output=1))
+model.add(hugectr.DenseLayer(layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+    bottom_names=["out", "label"], top_names=["loss"]))
+model.compile()
+assert model._mc_sync_feed() == (nproc > 1)
+
+def global_batch(t):
+    # deterministic global stream; i64 keys >= 2^31 with cross-process
+    # overlap AND per-process-unique keys each step
+    i = np.arange(GB)[:, None]
+    j = np.arange(2)[None, :]
+    d0 = (2**33 + (i * 7 + j * 3 + t * 13) % 40).astype(np.int64)
+    d0[t % GB, 0] = 2**40 + t  # a brand-new key every step, one process only
+    d1 = ((i + t) % 50).astype(np.int64)
+    rng = np.random.default_rng(1000 + t)
+    return {
+        "label": (rng.random((GB, 1)) > 0.5).astype(np.float32),
+        "dense": rng.random((GB, 2)).astype(np.float32),
+        "d0": d0, "d1": d1,
+    }
+
+model._train_iter = iter([])  # block reader feed; batches are staged below
+losses = []
+lo, hi = pid * (GB // nproc), (pid + 1) * (GB // nproc)
+for t in range(4):
+    g = global_batch(t)
+    local = {k: v[lo:hi] for k, v in g.items()}
+    model._staged_train_batch = model._put_batch(local)
+    losses.append(model.train())
+print("I64LOSSES", pid, json.dumps([round(float(x), 10) for x in losses]))
+print("I64MAP", pid, json.dumps(sorted(model._i64_maps["dyn"].items())))
+# snapshot roundtrip preserves the map (master writes, everyone reads)
+snap = sys.argv[4]
+model.download_params_to_files(snap + "/i64snap", 4)
+saved = dict(model._i64_maps["dyn"])
+model._i64_maps = {}; model._i64_rev = {}
+model.load_params_from_files(snap + "/i64snap_iter4")
+assert model._i64_maps["dyn"] == saved, "snapshot did not restore fold map"
+if nproc > 1:
+    # reader-driven phase: the sync feed folds on the consuming thread with
+    # per-process DIFFERENT synthetic keys; union-sync must keep maps equal
+    model._train_iter = None
+    model.start_data_reading()
+    for _ in range(2):
+        model.train()
+    print("I64MAP2", pid, json.dumps(sorted(model._i64_maps["dyn"].items())))
+print("I64WORKER", pid, "OK")
+"""
+
+
+def _run_i64_workers(tmp_path, nproc):
+    port = _free_port()
+    script = tmp_path / f"i64worker{nproc}.py"
+    script.write_text(_I64_WORKER)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    snap = tmp_path / f"snap{nproc}"
+    snap.mkdir(exist_ok=True)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(nproc), str(port),
+             str(snap)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in range(nproc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"i64 worker {pid}/{nproc}:\n{out[-3000:]}"
+        assert f"I64WORKER {pid} OK" in out, out[-2000:]
+    return outs
+
+
+def _grab(out, tag):
+    return [ln.split(None, 2)[2] for ln in out.splitlines() if ln.startswith(tag)]
+
+
+def test_two_process_i64_exact_fold(tmp_path):
+    """Exact i64 dynamic keys under multi-controller: fold maps bit-identical
+    across processes AND vs a single-controller run over the same global
+    batch stream; losses match the single-controller run; snapshot
+    roundtrip; the reader-driven sync-feed phase keeps maps in union-sync."""
+    import json
+
+    outs2 = _run_i64_workers(tmp_path, 2)
+    out1 = _run_i64_workers(tmp_path, 1)[0]
+    m0 = _grab(outs2[0], "I64MAP 0")[0]
+    m1 = _grab(outs2[1], "I64MAP 1")[0]
+    ms = _grab(out1, "I64MAP 0")[0]
+    assert m0 == m1, "fold maps diverged across controllers"
+    assert m0 == ms, "multi-controller fold map != single-controller map"
+    l2 = json.loads(_grab(outs2[0], "I64LOSSES 0")[0])
+    l1 = json.loads(_grab(out1, "I64LOSSES 0")[0])
+    import numpy as np
+
+    np.testing.assert_allclose(l2, l1, rtol=1e-5)
+    # reader-driven phase: maps still identical across processes
+    r0 = _grab(outs2[0], "I64MAP2 0")[0]
+    r1 = _grab(outs2[1], "I64MAP2 1")[0]
+    assert r0 == r1
+    assert len(json.loads(r0)) > len(json.loads(m0))  # reader added keys
+
+
 def test_two_process_training(tmp_path):
     from hugectr_tpu import DataGenerator, DataGeneratorParams
     from hugectr_tpu.core.types import DataReaderType_t as DRT
