@@ -192,6 +192,21 @@ class EmbeddingCollection:
         self.knob_fwd_sorted_bytes = int(
             _os.environ.get("HCTR_TPU_FWD_SORTED_BYTES", "0")
         )
+        # unique-key (dense-compression) MP exchange for concat-combiner
+        # groups (reference: dense_model_parallel_embedding.hpp:61-110,
+        # data_compression_operators.cu PartitionAndUniqueOperator): dedup
+        # owned rows per (batch block, owner shard) pre-exchange, all_to_all
+        # unique VECTORS only, expand locally. Capacity per (block, shard)
+        # list comes from the measured auto caps (or the explicit env cap);
+        # a psummed overflow flag cond-falls back to the dense psum path so
+        # the exchange stays EXACT for any key distribution.
+        self.knob_dense_exchange = (
+            _os.environ.get("HCTR_TPU_DENSE_EXCHANGE", "1") != "0"
+        )
+        self.knob_dense_exchange_cap = int(
+            _os.environ.get("HCTR_TPU_DENSE_EXCHANGE_CAP", "0")
+        )
+        self.dense_exchange_caps: Dict[str, int] = {}
         # one-hot engine backend: "xla" (default — measured 90.0k vs the
         # fused Pallas kernels' 88.7k ex/s on the DLRM bench; XLA's
         # compare-chain+matmul fusion wins at <=32k vocab, and the engine is
@@ -658,12 +673,14 @@ class EmbeddingCollection:
             if g.compute_kind == "onehot":
                 # MXU engine: replicated table, batch-sharded keys; plain jnp
                 # (XLA SPMD propagates shardings, no collective in fwd).
-                # Weighted tables never compile to onehot (plan eligibility).
+                # Weighted lookups carry per-key weights in the counts
+                # matrix (round 5).
                 group_outs[g.name] = self._onehot_fwd(
-                    g.name, tables[g.name], keys
+                    g.name, tables[g.name], keys, weights=w
                 )
             elif g.is_model_parallel and self.rm.data_parallel_size > 1:
                 ks = tables.get(f"{g.name}#keys")
+                dense_ex = ks is None and self._dense_exchange_ok(g)
                 in_specs = [
                     P(self.rm.data_axes, None),
                     P(self.rm.data_axes, None),
@@ -675,11 +692,19 @@ class EmbeddingCollection:
                 if w is not None:
                     in_specs.append(P(self.rm.data_axes, None))
                     args.append(w)
-                fn = shard_map(
+                body = (
                     functools.partial(
+                        self._mp_fwd_dense_local, g.name,
+                        weighted=w is not None,
+                    )
+                    if dense_ex
+                    else functools.partial(
                         self._mp_fwd_local, g.name,
                         with_store=ks is not None, weighted=w is not None,
-                    ),
+                    )
+                )
+                fn = shard_map(
+                    body,
                     mesh=self.rm.mesh,
                     in_specs=tuple(in_specs),
                     out_specs=P(self.rm.data_axes, None),
@@ -700,7 +725,7 @@ class EmbeddingCollection:
             go = group_outs[g.name]
             for lm in g.lookups:
                 outs[lm.top_name] = go[:, lm.out_begin : lm.out_end]
-        return self._merge_outputs(outs, feature_keys)
+        return self._merge_outputs(outs, feature_keys, feature_weights)
 
     def _group_keys(self, g: GroupPlan, feature_keys: Dict[str, Array]) -> Array:
         cols = []
@@ -721,28 +746,50 @@ class EmbeddingCollection:
             cols.append(k)
         return jnp.concatenate(cols, axis=1)
 
+    def _merge_denom(self, m, feature_keys, feature_weights, dtype) -> Array:
+        """[B, 1] mean denominator for a tier merge: raw-valid key count,
+        or the raw-valid sp-weight sum for weighted lookups (reference:
+        weighted_network_forward.cu:71 divides by sp_weight_sum)."""
+        k = feature_keys[m.bottom_name]
+        if k.ndim == 1:
+            k = k[:, None]
+        valid = k != INVALID_KEY
+        if m.sp_weight_name and feature_weights is not None:
+            w = feature_weights[m.sp_weight_name]
+            if w.ndim == 1:
+                w = w[:, None]
+            sw = jnp.sum(
+                jnp.where(valid, w, 0.0).astype(dtype), axis=1, keepdims=True
+            )
+            return jnp.where(sw == 0, jnp.asarray(1.0, dtype), sw)
+        cnt = jnp.sum(valid.astype(dtype), axis=1, keepdims=True)
+        return jnp.maximum(cnt, 1.0)
+
     def _merge_outputs(
-        self, outs: Dict[str, Array], feature_keys: Dict[str, Array]
+        self,
+        outs: Dict[str, Array],
+        feature_keys: Dict[str, Array],
+        feature_weights=None,
     ) -> Dict[str, Array]:
         """Recombine hot/cold sub-lookup tops into the user-level top
-        (out = hot + cold; mean divides by the ORIGINAL valid count)."""
+        (out = hot + cold; mean divides by the ORIGINAL valid count — or
+        the sp-weight sum for weighted lookups)."""
         for m in self.plan.merges:
             o = outs.pop(m.sub_tops[0])
             for sub in m.sub_tops[1:]:
                 o = o + outs.pop(sub)
             if m.combiner == Combiner_t.Mean:
-                k = feature_keys[m.bottom_name]
-                if k.ndim == 1:
-                    k = k[:, None]
-                cnt = jnp.sum(
-                    (k != INVALID_KEY).astype(o.dtype), axis=1, keepdims=True
+                o = o / self._merge_denom(
+                    m, feature_keys, feature_weights, o.dtype
                 )
-                o = o / jnp.maximum(cnt, 1.0)
             outs[m.top_name] = o
         return outs
 
     def _expand_d_outs(
-        self, d_outs: Dict[str, Array], feature_keys: Dict[str, Array]
+        self,
+        d_outs: Dict[str, Array],
+        feature_keys: Dict[str, Array],
+        feature_weights=None,
     ) -> Dict[str, Array]:
         """Route the user-level cotangent to both hot/cold sub-tops."""
         if not self.plan.merges:
@@ -751,13 +798,9 @@ class EmbeddingCollection:
         for m in self.plan.merges:
             d = d_outs.pop(m.top_name)
             if m.combiner == Combiner_t.Mean:
-                k = feature_keys[m.bottom_name]
-                if k.ndim == 1:
-                    k = k[:, None]
-                cnt = jnp.sum(
-                    (k != INVALID_KEY).astype(d.dtype), axis=1, keepdims=True
+                d = d / self._merge_denom(
+                    m, feature_keys, feature_weights, d.dtype
                 )
-                d = d / jnp.maximum(cnt, 1.0)
             for sub in m.sub_tops:
                 d_outs[sub] = d
         return d_outs
@@ -844,29 +887,301 @@ class EmbeddingCollection:
                 (idx.astype(jnp.int32), src, weights.reshape(-1)), num_keys=1
             )
         k = sidx.shape[0]
+
+        def pooled_from(si, ss, w_s):
+            rows = self._weights_view(
+                gname,
+                table_shard.at[si].get(
+                    mode="fill", fill_value=0, indices_are_sorted=True
+                ),
+            )
+            if w_s is not None:
+                rows = rows * w_s[:, None].astype(rows.dtype)
+            return jnp.zeros(
+                (bg * s_slots, g.ev_size), table_shard.dtype
+            ).at[ss].add(rows)
+
         factor = self.knob_capacity_factor
+        vcap = self.valid_caps.get(gname, 0)
         if n > 1 and factor > 0:
+            # explicit capacity factor: static slice, drops on overflow
+            # (opt-in; pick the factor like the reference picks comm-buffer
+            # capacities)
             k_limit = min(k, ((int(k * factor / n) + 511) // 512) * 512)
             if k_limit < k:
                 sidx = sidx[:k_limit]
                 ssrc = ssrc[:k_limit]
                 if sw is not None:
                     sw = sw[:k_limit]
-        rows = self._weights_view(
-            gname,
-            table_shard.at[sidx].get(
-                mode="fill", fill_value=0, indices_are_sorted=True
-            ),
-        )
-        if sw is not None:
-            rows = rows * sw[:, None].astype(rows.dtype)
-        pooled = jnp.zeros(
-            (bg * s_slots, g.ev_size), table_shard.dtype
-        ).at[ssrc].add(rows)
+            pooled = pooled_from(sidx, ssrc, sw)
+        elif vcap and vcap < k:
+            # measured owner-partition capacity (the EXACT default): this
+            # shard's owned keys form a sorted prefix ~K/N long; gather and
+            # pool only the measured window, cond-falling back to full K on
+            # overflow — the forward twin of apply_sparse's valid_cap slice
+            mine_count = jnp.sum((sidx < g.total_local_rows).astype(jnp.int32))
+            pooled = jax.lax.cond(
+                mine_count <= vcap,
+                lambda: pooled_from(
+                    sidx[:vcap], ssrc[:vcap],
+                    None if sw is None else sw[:vcap],
+                ),
+                lambda: pooled_from(sidx, ssrc, sw),
+            )
+        else:
+            pooled = pooled_from(sidx, ssrc, sw)
         pooled = pooled.reshape(bg, s_slots, g.ev_size)
         pooled = self._apply_mean_scaling(g, pooled, valid, weights=weights)
         partial = pooled.reshape(bg, g.out_width)
         return self._psum_scatter_batch(partial)
+
+    # ------------------------- unique-key (dense-compression) MP exchange
+    # Reference: DenseModelParallelEmbedding
+    # (embedding/dense_model_parallel_embedding.hpp:61-110) +
+    # PartitionAndUniqueOperator / CompressReverseIdxRange
+    # (embedding/data_distributor/data_compression_operators.cu): for
+    # per-key-output (concat) MP lookups the dense psum exchanges B*H*ev
+    # mostly-zero values per device; instead dedup each (batch block, owner
+    # shard) key list, all_to_all only the unique VECTORS, and expand
+    # locally. TPU twist: no reverse-index exchange at all — both sides
+    # derive the SAME sorted-unique row list from the all_gathered keys
+    # (owner/local-row are pure key math for static tables), so the
+    # receiver reconstructs positions with a searchsorted instead of
+    # shipped indices. Capacity-bounded lists + a psummed overflow flag
+    # cond-fall back to the dense psum path, keeping the exchange EXACT.
+
+    def _dense_exchange_ok(self, g: GroupPlan) -> bool:
+        return (
+            self._dense_exchange_shape_ok(g)
+            and self._dense_exchange_cap(g.name) > 0
+        )
+
+    def _dense_exchange_shape_ok(self, g: GroupPlan) -> bool:
+        """Static flat-mesh full-placement all-concat rowop groups only."""
+        if not self.knob_dense_exchange:
+            return False
+        if not (g.is_model_parallel and self.rm.data_parallel_size > 1):
+            return False
+        if g.compute_kind != "rowop" or self._meta[g.name].any_dynamic:
+            return False
+        if g.num_shards != self.rm.data_parallel_size or g.num_replicas != 1:
+            return False
+        if self.rm.is_hierarchical or self.rm.ev_parallel_size > 1:
+            return False
+        if self._is_packed(g.name):
+            return False
+        if any(lm.combiner != Combiner_t.Concat for lm in g.lookups):
+            return False
+        if self.frozen_tables and any(
+            self._is_frozen(t.name) for t in g.tables
+        ):
+            return False
+        return True
+
+    def _dense_exchange_cap(self, gname: str) -> int:
+        return self.knob_dense_exchange_cap or self.dense_exchange_caps.get(
+            gname, 0
+        )
+
+    def _dense_lists(self, gname: str, keys: Array):
+        """[n, f, C] sorted-unique local-row lists per (batch block, owner
+        shard) + a global overflow flag; identical on every device (pure
+        key math over the all_gathered keys — the analog of the reference's
+        partition_and_unique hash table, computed WITHOUT one)."""
+        meta = self._meta[gname]
+        g = meta.plan
+        f = g.num_shards
+        cap = self._dense_exchange_cap(gname)
+        n = self.rm.data_parallel_size
+        bg = keys.shape[0]
+        valid, owner, local_row = self._slot_placement(meta, keys, f)
+        kpb = (bg // n) * keys.shape[1]
+        sent_row = jnp.int32(g.total_local_rows)
+        ow = jnp.where(valid, owner, f).reshape(n, kpb).astype(jnp.int32)
+        rw = jnp.where(valid, local_row, sent_row).reshape(n, kpb).astype(
+            jnp.int32
+        )
+        so, sr = jax.lax.sort((ow, rw), num_keys=2)  # lex, batched over n
+        first = jnp.concatenate(
+            [
+                jnp.ones((n, 1), bool),
+                (so[:, 1:] != so[:, :-1]) | (sr[:, 1:] != sr[:, :-1]),
+            ],
+            axis=1,
+        )
+        unew = first & (so < f)
+        grank = jnp.cumsum(unew.astype(jnp.int32), axis=1) - 1
+        cnt = jnp.stack(
+            [
+                jnp.sum((unew & (so == s)).astype(jnp.int32), axis=1)
+                for s in range(f)
+            ],
+            axis=1,
+        )  # [n, f]
+        start = jnp.cumsum(cnt, axis=1) - cnt  # exclusive per-owner start
+        start_e = jnp.take_along_axis(
+            start, jnp.clip(so, 0, f - 1), axis=1
+        )
+        srank = grank - start_e
+        dest = jnp.where(
+            unew & (srank < cap), jnp.clip(so, 0, f - 1) * cap + srank, f * cap
+        )
+        lists = (
+            jnp.full((n, f * cap), sent_row, jnp.int32)
+            .at[jnp.arange(n, dtype=jnp.int32)[:, None], dest]
+            .set(sr, mode="drop")
+        )
+        overflow = jnp.any(cnt > cap)
+        return lists.reshape(n, f, cap), overflow
+
+    def _dense_positions(self, gname: str, my_lists: Array, keys_loc: Array):
+        """(flat recv index, valid) for each local key slot: position of its
+        row in the owner's unique list (exact when no overflow — the cond
+        guarantees every owned row is present)."""
+        meta = self._meta[gname]
+        g = meta.plan
+        f = g.num_shards
+        cap = my_lists.shape[1]
+        valid, owner, local_row = self._slot_placement(meta, keys_loc, f)
+        of = owner.reshape(-1)
+        rf = local_row.reshape(-1).astype(jnp.int32)
+        pos = jnp.zeros(rf.shape, jnp.int32)
+        for s in range(f):
+            ps = jnp.searchsorted(my_lists[s], rf).astype(jnp.int32)
+            pos = jnp.where(of == s, ps, pos)
+        flat = jnp.clip(of, 0, f - 1) * cap + jnp.minimum(pos, cap - 1)
+        return flat, valid
+
+    def _mp_fwd_dense_local(
+        self, gname: str, table_shard: Array, keys_loc: Array, *rest,
+        weighted: bool = False,
+    ) -> Array:
+        w_loc = rest[0] if weighted else None
+        meta = self._meta[gname]
+        g = meta.plan
+        f = g.num_shards
+        cap = self._dense_exchange_cap(gname)
+        my = jax.lax.axis_index(self.rm.data_axes)
+        keys = jax.lax.all_gather(
+            keys_loc, self.rm.data_axes, axis=0, tiled=True
+        )
+        lists, overflow = self._dense_lists(gname, keys)
+        over = jax.lax.psum(
+            overflow.astype(jnp.int32), self.rm.data_axes
+        ) > 0
+
+        b_loc = keys_loc.shape[0]
+
+        def compressed():
+            # src role: vectors for every block's list owned by MY shard
+            send = table_shard.at[jnp.take(lists, my, axis=1)].get(
+                mode="fill", fill_value=0, indices_are_sorted=True
+            )  # [n, C, ev]
+            recv = jax.lax.all_to_all(
+                send, self.rm.data_axes, split_axis=0, concat_axis=0,
+                tiled=True,
+            )  # recv[s] = shard s's vectors for MY block
+            my_lists = jnp.take(lists, my, axis=0)  # [f, C]
+            flat, valid = self._dense_positions(gname, my_lists, keys_loc)
+            vecs = recv.reshape(f * cap, g.ev_size)[flat]
+            vecs = vecs * valid.reshape(-1, 1).astype(vecs.dtype)
+            if w_loc is not None:
+                vecs = vecs * jnp.where(valid, w_loc, 0.0).reshape(
+                    -1, 1
+                ).astype(vecs.dtype)
+            return vecs.reshape(b_loc, g.out_width)
+
+        def fallback():
+            # dense psum path (identical math to _mp_fwd_local's default)
+            valid, owner, local_row = self._slot_placement(meta, keys, f)
+            mine = valid & (owner == my)
+            weights = (
+                jax.lax.all_gather(
+                    w_loc, self.rm.data_axes, axis=0, tiled=True
+                )
+                if w_loc is not None
+                else None
+            )
+            safe = jnp.where(mine, local_row, 0)
+            rows = table_shard[safe]
+            if weights is not None:
+                rows = rows * jnp.where(mine, weights, 0.0)[..., None].astype(
+                    table_shard.dtype
+                )
+            else:
+                rows = rows * mine[..., None].astype(table_shard.dtype)
+            partial = self._pool(g, rows, keys != INVALID_KEY, weights=weights)
+            return self._psum_scatter_batch(partial)
+
+        return jax.lax.cond(over, fallback, compressed)
+
+    def _mp_bwd_dense_local(
+        self, gname: str, table_shard: Array, state, keys_loc: Array,
+        d_loc: Array, lr, step, *rest, weighted: bool = False,
+    ):
+        w_loc = rest[0] if weighted else None
+        meta = self._meta[gname]
+        g = meta.plan
+        f = g.num_shards
+        n = self.rm.data_parallel_size
+        cap = self._dense_exchange_cap(gname)
+        my = jax.lax.axis_index(self.rm.data_axes)
+        keys = jax.lax.all_gather(
+            keys_loc, self.rm.data_axes, axis=0, tiled=True
+        )
+        lists, overflow = self._dense_lists(gname, keys)
+        over = jax.lax.psum(
+            overflow.astype(jnp.int32), self.rm.data_axes
+        ) > 0
+        opt = self.group_opt[gname]
+        b_loc = keys_loc.shape[0]
+
+        def compressed():
+            my_lists = jnp.take(lists, my, axis=0)
+            flat, valid = self._dense_positions(gname, my_lists, keys_loc)
+            dk = d_loc.reshape(b_loc, g.hotness_total, g.ev_size)
+            if w_loc is not None:
+                dk = dk * w_loc[..., None].astype(dk.dtype)
+            tgt = jnp.where(valid.reshape(-1), flat, f * cap)
+            gbuf = (
+                jnp.zeros((f * cap, g.ev_size), jnp.float32)
+                .at[tgt]
+                .add(dk.reshape(-1, g.ev_size).astype(jnp.float32), mode="drop")
+            )
+            recv = jax.lax.all_to_all(
+                gbuf.reshape(f, cap, g.ev_size),
+                self.rm.data_axes, split_axis=0, concat_axis=0, tiled=True,
+            )  # recv[d] = block d's grad sums for MY owned lists
+            idx = jnp.take(lists, my, axis=1).reshape(-1)  # [n*C] + sentinel
+            dsrc = recv.reshape(-1, g.ev_size).astype(self.dtype)
+            src = jnp.arange(n * cap, dtype=jnp.int32)
+            return sparse_optimizer.apply_sparse(
+                opt, table_shard, state, idx, src, dsrc, lr, step,
+                segsum=self.knob_segsum,
+                scatter_auto=self.knob_scatter_auto,
+                fold_budget=self.knob_segsum_fold_bytes,
+            )
+
+        def fallback():
+            d_group = jax.lax.all_gather(
+                d_loc, self.rm.data_axes, axis=0, tiled=True
+            )
+            weights = (
+                jax.lax.all_gather(
+                    w_loc, self.rm.data_axes, axis=0, tiled=True
+                )
+                if w_loc is not None
+                else None
+            )
+            idx, src, dsrc = self._row_grads(
+                gname, keys, d_group, f, my, None, weights=weights
+            )
+            return sparse_optimizer.apply_sparse(
+                opt, table_shard, state, idx, src, dsrc, lr, step,
+                **self._opt_knobs(gname),
+            )
+
+        return jax.lax.cond(over, fallback, compressed)
 
     def _fwd_gsrc(self, g: GroupPlan) -> np.ndarray:
         """Per-slot pooled-accumulator slot id (identical construction to the
@@ -907,15 +1222,18 @@ class EmbeddingCollection:
 
     # ------------------------------------------------- one-hot MXU engine
     def _onehot_counts(
-        self, gname: str, keys: Array, dtype
+        self, gname: str, keys: Array, dtype, weights: Optional[Array] = None
     ) -> Tuple[Dict[int, Array], Array]:
         """Per-lookup key-count matrices.
 
         Returns ({lookup_pos: counts [B, vocab]}, valid [B, H]). counts[b, r]
         is how many of sample b's keys in that lookup hit table row r (mean
-        combiner divides later). This is the TPU-first replacement for the
-        reference's per-row generic_lookup kernels on small tables: the
-        lookup becomes ``counts @ table`` on the MXU and the backward becomes
+        combiner divides later). For weighted lookups each hit contributes
+        its per-key weight instead of 1, so the SAME counts matmul computes
+        Σ wᵢeᵢ (reference: weighted_model_forward.cu per-key multiply).
+        This is the TPU-first replacement for the reference's per-row
+        generic_lookup kernels on small tables: the lookup becomes
+        ``counts @ table`` on the MXU and the backward becomes
         ``countsᵀ @ d_out`` (reference semantics:
         embedding/operators/generic_lookup.cuh multi_to_one reduction)."""
         meta = self._meta[gname]
@@ -929,6 +1247,11 @@ class EmbeddingCollection:
             v = int(g.table_vocab[ti])
             k = local_row[:, lm.slot_begin : lm.slot_end] - off  # [B, h]
             val = valid[:, lm.slot_begin : lm.slot_end]
+            w_lk = (
+                weights[:, lm.slot_begin : lm.slot_end].astype(dtype)
+                if weights is not None and lm.sp_weight_name
+                else None
+            )
             b = k.shape[0]
             if v > compare_max:
                 # high-hotness big-vocab table (plan.onehot_scatter_ratio):
@@ -937,10 +1260,13 @@ class EmbeddingCollection:
                 # slots index out of range and drop. bf16 holds the small
                 # integer counts exactly (< 256 duplicates per sample).
                 kk = jnp.where(val, k, v)
+                contrib = (
+                    w_lk if w_lk is not None else jnp.ones(kk.shape, dtype)
+                )
                 counts[li] = (
                     jnp.zeros((b, v), dtype)
                     .at[jnp.arange(b, dtype=jnp.int32)[:, None], kk]
-                    .add(jnp.ones(kk.shape, dtype), mode="drop")
+                    .add(contrib, mode="drop")
                 )
                 continue
             iota = jnp.arange(v, dtype=jnp.int32)[None, :]
@@ -949,6 +1275,8 @@ class EmbeddingCollection:
                 oh = (
                     (k[:, h : h + 1] == iota) & val[:, h : h + 1]
                 ).astype(dtype)
+                if w_lk is not None:
+                    oh = oh * w_lk[:, h : h + 1]
                 cnt = oh if cnt is None else cnt + oh
             counts[li] = cnt
         return counts, valid
@@ -969,10 +1297,16 @@ class EmbeddingCollection:
         val = valid[:, lm.slot_begin : lm.slot_end]
         return jnp.where(val, k, -1), val
 
-    def _onehot_fwd(self, gname: str, table: Array, keys: Array) -> Array:
+    def _onehot_fwd(
+        self, gname: str, table: Array, keys: Array,
+        weights: Optional[Array] = None,
+    ) -> Array:
         meta = self._meta[gname]
         g = meta.plan
-        if self._use_onehot_kernel():
+        # the fused Pallas kernels regenerate UNWEIGHTED one-hot tiles in
+        # registers; weighted groups take the XLA counts path (the weight
+        # multiply fuses into the counts build)
+        if self._use_onehot_kernel() and weights is None:
             from ..ops.pallas.onehot_matmul import onehot_matmul_fwd
 
             outs: List[Array] = []
@@ -990,7 +1324,9 @@ class EmbeddingCollection:
                     o = o / jnp.maximum(nval, 1.0)
                 outs.append(o)
             return jnp.concatenate(outs, axis=1)
-        counts, valid = self._onehot_counts(gname, keys, table.dtype)
+        counts, valid = self._onehot_counts(
+            gname, keys, table.dtype, weights=weights
+        )
         outs: List[Array] = []
         for li, lm in enumerate(g.lookups):
             ti = lm.table_index
@@ -998,12 +1334,8 @@ class EmbeddingCollection:
             v = int(g.table_vocab[ti])
             cnt = counts[li]
             if lm.combiner == Combiner_t.Mean:
-                nval = jnp.sum(
-                    valid[:, lm.slot_begin : lm.slot_end].astype(cnt.dtype),
-                    axis=1,
-                    keepdims=True,
-                )
-                cnt = cnt / jnp.maximum(nval, 1.0)
+                # weighted mean divides by the sp-weight sum
+                cnt = cnt / self._mean_denom(g, lm, valid, weights, cnt.dtype)
             outs.append(
                 jnp.dot(
                     cnt,
@@ -1014,14 +1346,17 @@ class EmbeddingCollection:
         return jnp.concatenate(outs, axis=1)
 
     def _onehot_grad(
-        self, gname: str, table_dtype, keys: Array, d_group: Array
+        self, gname: str, table_dtype, keys: Array, d_group: Array,
+        weights: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         """Dense [R, E] gradient + [R] touch counts for a one-hot group."""
         meta = self._meta[gname]
         g = meta.plan
-        if self._use_onehot_kernel():
+        if self._use_onehot_kernel() and weights is None:
             return self._onehot_grad_pallas(gname, table_dtype, keys, d_group)
-        counts, valid = self._onehot_counts(gname, keys, table_dtype)
+        counts, valid = self._onehot_counts(
+            gname, keys, table_dtype, weights=weights
+        )
         grad = jnp.zeros((g.total_local_rows, g.ev_size), table_dtype)
         colsum = jnp.zeros((g.total_local_rows,), jnp.float32)
         for li, lm in enumerate(g.lookups):
@@ -1033,12 +1368,16 @@ class EmbeddingCollection:
             cnt = counts[li]
             d = d_group[:, lm.out_begin : lm.out_end].astype(table_dtype)
             if lm.combiner == Combiner_t.Mean:
-                nval = jnp.sum(
-                    valid[:, lm.slot_begin : lm.slot_end].astype(d.dtype),
-                    axis=1,
-                    keepdims=True,
-                )
-                d = d / jnp.maximum(nval, 1.0)
+                d = d / self._mean_denom(g, lm, valid, weights, d.dtype)
+            if weights is not None and lm.sp_weight_name:
+                # SIGNED weights can cancel a touched row's plain column
+                # sum while its gradient stays nonzero (different d per
+                # sample) — touch counts sum |counts| in a separate matvec
+                ge = jnp.dot(cnt.T, d, preferred_element_type=table_dtype)
+                grad = grad.at[off : off + v].add(ge)
+                touch = jnp.sum(jnp.abs(cnt).astype(jnp.float32), axis=0)
+                colsum = colsum.at[off : off + v].add(touch)
+                continue
             # ones-column trick: appending 1s to the cotangent folds the
             # touch-count column sum into the SAME cntT matmul, saving a
             # separate full read of the [B, vocab] counts matrix. touched
@@ -1084,8 +1423,14 @@ class EmbeddingCollection:
             colsum = colsum.at[off : off + v].add(cnt)
         return grad, colsum
 
-    def _onehot_bwd_local(self, gname, table, state, keys_loc, d_loc, lr, step):
-        grad, colsum = self._onehot_grad(gname, table.dtype, keys_loc, d_loc)
+    def _onehot_bwd_local(
+        self, gname, table, state, keys_loc, d_loc, lr, step, *rest,
+        weighted: bool = False,
+    ):
+        w_loc = rest[0] if weighted else None
+        grad, colsum = self._onehot_grad(
+            gname, table.dtype, keys_loc, d_loc, weights=w_loc
+        )
         if self.rm.data_parallel_size > 1:
             grad = jax.lax.psum(grad, self.rm.data_axes)
             colsum = jax.lax.psum(colsum, self.rm.data_axes)
@@ -1228,7 +1573,7 @@ class EmbeddingCollection:
         new_state = dict(opt_state)
         lr = jnp.asarray(lr, dtype=self.dtype)
         step = jnp.asarray(step)
-        d_outs = self._expand_d_outs(d_outs, feature_keys)
+        d_outs = self._expand_d_outs(d_outs, feature_keys, feature_weights)
         for g in self.plan.groups:
             keys = self._group_keys(g, feature_keys)
             w = self._group_weights(g, feature_weights)
@@ -1239,30 +1584,41 @@ class EmbeddingCollection:
             )
             if g.compute_kind == "onehot":
                 if self.rm.data_parallel_size > 1:
+                    in_specs = [
+                        P(),
+                        jax.tree.map(lambda _: P(), opt_state[g.name]),
+                        P(self.rm.data_axes, None),
+                        P(self.rm.data_axes, None),
+                        P(),
+                        P(),
+                    ]
+                    args = [
+                        tables[g.name], opt_state[g.name], keys, d_group,
+                        lr, step,
+                    ]
+                    if w is not None:
+                        in_specs.append(P(self.rm.data_axes, None))
+                        args.append(w)
                     fn = shard_map(
-                        functools.partial(self._onehot_bwd_local, g.name),
-                        mesh=self.rm.mesh,
-                        in_specs=(
-                            P(),
-                            jax.tree.map(lambda _: P(), opt_state[g.name]),
-                            P(self.rm.data_axes, None),
-                            P(self.rm.data_axes, None),
-                            P(),
-                            P(),
+                        functools.partial(
+                            self._onehot_bwd_local, g.name,
+                            weighted=w is not None,
                         ),
+                        mesh=self.rm.mesh,
+                        in_specs=tuple(in_specs),
                         out_specs=(
                             P(),
                             jax.tree.map(lambda _: P(), opt_state[g.name]),
                         ),
                         check_vma=False,
                     )
-                    new_tables[g.name], new_state[g.name] = fn(
-                        tables[g.name], opt_state[g.name], keys, d_group, lr, step
-                    )
+                    new_tables[g.name], new_state[g.name] = fn(*args)
                 else:
                     new_tables[g.name], new_state[g.name] = self._onehot_bwd_local(
                         g.name, tables[g.name], opt_state[g.name], keys,
                         d_group, lr, step,
+                        *([w] if w is not None else []),
+                        weighted=w is not None,
                     )
             elif g.is_model_parallel and self.rm.data_parallel_size > 1:
                 ks = tables.get(f"{g.name}#keys")
@@ -1286,11 +1642,19 @@ class EmbeddingCollection:
                 if w is not None:
                     in_specs.append(P(self.rm.data_axes, None))
                     args.append(w)
-                fn = shard_map(
+                body = (
                     functools.partial(
+                        self._mp_bwd_dense_local, g.name,
+                        weighted=w is not None,
+                    )
+                    if ks is None and self._dense_exchange_ok(g)
+                    else functools.partial(
                         self._mp_bwd_local, g.name,
                         with_store=ks is not None, weighted=w is not None,
-                    ),
+                    )
+                )
+                fn = shard_map(
+                    body,
                     mesh=self.rm.mesh,
                     in_specs=tuple(in_specs),
                     out_specs=tuple(out_specs),
@@ -1367,6 +1731,10 @@ class EmbeddingCollection:
             return False
         lks = g.lookups
         if not lks or any(lk.combiner != Combiner_t.Sum for lk in lks):
+            return False
+        if any(lk.sp_weight_name for lk in lks):
+            # the shared raw-key sort carries no weight operand; weighted
+            # tiers use the per-group sort (weights ride as a 3rd sort key)
             return False
         lo, hi = lks[0].key_lo, lks[0].key_hi
         if hi < 0:
@@ -1654,7 +2022,25 @@ class EmbeddingCollection:
                 own = valid & (owner == s)
                 u_max = max(u_max, int(np.unique(gid[own]).size))
                 v_max = max(v_max, int(own.sum()))
-            measured.append((g, keys.size, u_max, v_max))
+            # dense-exchange capacity: max unique rows over every
+            # (per-device batch block, owner shard) pair. The local batch
+            # covers n/P device blocks exactly, so per-block maxima need NO
+            # process scaling — just a max-reduce (see below).
+            de_max = 0
+            n = self.rm.data_parallel_size
+            blocks = n // max(self.rm.num_processes, 1)
+            if self._dense_exchange_shape_ok(g) and blocks >= 1:
+                b = keys.shape[0]
+                if b % blocks == 0:
+                    bl = b // blocks
+                    for d in range(blocks):
+                        sl = slice(d * bl, (d + 1) * bl)
+                        for s in range(f):
+                            own = valid[sl] & (owner[sl] == s)
+                            de_max = max(
+                                de_max, int(np.unique(local[sl][own]).size)
+                            )
+            measured.append((g, keys.size, u_max, v_max, de_max))
 
         if self.rm.num_processes > 1 and measured:
             # multi-controller: every process measured its OWN batch shard.
@@ -1665,17 +2051,25 @@ class EmbeddingCollection:
             # (>= sum of per-process uniques >= global unique count).
             from jax.experimental import multihost_utils
 
-            arr = np.asarray([[u, v] for _g, _s, u, v in measured], np.int64)
+            arr = np.asarray(
+                [[u, v, de] for _g, _s, u, v, de in measured], np.int64
+            )
             arr = np.asarray(multihost_utils.process_allgather(arr))
-            arr = arr.max(axis=0) * self.rm.num_processes
+            mx = arr.max(axis=0)
+            # u/v bound GLOBAL-K quantities -> scale by P; dense-exchange
+            # caps are per-device-block maxima -> plain max
+            scaled = mx * self.rm.num_processes
             measured = [
-                (g, size, int(arr[i, 0]), int(arr[i, 1]))
-                for i, (g, size, _u, _v) in enumerate(measured)
+                (g, size, int(scaled[i, 0]), int(scaled[i, 1]), int(mx[i, 2]))
+                for i, (g, size, _u, _v, _de) in enumerate(measured)
             ]
 
-        for g, keys_size, u_max, v_max in measured:
+        for g, keys_size, u_max, v_max, de_max in measured:
             cap = ((int(u_max * self.knob_ucap_headroom) + 511) // 512) * 512
             self.unique_caps[g.name] = max(cap, 512)
+            if de_max > 0:
+                de = ((int(de_max * self.knob_ucap_headroom) + 127) // 128) * 128
+                self.dense_exchange_caps[g.name] = max(de, 128)
             vcap = ((int(v_max * self.knob_ucap_headroom) + 511) // 512) * 512
             # only worth a cond when a sizable share of the list is padding.
             # Multi-controller: u/v were scaled to GLOBAL bounds above, so
@@ -2135,6 +2529,9 @@ class EmbeddingCollection:
         }
         new_ec.valid_caps = {
             k: v for k, v in self.valid_caps.items() if k in new_names
+        }
+        new_ec.dense_exchange_caps = {
+            k: v for k, v in self.dense_exchange_caps.items() if k in new_names
         }
         new_ec.ucap_measured = self.ucap_measured
         new_ec.packed_kind = new_ec._compute_packed_kind(new_plan)

@@ -165,6 +165,9 @@ class MergeMeta:
     sub_tops: List[str]
     combiner: Combiner_t
     bottom_name: str
+    # weighted lookups: the mean merge divides by the raw-valid sp-weight
+    # SUM (reference: weighted_network_forward.cu:71), not the key count
+    sp_weight_name: str = ""
 
 
 @dataclasses.dataclass
@@ -365,8 +368,9 @@ def _split_hot_cold(
             not t.is_dynamic
             and t.vocabulary_size >= max(4 * hot, 2 * onehot_vocab_threshold())
             and all(
+                # weighted Sum/Mean split fine: weights mask per key window
+                # and the mean merge divides by the raw sp-weight sum
                 lk.combiner in (Combiner_t.Sum, Combiner_t.Mean)
-                and not lk.sp_weight_name  # weighted: single rowop table
                 for lk in by_table[t.name]
             )
             and t.name not in plan.column_factors
@@ -444,6 +448,7 @@ def _split_hot_cold(
                 sub_tops=[s.top_name for s in sub_lks],
                 combiner=lk.combiner,
                 bottom_name=lk.bottom_name,
+                sp_weight_name=lk.sp_weight_name,
             )
         )
     return out, merges, splits
@@ -544,10 +549,10 @@ def _onehot_eligible(
         ok = (
             size_ok
             and not t.is_dynamic
-            # weighted lookups stay on the rowop engine: the counts-matrix
-            # touch column sums signed weights (can cancel to 0 on a
-            # genuinely touched row), so exactness keeps them out
-            and not any(lk.sp_weight_name for lk in lks)
+            # weighted lookups ride the engine since round 5: the counts
+            # matrix carries per-key weights and the touch column sums
+            # |counts| (signed weights could cancel a genuinely touched
+            # row's colsum while its grad stays nonzero — see _onehot_grad)
             and all(
                 lk.combiner in (Combiner_t.Sum, Combiner_t.Mean)
                 or (lk.combiner == Combiner_t.Concat and lk.max_hotness == 1)

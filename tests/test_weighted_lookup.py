@@ -382,3 +382,142 @@ def test_model_level_weighted_lookup(mesh1):
     bad = {k: v for k, v in batch.items() if k != "w0"}
     with pytest.raises(KeyError, match="w0"):
         model.check_out_tensor("emb", bad)
+
+
+# ------------------- round 5: weighted lookups on the FAST engines --------
+def _split_lookups():
+    t0 = EmbeddingTableConfig(name="t0", max_vocabulary_size=100, ev_size=8)
+    return [
+        LookupConfig(0, t0, "f0", "e0", Combiner_t.Sum, 4, sp_weight_name="w0"),
+        LookupConfig(1, t0, "f1", "e1", Combiner_t.Mean, 3, sp_weight_name="w1"),
+    ]
+
+
+def _split_data(rng, batch=32):
+    feats = {
+        "f0": random_keys(rng, batch, 4, 100),
+        "f1": random_keys(rng, batch, 3, 100),
+    }
+    weights = {
+        "w0": rng.normal(size=(batch, 4)).astype(np.float32),
+        "w1": rng.random((batch, 3)).astype(np.float32) + 0.1,
+    }
+    weights["w1"][0, :] = 0.0  # den==0 guard
+    return feats, weights
+
+
+@pytest.mark.parametrize("superhot", [0, 8])
+def test_weighted_hot_cold_split_matches_oracle(mesh1, monkeypatch, superhot):
+    """Weighted Sum/Mean lookups split into hot/cold tiers (plus the one-hot
+    superhot tier when enabled) and still match the unsplit oracle exactly —
+    the round-4 'weighted tables never split/onehot' exclusion is gone."""
+    monkeypatch.setenv("HCTR_TPU_HOT_ROWS", "16")
+    monkeypatch.setenv("HCTR_TPU_SUPERHOT_ROWS", str(superhot))
+    monkeypatch.setenv("HCTR_TPU_ONEHOT_VOCAB", "8" if superhot else "0")
+    lookups = _split_lookups()
+    plan = ShardingPlan(strategy=[("mp", ["t0"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    assert compiled.merges, "expected a hot/cold split for the weighted table"
+    if superhot:
+        assert any(
+            g.compute_kind == "onehot" for g in compiled.groups
+        ), "superhot tier should compile to the one-hot engine"
+    lr = 0.1
+    ebc = EmbeddingCollection(compiled, mesh1, OptParams(Optimizer_t.SGD, lr=lr))
+    tables = ebc.init(jax.random.key(0))
+    opt_state = ebc.init_optimizer(tables)
+    rng = np.random.default_rng(11)
+    feats, weights = _split_data(rng)
+    dense = {"t0": np.array(ebc.export_table(tables, "t0"))}
+    ref = oracle_forward(lookups, dense, feats, weights)
+    feats_d = {k: jax.device_put(v) for k, v in feats.items()}
+    w_d = {k: jax.device_put(v) for k, v in weights.items()}
+    outs = jax.jit(ebc.forward)(tables, feats_d, w_d)
+    for lk in lookups:
+        np.testing.assert_allclose(
+            np.asarray(outs[lk.top_name]), ref[lk.top_name],
+            rtol=1e-5, atol=1e-5,
+        )
+    d_outs = {
+        "e0": rng.normal(size=(32, 8)).astype(np.float32),
+        "e1": rng.normal(size=(32, 8)).astype(np.float32),
+    }
+    oracle_sgd(lookups, dense, feats, weights, d_outs, lr)
+    d_d = {k: jax.device_put(v) for k, v in d_outs.items()}
+    tables, opt_state = jax.jit(ebc.backward_and_update)(
+        tables, opt_state, feats_d, d_d, jnp.asarray(lr), jnp.asarray(1), w_d
+    )
+    np.testing.assert_allclose(
+        ebc.export_table(tables, "t0"), dense["t0"], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_weighted_onehot_engine_matches_oracle(mesh1, monkeypatch):
+    """Weighted lookups on the one-hot MXU engine: per-key weights ride the
+    counts matrix; fwd + SGD backward match the oracle."""
+    monkeypatch.setenv("HCTR_TPU_ONEHOT_VOCAB", "128")
+    lookups = _split_lookups()
+    plan = ShardingPlan(strategy=[("dp", ["t0"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    assert all(g.compute_kind == "onehot" for g in compiled.groups)
+    lr = 0.1
+    ebc = EmbeddingCollection(compiled, mesh1, OptParams(Optimizer_t.SGD, lr=lr))
+    tables = ebc.init(jax.random.key(0))
+    opt_state = ebc.init_optimizer(tables)
+    rng = np.random.default_rng(12)
+    feats, weights = _split_data(rng)
+    dense = {"t0": np.array(ebc.export_table(tables, "t0"))}
+    ref = oracle_forward(lookups, dense, feats, weights)
+    feats_d = {k: jax.device_put(v) for k, v in feats.items()}
+    w_d = {k: jax.device_put(v) for k, v in weights.items()}
+    outs = jax.jit(ebc.forward)(tables, feats_d, w_d)
+    for lk in lookups:
+        np.testing.assert_allclose(
+            np.asarray(outs[lk.top_name]), ref[lk.top_name],
+            rtol=1e-5, atol=1e-5,
+        )
+    d_outs = {
+        "e0": rng.normal(size=(32, 8)).astype(np.float32),
+        "e1": rng.normal(size=(32, 8)).astype(np.float32),
+    }
+    oracle_sgd(lookups, dense, feats, weights, d_outs, lr)
+    d_d = {k: jax.device_put(v) for k, v in d_outs.items()}
+    tables, opt_state = jax.jit(ebc.backward_and_update)(
+        tables, opt_state, feats_d, d_d, jnp.asarray(lr), jnp.asarray(1), w_d
+    )
+    np.testing.assert_allclose(
+        ebc.export_table(tables, "t0"), dense["t0"], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_weighted_onehot_cross_sample_weight_cancel(mesh1, monkeypatch):
+    """Signed weights that cancel ACROSS samples (+1, -1 on the same key)
+    must still apply the row's update — the touch counts sum |counts|, not
+    the signed column sum (plan.py exactness note)."""
+    monkeypatch.setenv("HCTR_TPU_ONEHOT_VOCAB", "64")
+    t0 = EmbeddingTableConfig(name="t0", max_vocabulary_size=16, ev_size=4)
+    lookups = [
+        LookupConfig(0, t0, "f0", "e0", Combiner_t.Sum, 1, sp_weight_name="w0")
+    ]
+    plan = ShardingPlan(strategy=[("dp", ["t0"])])
+    compiled = compile_plan(lookups, plan, num_shards=1)
+    assert compiled.groups[0].compute_kind == "onehot"
+    ebc = EmbeddingCollection(compiled, mesh1, OptParams(Optimizer_t.SGD, lr=1.0))
+    tables = ebc.init(jax.random.key(0))
+    opt_state = ebc.init_optimizer(tables)
+    feats = {"f0": np.array([[5], [5]], np.int32)}  # same key twice
+    weights = {"w0": np.array([[1.0], [-1.0]], np.float32)}
+    d_outs = {"e0": np.array([[1, 0, 0, 0], [0, 0, 0, 0]], np.float32)}
+    before = np.array(ebc.export_table(tables, "t0"))
+    tables, opt_state = jax.jit(ebc.backward_and_update)(
+        tables, opt_state,
+        {k: jax.device_put(v) for k, v in feats.items()},
+        {k: jax.device_put(v) for k, v in d_outs.items()},
+        jnp.asarray(1.0), jnp.asarray(1),
+        {k: jax.device_put(v) for k, v in weights.items()},
+    )
+    after = np.array(ebc.export_table(tables, "t0"))
+    # grad[5] = (+1)*d0 + (-1)*d1 = [1,0,0,0]; SGD lr=1 -> row 5 -= grad
+    np.testing.assert_allclose(
+        after[5], before[5] - np.array([1, 0, 0, 0]), rtol=1e-5, atol=1e-6
+    )
