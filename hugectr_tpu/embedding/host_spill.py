@@ -1,24 +1,35 @@
 """Host-spill tier for EBC dynamic tables (HierarchicalKV analog).
 
 The reference serves beyond-HBM vocabularies with a host-memory tier under
-the device table (SOK HierarchicalKV backend, sparse_operation_kit
-hkv lineage; EmbeddingTrainingCache's staged host parameter server,
+the device table (SOK HierarchicalKV backend, sparse_operation_kit hkv
+lineage; vendored HKV under embedding_storage/dynamic_embedding.cu;
+EmbeddingTrainingCache's staged host parameter server,
 include/embedding_training_cache/embedding_training_cache.hpp:26-70).
 
 TPU analog: the model's dynamic table (exact probed key store, fixed
-``dynamic_capacity`` device working set) is backed by a growing HOST master
-(numpy arrays + an exact key->row dict). ``stage_batch(keys)`` runs
-host-side BETWEEN steps (shapes are static under jit, so tier migration
-cannot happen inside the compiled step — same reasoning as
-``grow_dynamic_capacity``): resident keys pass through, host-master keys
-are inserted into the device store with their values + optimizer state,
-and when the working set would cross the spill watermark the whole set is
-flushed to the host master first (HKV device-cache eviction analog).
-Unknown keys stay untouched — the engine's insert-on-backward creates them
-on the device, and the next spill adopts them into the master.
+``dynamic_capacity`` device working set) is backed by a growing HOST master.
+``stage_batch(keys)`` runs host-side BETWEEN steps (shapes are static under
+jit, so tier migration cannot happen inside the compiled step — same
+reasoning as ``grow_dynamic_capacity``).
 
-The per-batch automatic counterpart of EmbeddingTrainingCache's explicit
-pass staging; both are exact.
+Round-5 performance rework (the round-4 version was a correctness analog —
+full device-store readback per batch, per-key Python dict walks, whole-set
+eviction):
+
+- **Incremental residency mirror**: a sorted int32 array of keys believed
+  device-resident, merged with each batch's keys on the host (NO device
+  readback on the steady-state path — readback happens only at spill /
+  resync). A key that insert-on-backward fails to place (probe clustering)
+  would be wrongly believed resident until the next resync;
+  ``resync_interval`` bounds that window (the engine itself drops such a
+  key's update for the step either way — raise dynamic_capacity).
+- **Vectorized host master**: an open-addressed int64->row numpy map
+  (splitmix probe, batched linear probing) — upserts/lookups are a few
+  vector ops per batch, not per-key dict hits.
+- **Clock/LRU subset eviction**: every resident key carries a last-use
+  stamp; ``spill(evict_frac)`` flushes ALL live rows to the master (keeps
+  it fresh) but evicts only the least-recently-used fraction, so the hot
+  working set survives the spill (HKV evicts cold buckets the same way).
 """
 from __future__ import annotations
 
@@ -30,9 +41,99 @@ from ..core.logger import get_logger
 
 logger = get_logger()
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+class _NpMap:
+    """Vectorized open-addressed int64 -> int32 row map (append-only rows,
+    like the SOK hkv twin's steady state)."""
+
+    def __init__(self, cap: int = 4096):
+        cap = 1 << int(np.ceil(np.log2(max(cap, 1024))))
+        self._keys = np.full(cap, -1, np.int64)
+        self._rows = np.full(cap, -1, np.int32)
+        self.size = 0
+
+    def _slots(self, keys: np.ndarray) -> np.ndarray:
+        h = keys.astype(np.uint64) * _MIX
+        return ((h >> np.uint64(33)) % np.uint64(self._keys.size)).astype(
+            np.int64
+        )
+
+    def _grow(self):
+        old_k, old_r = self._keys, self._rows
+        self._keys = np.full(old_k.size * 2, -1, np.int64)
+        self._rows = np.full(old_k.size * 2, -1, np.int32)
+        live = old_k >= 0
+        self.size = 0
+        self._insert(old_k[live], old_r[live])
+
+    def _insert(self, keys: np.ndarray, rows: np.ndarray):
+        slot = self._slots(keys)
+        pending = np.arange(keys.size)
+        cap = self._keys.size
+        while pending.size:
+            s = slot[pending]
+            empty = self._keys[s] == -1
+            same = self._keys[s] == keys[pending]
+            # claim empty slots (first writer per slot wins within the batch:
+            # np scatter keeps the LAST duplicate, so dedup slots first)
+            claim_idx = pending[empty]
+            s_claim = s[empty]
+            uniq_s, first = np.unique(s_claim, return_index=True)
+            self._keys[uniq_s] = keys[claim_idx[first]]
+            self._rows[uniq_s] = rows[claim_idx[first]]
+            self.size += uniq_s.size
+            # re-check: survivors are keys not yet stored at their slot
+            done = self._keys[slot[pending]] == keys[pending]
+            done |= same
+            pending = pending[~done]
+            slot[pending] = (slot[pending] + 1) % cap
+        if self.size > 0.7 * cap:
+            self._grow()
+
+    def get(self, keys: np.ndarray) -> np.ndarray:
+        """Rows for keys (-1 = absent); vectorized batched probe."""
+        out = np.full(keys.size, -1, np.int32)
+        if not keys.size:
+            return out
+        slot = self._slots(keys)
+        pending = np.arange(keys.size)
+        cap = self._keys.size
+        while pending.size:
+            s = slot[pending]
+            k_at = self._keys[s]
+            hit = k_at == keys[pending]
+            out[pending[hit]] = self._rows[s[hit]]
+            miss_end = k_at == -1
+            pending = pending[~hit & ~miss_end]
+            slot[pending] = (slot[pending] + 1) % cap
+        return out
+
+    def upsert(self, keys: np.ndarray, next_row: int) -> np.ndarray:
+        """Rows for keys, allocating bump-pointer rows for absent ones.
+        Returns (rows, new_next_row)."""
+        keys = np.asarray(keys, np.int64)
+        rows = self.get(keys)
+        fresh = rows < 0
+        n_new = int(fresh.sum())
+        if n_new:
+            new_rows = (next_row + np.arange(n_new)).astype(np.int32)
+            rows[fresh] = new_rows
+            self._insert(keys[fresh], new_rows)
+            next_row += n_new
+        return rows, next_row
+
 
 class HostSpillTier:
-    def __init__(self, model, table_name: str, spill_watermark: float = 0.75):
+    def __init__(
+        self,
+        model,
+        table_name: str,
+        spill_watermark: float = 0.75,
+        evict_frac: float = 0.5,
+        resync_interval: int = 64,
+    ):
         g, ti = model.ec._find_table(table_name)
         if not g.tables[ti].is_dynamic:
             raise ValueError(
@@ -44,11 +145,18 @@ class HostSpillTier:
         self.model = model
         self.table_name = table_name
         self.spill_watermark = float(spill_watermark)
+        self.evict_frac = float(evict_frac)
+        self.resync_interval = int(resync_interval)
         self.ev = g.ev_size
         self._host_values: Optional[np.ndarray] = None
         self._host_opt: Dict[str, np.ndarray] = {}
-        self._host_index: Dict[int, int] = {}
+        self._host_map = _NpMap()
         self._host_next = 0
+        # residency mirror: sorted resident keys + aligned last-use stamps
+        self._resident = np.zeros(0, np.int64)
+        self._lastuse = np.zeros(0, np.int64)
+        self._clock = 0
+        self._since_resync = 0
 
     # ------------------------------------------------------------- helpers
     def _ec(self):
@@ -58,6 +166,8 @@ class HostSpillTier:
         return self._ec()._find_table(self.table_name)
 
     def _device_resident(self) -> np.ndarray:
+        """Full device key-store readback — spill/resync only, NOT the
+        steady-state path."""
         ec = self._ec()
         g, ti = self._g_ti()
         ks = ec._host_key_store(self.model.state["emb_tables"], g)
@@ -71,18 +181,50 @@ class HostSpillTier:
             segs.append(seg[seg != int(ec.EMPTY_KEY)])
         return np.concatenate(segs) if segs else np.zeros(0, np.int32)
 
+    def _mirror_resync(self):
+        actual = np.unique(self._device_resident().astype(np.int64))
+        # carry last-use stamps for keys that survive; new-to-mirror keys
+        # get the current clock
+        pos = np.searchsorted(self._resident, actual)
+        pos = np.clip(pos, 0, max(self._resident.size - 1, 0))
+        known = (
+            self._resident[pos] == actual
+            if self._resident.size
+            else np.zeros(actual.size, bool)
+        )
+        stamps = np.full(actual.size, self._clock, np.int64)
+        if self._resident.size:
+            stamps[known] = self._lastuse[pos[known]]
+        self._resident, self._lastuse = actual, stamps
+        self._since_resync = 0
+
+    def _mirror_touch(self, keys: np.ndarray):
+        """Merge batch keys into the mirror with the current clock stamp."""
+        self._clock += 1
+        if not keys.size:
+            return
+        merged = np.union1d(self._resident, keys)
+        stamps = np.full(merged.size, 0, np.int64)
+        if self._resident.size:
+            pos = np.searchsorted(merged, self._resident)
+            stamps[pos] = self._lastuse
+        pos_new = np.searchsorted(merged, keys)
+        stamps[pos_new] = self._clock
+        self._resident, self._lastuse = merged, stamps
+
     def _host_upsert(self, keys, vals, st: Dict[str, np.ndarray]) -> None:
+        keys = np.asarray(keys, np.int64)
         if self._host_values is None:
-            cap = max(1024, 2 * len(keys))
+            cap = max(1024, 2 * keys.size)
             self._host_values = np.zeros((cap, self.ev), np.float32)
             self._host_opt = {
                 slot: np.zeros((cap, a.shape[1]), np.float32)
                 for slot, a in st.items()
             }
-        need_fresh = sum(1 for k in keys if int(k) not in self._host_index)
+        rows, self._host_next = self._host_map.upsert(keys, self._host_next)
         cap = self._host_values.shape[0]
-        if self._host_next + need_fresh > cap:
-            new_cap = max(2 * cap, self._host_next + need_fresh)
+        if self._host_next > cap:
+            new_cap = max(2 * cap, self._host_next)
             self._host_values = np.resize(self._host_values, (new_cap, self.ev))
             self._host_values[cap:] = 0.0
             for slot in self._host_opt:
@@ -91,42 +233,62 @@ class HostSpillTier:
                     self._host_opt[slot], (new_cap, w)
                 )
                 self._host_opt[slot][cap:] = 0.0
-        for i, k in enumerate(np.asarray(keys).tolist()):
-            k = int(k)
-            row = self._host_index.get(k)
-            if row is None:
-                # host-master rows are never freed (spill moves keys host-
-                # ward only; the master is append-only like the SOK hkv
-                # twin's steady state), so allocation is a bump pointer
-                row = self._host_next
-                self._host_next += 1
-                self._host_index[k] = row
-            self._host_values[row] = vals[i]
-            for slot, a in st.items():
-                self._host_opt[slot][row] = a[i]
+        self._host_values[rows] = vals
+        for slot, a in st.items():
+            self._host_opt[slot][rows] = a
 
     # ------------------------------------------------------------------ API
-    def spill(self) -> None:
-        """Flush the whole device working set to the host master and clear
-        it (device-cache eviction)."""
+    def spill(
+        self, evict_frac: Optional[float] = None, max_keep: Optional[int] = None
+    ) -> int:
+        """Flush every live device row to the host master, then evict the
+        least-recently-used `evict_frac` of them from the device (HKV
+        cold-bucket eviction analog). `max_keep` caps the surviving set so
+        incoming fresh keys keep placement headroom (probe clustering makes
+        inserts fail near full occupancy). Returns evicted count."""
         ec = self._ec()
         g, ti = self._g_ti()
         state = self.model.state
+        frac = self.evict_frac if evict_frac is None else float(evict_frac)
         live, vals, st = ec._collect_dynamic_entries(
             state["emb_tables"], state["eopt"], g, ti
         )
-        if len(live):
-            self._host_upsert(live, np.asarray(vals, np.float32),
-                              {k: np.asarray(v, np.float32) for k, v in st.items()})
-            state["emb_tables"], state["eopt"] = ec.evict(
-                state["emb_tables"], state["eopt"], self.table_name, live
+        if not len(live):
+            return 0
+        self._host_upsert(
+            live,
+            np.asarray(vals, np.float32),
+            {k: np.asarray(v, np.float32) for k, v in st.items()},
+        )
+        # LRU pick: stamps via the mirror (unknown keys count as oldest)
+        live64 = live.astype(np.int64)
+        stamps = np.zeros(live64.size, np.int64)
+        if self._resident.size:
+            pos = np.clip(
+                np.searchsorted(self._resident, live64),
+                0,
+                self._resident.size - 1,
             )
+            hit = self._resident[pos] == live64
+            stamps[hit] = self._lastuse[pos[hit]]
+        n_evict = int(np.ceil(frac * live64.size))
+        if max_keep is not None:
+            n_evict = max(n_evict, live64.size - max(int(max_keep), 0))
+        n_evict = min(n_evict, live64.size)
+        order = np.argsort(stamps, kind="stable")[:n_evict]
+        evict_keys = live[order]
+        state["emb_tables"], state["eopt"] = ec.evict(
+            state["emb_tables"], state["eopt"], self.table_name, evict_keys
+        )
+        self._mirror_resync()
+        return int(evict_keys.size)
 
     def stage_batch(self, keys: np.ndarray) -> int:
         """Bring host-master rows for this batch's keys into the device
-        working set (spilling first under watermark pressure). Call between
+        working set (LRU-spilling under watermark pressure). Call between
         steps with the batch's raw keys for this table's feature. Returns
-        the number of rows staged."""
+        the number of rows staged. Steady-state cost: a few vector ops on
+        the batch's unique keys — no device readback."""
         ec = self._ec()
         g, ti = self._g_ti()
         state = self.model.state
@@ -140,80 +302,98 @@ class HostSpillTier:
             keys = self.model._i64_exact_fold(
                 base, keys.astype(np.int64).reshape(-1, 1)
             ).reshape(-1)
-        uniq = [int(k) for k in np.unique(keys[keys >= 0]).tolist()]
+        uniq = np.unique(keys[keys >= 0]).astype(np.int64)
+        if not uniq.size:
+            return 0
+        if self._since_resync >= self.resync_interval:
+            self._mirror_resync()
+        self._since_resync += 1
 
         def plan():
-            resident = set(self._device_resident().tolist())
-            want, fresh = [], 0
-            for k in uniq:
-                if k in resident:
-                    continue
-                if k in self._host_index:
-                    want.append(k)
-                else:
-                    fresh += 1  # insert-on-backward creates it; needs room
-            return resident, want, fresh
+            if self._resident.size:
+                pos = np.clip(
+                    np.searchsorted(self._resident, uniq),
+                    0,
+                    self._resident.size - 1,
+                )
+                nonres = self._resident[pos] != uniq
+            else:
+                nonres = np.ones(uniq.size, bool)
+            cand = uniq[nonres]
+            host_rows = self._host_map.get(cand)
+            want = cand[host_rows >= 0]
+            fresh = int((host_rows < 0).sum())
+            return want, fresh
 
-        resident, want, fresh = plan()
+        want, fresh = plan()
         cap = int(g.table_vocab[ti])
-        if len(resident) + len(want) + fresh > self.spill_watermark * cap:
-            self.spill()
-            resident, want, fresh = plan()
-        if not want:
+        if self._resident.size + want.size + fresh > self.spill_watermark * cap:
+            # keep enough free slots for the incoming keys (near-full
+            # occupancy makes probed inserts fail)
+            self.spill(
+                max_keep=int(self.spill_watermark * cap)
+                - (int(want.size) + fresh)
+            )
+            want, fresh = plan()
+        if not want.size:
+            self._mirror_touch(uniq)
             return 0
         from .collection import _fold_reserved_key
 
         tables = dict(state["emb_tables"])
         nks = np.array(ec._host_key_store(tables, g))
-        placed = ec._host_insert_keys(nks, g, ti, np.asarray(want))
+        placed = ec._host_insert_keys(nks, g, ti, want.astype(np.int32))
         if (placed < 0).any():
             # probe clustering: spill to free slots and retry once —
             # dropping a wanted key here would let insert-on-backward
             # recreate it as a fresh row, and the NEXT spill would then
             # overwrite the host master's trained row with that restart
             self.spill()
-            _res, want, _fresh = plan()  # spilled batch keys rejoin `want`
-            if not want:
+            want, fresh = plan()  # spilled batch keys rejoin `want`
+            if not want.size:
+                self._mirror_touch(uniq)
                 return 0
             tables = dict(state["emb_tables"])
             nks = np.array(ec._host_key_store(tables, g))
-            placed = ec._host_insert_keys(nks, g, ti, np.asarray(want))
+            placed = ec._host_insert_keys(nks, g, ti, want.astype(np.int32))
             if (placed < 0).any():
-                dropped = [k for k, p in zip(want, placed) if p < 0]
+                dropped = want[placed < 0]
                 logger.warning(
-                    f"host-spill: {len(dropped)} key(s) unplaceable after "
-                    f"spill (probe clustering, e.g. {dropped[:4]}): their "
-                    "host-master rows will be RESTARTED by insert-on-"
+                    f"host-spill: {dropped.size} key(s) unplaceable after "
+                    f"spill (probe clustering, e.g. {dropped[:4].tolist()}): "
+                    "their host-master rows will be RESTARTED by insert-on-"
                     "backward — raise dynamic_capacity"
                 )
-        rows = np.asarray([self._host_index[k] for k in want])
-        vals = self._host_values[rows]
-        ok = placed >= 0
+        rows = self._host_map.get(want)
+        ok = (placed >= 0) & (rows >= 0)
         dst = placed[ok]
         if not len(dst):
+            self._mirror_touch(uniq)
             return 0
-        tables[g.name] = ec._scatter_all_replicas(tables[g.name], g, dst, vals[ok])
+        vals = self._host_values[rows[ok]]
+        tables[g.name] = ec._scatter_all_replicas(tables[g.name], g, dst, vals)
         ks_name = f"{g.name}#keys"
         tables[ks_name] = ec._scatter_all_replicas(
             tables[ks_name], g, dst,
-            _fold_reserved_key(np.asarray(want, np.int32)[ok]),
+            _fold_reserved_key(want.astype(np.int32)[ok]),
         )
         state["emb_tables"] = tables
         eopt = dict(state["eopt"])
         for slot in eopt.get(g.name, {}):
             eopt[g.name] = dict(eopt[g.name])
             eopt[g.name][slot] = ec._scatter_all_replicas(
-                eopt[g.name][slot], g, dst, self._host_opt[slot][rows][ok]
+                eopt[g.name][slot], g, dst, self._host_opt[slot][rows[ok]]
             )
         state["eopt"] = eopt
+        self._mirror_touch(uniq)
         return int(ok.sum())
 
     @property
     def host_size(self) -> int:
         """Keys resident in the host master tier."""
-        return len(self._host_index)
+        return int(self._host_map.size)
 
     def lookup_host(self, key: int) -> Optional[np.ndarray]:
         """Host-master row for a key (None if not spilled there)."""
-        row = self._host_index.get(int(key))
-        return None if row is None else self._host_values[row].copy()
+        row = int(self._host_map.get(np.asarray([key], np.int64))[0])
+        return None if row < 0 else self._host_values[row].copy()

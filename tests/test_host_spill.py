@@ -149,3 +149,66 @@ def test_static_table_rejected(mesh1):
     model = _model(mesh1)
     with pytest.raises(KeyError):
         HostSpillTier(model, "nope")
+
+
+def test_lru_eviction_keeps_hot_keys(mesh1):
+    """spill() evicts the LEAST-recently-used subset: keys touched every
+    batch survive the spill on-device (HKV cold-bucket eviction analog)."""
+    model = _model(mesh1, capacity=64)
+    model.start_data_reading()
+    tier = HostSpillTier(model, "dyn", spill_watermark=0.9, evict_frac=0.5)
+    hot = np.arange(8)  # first 8 keys ride in every batch
+    for lo in (8, 16, 24, 32):
+        keys = np.concatenate([hot, np.arange(lo, lo + 8)])
+        tier.stage_batch(keys)
+        _train_on(model, keys)
+    evicted = tier.spill()  # explicit LRU spill of half the working set
+    assert evicted > 0
+    for k in hot:
+        dv, _ = _device_row(model, int(k))
+        assert dv is not None, f"hot key {k} was evicted before cold keys"
+
+
+def test_steady_state_no_device_readback(mesh1, monkeypatch):
+    """The per-batch staging path must NOT read the device key store back
+    (the round-4 version paid a full readback every call)."""
+    model = _model(mesh1, capacity=256)
+    model.start_data_reading()
+    tier = HostSpillTier(model, "dyn", spill_watermark=0.9, resync_interval=10**9)
+    calls = {"n": 0}
+    orig = tier._device_resident
+
+    def counting():
+        calls["n"] += 1
+        return orig()
+
+    monkeypatch.setattr(tier, "_device_resident", counting)
+    for t in range(6):
+        keys = np.arange(t * 16, t * 16 + 16)
+        tier.stage_batch(keys)
+        _train_on(model, keys)
+    assert calls["n"] == 0, "steady-state staging read the device store back"
+
+
+def test_vocab_4x_working_set_trains(mesh1):
+    """Scale test: a key stream over 4x the device working set trains with
+    spill active; every trained key stays reachable (device or master) and
+    staged-back rows carry their trained values."""
+    rng = np.random.default_rng(3)
+    model = _model(mesh1, capacity=64)
+    model.start_data_reading()
+    tier = HostSpillTier(model, "dyn", spill_watermark=0.75)
+    vocab = 256  # 4x the 64-row working set
+    for _ in range(40):
+        keys = rng.integers(0, vocab, 16)
+        tier.stage_batch(keys)
+        _train_on(model, keys)
+    # coverage: most of the vocab was touched; none of it may be lost
+    touched = 0
+    for k in range(vocab):
+        dv, _ = _device_row(model, k)
+        hv = tier.lookup_host(k)
+        if dv is not None or hv is not None:
+            touched += 1
+    assert touched > vocab // 2
+    assert tier.host_size > 64  # master grew beyond the device working set
