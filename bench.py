@@ -121,6 +121,60 @@ def main():
     eval_ex_per_sec = (
         eval_passes * model.solver.max_eval_batches * batch / dt_e
     )
+    # end-to-end input-pipeline row (VERDICT-r4 #8): the SAME flagship model
+    # fed by the full native RawAsync reader chain over generated Criteo-
+    # shape Raw data — NO device-cached batches. In this environment the
+    # axon relay serializes H2D at ~25 ms + ~65 MB/s once an executable is
+    # loaded (ROADMAP "tunnel artifact"), so this row measures the tunnel,
+    # not the framework: readers sustain >0.76M ex/s host-side and on real
+    # TPU hosts (GB/s DMA) the fused upload leaves input off the critical
+    # path. Recorded so the cached-batch caveat has an explicit companion.
+    e2e_ex_per_sec = None
+    if on_tpu and os.environ.get("HCTR_BENCH_E2E", "1") != "0":
+        import gc
+        import tempfile
+
+        import hugectr_tpu as hugectr
+        from hugectr_tpu.core.types import DataReaderType_t
+        from hugectr_tpu.tools.flagship import (
+            MLPERF_MULTI_HOT_SIZES,
+            MLPERF_TABLE_SIZES,
+        )
+
+        del model
+        gc.collect()
+        e2e_iters = 10
+        tmpd = tempfile.mkdtemp(prefix="hctr_e2e_")
+        raw = os.path.join(tmpd, "train.bin")
+        table_sizes = [min(v, vocab_cap) for v in MLPERF_TABLE_SIZES]
+        hugectr.DataGenerator(
+            hugectr.DataGeneratorParams(
+                format=DataReaderType_t.Raw,
+                label_dim=1, dense_dim=13, num_slot=26,
+                source=raw, eval_source=os.path.join(tmpd, "eval.bin"),
+                slot_size_array=table_sizes,
+                nnz_array=list(MLPERF_MULTI_HOT_SIZES),
+                num_samples=(e2e_iters + 3) * batch,
+                eval_num_samples=batch,
+            )
+        ).generate()
+        reader = hugectr.DataReaderParams(
+            data_reader_type=DataReaderType_t.RawAsync,
+            source=[raw], eval_source=os.path.join(tmpd, "eval.bin"),
+        )
+        m2 = build_dlrm_dcnv2(
+            rm, batchsize=batch, vocab_cap=vocab_cap,
+            use_mixed_precision=on_tpu, ev_size=128, reader=reader,
+        )
+        for _ in range(3):
+            m2.train()
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(e2e_iters):
+            loss = m2.train_async()
+        _jax.block_until_ready(loss)
+        e2e_ex_per_sec = e2e_iters * batch / (time.perf_counter() - t0)
+
     out = {
         "metric": "dlrm_dcnv2_train_examples_per_sec",
         "value": round(ex_per_sec, 1),
@@ -148,6 +202,11 @@ def main():
         # separately; async readers sustain >2M ex/s host-side)
         "caveats": "vocab_capped,synthetic_keys,device_cached_batches",
     }
+    if e2e_ex_per_sec is not None:
+        # full reader-fed number + the reason it differs here (see comment
+        # above): the axon relay's ~65 MB/s serialized H2D is the ceiling
+        out["e2e_reader_examples_per_sec"] = round(e2e_ex_per_sec, 1)
+        out["e2e_caveat"] = "tunnel_h2d_bound_65MBps_env_artifact"
     print(json.dumps(out))
 
 

@@ -1,0 +1,38 @@
+"""AUC finalize at MLPerf eval-set scale: time the exact tie-aware rank-sum
+AUC over buffers up to the Criteo 89,137,319-sample eval set size.
+
+The reference's AUC runs a multi-GPU partitioned sort + trapezoid
+(metrics.cu:118-366); here one jitted sort-based pass (metrics.auc_score).
+Usage: PYTHONPATH=/root/repo python tools/auc_scale_probe.py
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hugectr_tpu.metrics.metrics import auc_score
+
+SIZES = [5_242_880, 16_777_216, 89_137_319]  # bench sweep, 16M, full MLPerf
+
+
+def main():
+    print(f"platform: {jax.devices()[0].platform}")
+    for n in SIZES:
+        rng = np.random.default_rng(0)
+        labels = jax.device_put((rng.random(n) > 0.5).astype(np.float32))
+        # correlated preds so AUC is non-trivial
+        preds = jax.device_put(
+            (np.asarray(labels) * 0.3 + rng.random(n)).astype(np.float32)
+        )
+        a = auc_score(preds, labels)  # compile
+        jax.block_until_ready(a)
+        t0 = time.perf_counter()
+        a = auc_score(preds, labels)
+        jax.block_until_ready(a)
+        dt = time.perf_counter() - t0
+        print(f"n={n:>11,}  auc={float(a):.4f}  finalize={dt*1e3:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
