@@ -53,6 +53,12 @@ def main():
     # 1024=134.2k / 2048=132.7k / 4096=129.3k; hot re-sweep at 1024 kept
     # 64k best (32k=132.8k, 128k=133.9k).
     os.environ.setdefault("HCTR_TPU_SUPERHOT_ROWS", "1024")
+    # binned AUC finalize for the 5.24M-sample eval buffers: the exact
+    # sort path costs ~1.9 s per finalize at this size (~360 ns/element
+    # XLA 1-D sort); the binned closure is 2 scatter passes with a <1e-4
+    # bound (tests/test_metrics.py::test_auc_binned_matches_exact) —
+    # far inside the MLPerf AUC target's 1e-3 granularity
+    os.environ.setdefault("HCTR_TPU_AUC_EXACT_MAX", "1048576")
     # honor driver environment; default to whatever platform JAX picks
     import jax
 

@@ -1,0 +1,139 @@
+"""Steady-state training throughput with the host-spill tier active:
+dynamic-table vocab 4x the device working set (VERDICT-r4 #3 'Done' bar).
+
+Builds a model with ONE dynamic table (device working set `--capacity`
+rows) and trains on a power-law key stream drawn from a 4x-larger vocab;
+every step stages host-master rows for the batch and LRU-spills under
+watermark pressure. Prints steady-state ex/s with spill active, plus a
+no-spill reference point (same model, vocab = capacity, no tier).
+
+Run: PYTHONPATH=/root/repo python benchmarks/host_spill_bench.py
+Reference role: HierarchicalKV under embedding_storage/dynamic_embedding.cu.
+"""
+import argparse
+import os
+import time
+
+os.environ.setdefault("HCTR_TPU_EMB_DTYPE", "bfloat16")
+
+import jax
+import numpy as np
+
+import hugectr_tpu as hugectr
+from hugectr_tpu.core.mesh import ResourceManager
+from hugectr_tpu.core.types import DataReaderType_t
+from hugectr_tpu.data.generator import power_law_keys
+from hugectr_tpu.embedding.host_spill import HostSpillTier
+
+
+def build(rm, batch, capacity, ev, hotness):
+    solver = hugectr.CreateSolver(
+        max_eval_batches=1, batchsize_eval=batch, batchsize=batch, lr=0.05,
+        repeat_dataset=True,
+        embedding_vec_dtype=os.environ.get("HCTR_TPU_EMB_DTYPE", "float32"),
+    )
+    reader = hugectr.DataReaderParams(
+        data_reader_type=DataReaderType_t.Synthetic, synthetic_num_batches=2
+    )
+    model = hugectr.Model(
+        solver, reader,
+        hugectr.CreateOptimizer(
+            optimizer_type=hugectr.Optimizer_t.AdaGrad, initial_accu_value=0.0
+        ),
+        resource_manager=rm,
+    )
+    model.add(hugectr.Input(
+        label_dim=1, label_name="label", dense_dim=13, dense_name="dense",
+        data_reader_sparse_param_array=[
+            hugectr.DataReaderSparseParam("d0", hotness, True, 1)
+        ],
+    ))
+    t = hugectr.EmbeddingTableConfig(
+        name="dyn", max_vocabulary_size=-1, ev_size=ev,
+        dynamic_capacity=capacity,
+    )
+    ebc = hugectr.EmbeddingCollectionConfig()
+    ebc.embedding_lookup([t], ["d0"], "emb", ["sum"])
+    ebc.shard(shard_matrix=[["dyn"]] * rm.num_devices,
+              shard_strategy=[("mp", ["dyn"])])
+    model.add(ebc)
+    model.add(hugectr.DenseLayer(layer_type=hugectr.Layer_t.Concat,
+        bottom_names=["emb", "dense"], top_names=["c"]))
+    model.add(hugectr.DenseLayer(layer_type=hugectr.Layer_t.MLP,
+        bottom_names=["c"], top_names=["m"], num_outputs=[256, 1],
+        activations=[hugectr.Activation_t.Relu, hugectr.Activation_t.Non]))
+    model.add(hugectr.DenseLayer(
+        layer_type=hugectr.Layer_t.BinaryCrossEntropyLoss,
+        bottom_names=["m", "label"], top_names=["loss"]))
+    model.compile()
+    model.start_data_reading()
+    return model
+
+
+def stream(rng, vocab, batch, hotness):
+    k = power_law_keys(rng, vocab, batch * hotness, alpha=1.05)
+    return k.reshape(batch, hotness).astype(np.int32)
+
+
+def run_case(rm, batch, capacity, vocab, ev, hotness, steps, spill):
+    model = build(rm, batch, capacity, ev, hotness)
+    tier = (
+        HostSpillTier(model, "dyn", spill_watermark=0.75)
+        if spill
+        else None
+    )
+    rng = np.random.default_rng(0)
+    lab = np.random.default_rng(1)
+
+    def step(keys):
+        if tier is not None:
+            tier.stage_batch(keys)
+        batch_np = {
+            "label": (lab.random((batch, 1)) > 0.5).astype(np.float32),
+            "dense": lab.random((batch, 13)).astype(np.float32),
+            "d0": keys,
+        }
+        model._staged_train_batch = model._put_batch(batch_np)
+        return model.train_async()
+
+    for _ in range(10):  # warm: compile + populate working set + first spills
+        loss = step(stream(rng, vocab, batch, hotness))
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss = step(stream(rng, vocab, batch, hotness))
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    ex = steps * batch / dt
+    host = tier.host_size if tier else 0
+    return ex, host
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--capacity", type=int, default=524288)
+    p.add_argument("--ev", type=int, default=128)
+    p.add_argument("--hotness", type=int, default=10)
+    p.add_argument("--steps", type=int, default=30)
+    args = p.parse_args()
+    rm = ResourceManager.create(num_devices=len(jax.devices()))
+    vocab = 4 * args.capacity
+    ex_ref, _ = run_case(
+        rm, args.batch, args.capacity, args.capacity, args.ev, args.hotness,
+        args.steps, spill=False,
+    )
+    print(f"no-spill reference (vocab = capacity {args.capacity:,}): "
+          f"{ex_ref:,.0f} ex/s")
+    ex, host = run_case(
+        rm, args.batch, args.capacity, vocab, args.ev, args.hotness,
+        args.steps, spill=True,
+    )
+    print(
+        f"spill active (vocab {vocab:,} = 4x capacity): {ex:,.0f} ex/s "
+        f"({ex / ex_ref:.2f}x of reference), host master {host:,} keys"
+    )
+
+
+if __name__ == "__main__":
+    main()

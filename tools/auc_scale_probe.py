@@ -8,10 +8,9 @@ Usage: PYTHONPATH=/root/repo python tools/auc_scale_probe.py
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from hugectr_tpu.metrics.metrics import auc_score
+from hugectr_tpu.metrics.metrics import auc_score, auc_score_large
 
 SIZES = [5_242_880, 16_777_216, 89_137_319]  # bench sweep, 16M, full MLPerf
 
@@ -21,17 +20,23 @@ def main():
     for n in SIZES:
         rng = np.random.default_rng(0)
         labels = jax.device_put((rng.random(n) > 0.5).astype(np.float32))
-        # correlated preds so AUC is non-trivial
         preds = jax.device_put(
             (np.asarray(labels) * 0.3 + rng.random(n)).astype(np.float32)
         )
-        a = auc_score(preds, labels)  # compile
-        jax.block_until_ready(a)
-        t0 = time.perf_counter()
-        a = auc_score(preds, labels)
-        jax.block_until_ready(a)
-        dt = time.perf_counter() - t0
-        print(f"n={n:>11,}  auc={float(a):.4f}  finalize={dt*1e3:8.1f} ms")
+        for name, fn in (("sort-exact", auc_score), ("binned", auc_score_large)):
+            if name == "sort-exact" and n > 20_000_000:
+                print(f"n={n:>11,}  {name}: skipped (device fault at 89M)")
+                continue
+            a = fn(preds, labels)  # compile
+            jax.block_until_ready(a)
+            t0 = time.perf_counter()
+            a = fn(preds, labels)
+            jax.block_until_ready(a)
+            dt = time.perf_counter() - t0
+            print(
+                f"n={n:>11,}  {name:10s} auc={float(a):.5f} "
+                f"finalize={dt*1e3:9.1f} ms"
+            )
 
 
 if __name__ == "__main__":
