@@ -2269,8 +2269,14 @@ class EmbeddingCollection:
         return new_tables, new_state
 
     def _host_key_store(self, tables, g: GroupPlan) -> np.ndarray:
-        rep = jax.jit(lambda x: x, out_shardings=self.rm.replicated_sharding())
-        return np.asarray(rep(tables[f"{g.name}#keys"]))
+        cache = self._io_fn_cache()
+        if "replicate" not in cache:
+            # cached: host-spill staging reads the key store EVERY batch —
+            # a fresh jax.jit per call retraces/relowers each time
+            cache["replicate"] = jax.jit(
+                lambda x: x, out_shardings=self.rm.replicated_sharding()
+            )
+        return np.asarray(cache["replicate"](tables[f"{g.name}#keys"]))
 
     def _dynamic_host_slots(
         self, ks_host: np.ndarray, g: GroupPlan, ti: int, keys: np.ndarray
@@ -2412,15 +2418,22 @@ class EmbeddingCollection:
         return placed
 
     def _scatter_all_replicas(self, arr, g, rows, vals):
-        """Set `vals` at replica-0 storage `rows` in every replica group."""
+        """Set `vals` at replica-0 storage `rows` in every replica group.
+
+        The jitted scatter is cached per sharding (see _io_fn_cache) — a
+        fresh jax.jit per call would retrace/recompile every invocation,
+        which turns per-batch host-spill staging into a compile storm."""
         reps = g.num_replicas if g.is_model_parallel else 1
         stride = g.num_shards * g.total_local_rows
         all_rows = np.concatenate([rows + r * stride for r in range(reps)])
         all_vals = np.concatenate([vals] * reps, axis=0)
-        imp = jax.jit(
-            lambda t, i, v: t.at[i].set(v), out_shardings=arr.sharding
-        )
-        return imp(
+        cache = self._io_fn_cache()
+        key = ("scatter_reps", arr.sharding)
+        if key not in cache:
+            cache[key] = jax.jit(
+                lambda t, i, v: t.at[i].set(v), out_shardings=arr.sharding
+            )
+        return cache[key](
             arr,
             jnp.asarray(all_rows, jnp.int32),
             jnp.asarray(all_vals, dtype=arr.dtype),

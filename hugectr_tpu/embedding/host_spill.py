@@ -44,6 +44,28 @@ logger = get_logger()
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _pad_pow2(arrs, axis0_pad_src=0):
+    """Pad each array's leading dim to the next power of two by REPEATING
+    row `axis0_pad_src` — staging scatters (.set of identical values) and
+    evict probes are idempotent under repeats, and bucketed shapes keep the
+    jitted scatter/evict programs CACHED (every distinct row count would
+    otherwise pay a fresh compile — measured 20-40 s each through the
+    remote-compile tunnel, which turned per-step staging into a
+    recompilation storm)."""
+    n = arrs[0].shape[0]
+    if n == 0:
+        return arrs
+    cap = 1 << int(np.ceil(np.log2(n)))
+    pad = cap - n
+    if pad == 0:
+        return arrs
+    out = []
+    for a in arrs:
+        rep = np.repeat(a[axis0_pad_src : axis0_pad_src + 1], pad, axis=0)
+        out.append(np.concatenate([a, rep], axis=0))
+    return out
+
+
 class _NpMap:
     """Vectorized open-addressed int64 -> int32 row map (append-only rows,
     like the SOK hkv twin's steady state)."""
@@ -111,17 +133,18 @@ class _NpMap:
         return out
 
     def upsert(self, keys: np.ndarray, next_row: int) -> np.ndarray:
-        """Rows for keys, allocating bump-pointer rows for absent ones.
-        Returns (rows, new_next_row)."""
+        """Rows for keys, allocating bump-pointer rows for absent ones
+        (duplicate keys in one batch share one row). Returns
+        (rows, new_next_row)."""
         keys = np.asarray(keys, np.int64)
         rows = self.get(keys)
         fresh = rows < 0
-        n_new = int(fresh.sum())
-        if n_new:
-            new_rows = (next_row + np.arange(n_new)).astype(np.int32)
-            rows[fresh] = new_rows
-            self._insert(keys[fresh], new_rows)
-            next_row += n_new
+        if fresh.any():
+            uq = np.unique(keys[fresh])
+            new_rows = (next_row + np.arange(uq.size)).astype(np.int32)
+            self._insert(uq, new_rows)
+            next_row += uq.size
+            rows = self.get(keys)
         return rows, next_row
 
 
@@ -157,6 +180,9 @@ class HostSpillTier:
         self._lastuse = np.zeros(0, np.int64)
         self._clock = 0
         self._since_resync = 0
+        # attach-time sync: the model may already hold a populated device
+        # working set (e.g. the tier is added mid-training)
+        self._mirror_resync()
 
     # ------------------------------------------------------------- helpers
     def _ec(self):
@@ -246,20 +272,33 @@ class HostSpillTier:
         cold-bucket eviction analog). `max_keep` caps the surviving set so
         incoming fresh keys keep placement headroom (probe clustering makes
         inserts fail near full occupancy). Returns evicted count."""
+        import jax
+        import jax.numpy as jnp
+
         ec = self._ec()
         g, ti = self._g_ti()
         state = self.model.state
         frac = self.evict_frac if evict_frac is None else float(evict_frac)
-        live, vals, st = ec._collect_dynamic_entries(
-            state["emb_tables"], state["eopt"], g, ti
-        )
+        # key-store readback only ([rows] int32); values transfer ONLY for
+        # the evicted subset via a device-side gather — flushing ALL live
+        # rows would read the whole table+state back per spill, and the
+        # master copy of a still-resident row is stale until its eviction
+        # anyway (it keeps training on device)
+        ks_host = ec._host_key_store(state["emb_tables"], g)
+        lo = int(g.local_offsets[ti])
+        rows_t = int(g.rows_per_shard[ti])
+        f = g.num_shards if g.is_model_parallel else 1
+        slots_l, live_l = [], []
+        for shard in range(f):
+            base = shard * g.total_local_rows if g.is_model_parallel else 0
+            seg = ks_host[base + lo : base + lo + rows_t]
+            idx = np.where(seg != int(ec.EMPTY_KEY))[0]
+            slots_l.append(base + lo + idx)
+            live_l.append(seg[idx])
+        slots = np.concatenate(slots_l) if slots_l else np.zeros(0, np.int64)
+        live = np.concatenate(live_l) if live_l else np.zeros(0, np.int32)
         if not len(live):
             return 0
-        self._host_upsert(
-            live,
-            np.asarray(vals, np.float32),
-            {k: np.asarray(v, np.float32) for k, v in st.items()},
-        )
         # LRU pick: stamps via the mirror (unknown keys count as oldest)
         live64 = live.astype(np.int64)
         stamps = np.zeros(live64.size, np.int64)
@@ -277,10 +316,30 @@ class HostSpillTier:
         n_evict = min(n_evict, live64.size)
         order = np.argsort(stamps, kind="stable")[:n_evict]
         evict_keys = live[order]
-        state["emb_tables"], state["eopt"] = ec.evict(
-            state["emb_tables"], state["eopt"], self.table_name, evict_keys
+        # pow2-pad the evicted set (repeated first key/slot — probe + clear
+        # + upsert are idempotent under repeats) so the jitted gather/evict
+        # programs compile once per bucket size, not per call
+        evict_keys_p, slots_p = _pad_pow2([evict_keys, slots[order]])
+        ev_slots = jnp.asarray(slots_p)
+        vals = np.asarray(
+            jax.device_get(jnp.take(state["emb_tables"][g.name], ev_slots, axis=0)),
+            np.float32,
         )
-        self._mirror_resync()
+        st = {
+            k: np.asarray(jax.device_get(jnp.take(v, ev_slots, axis=0)), np.float32)
+            for k, v in state["eopt"].get(g.name, {}).items()
+        }
+        self._host_upsert(evict_keys_p, vals, st)
+        state["emb_tables"], state["eopt"] = ec.evict(
+            state["emb_tables"], state["eopt"], self.table_name, evict_keys_p
+        )
+        # survivor set is known exactly — no second readback needed
+        mask = np.ones(live64.size, bool)
+        mask[order] = False
+        surv, surv_st = live64[mask], stamps[mask]
+        o2 = np.argsort(surv)
+        self._resident, self._lastuse = surv[o2], surv_st[o2]
+        self._since_resync = 0
         return int(evict_keys.size)
 
     def stage_batch(self, keys: np.ndarray) -> int:
@@ -370,23 +429,30 @@ class HostSpillTier:
         if not len(dst):
             self._mirror_touch(uniq)
             return 0
+        n_staged = int(ok.sum())
         vals = self._host_values[rows[ok]]
+        store_vals = _fold_reserved_key(want.astype(np.int32)[ok])
+        opt_vals = {
+            slot: self._host_opt[slot][rows[ok]] for slot in self._host_opt
+        }
+        padded = _pad_pow2([dst, vals, store_vals, *opt_vals.values()])
+        dst, vals, store_vals = padded[0], padded[1], padded[2]
+        opt_vals = dict(zip(opt_vals, padded[3:]))
         tables[g.name] = ec._scatter_all_replicas(tables[g.name], g, dst, vals)
         ks_name = f"{g.name}#keys"
         tables[ks_name] = ec._scatter_all_replicas(
-            tables[ks_name], g, dst,
-            _fold_reserved_key(want.astype(np.int32)[ok]),
+            tables[ks_name], g, dst, store_vals
         )
         state["emb_tables"] = tables
         eopt = dict(state["eopt"])
         for slot in eopt.get(g.name, {}):
             eopt[g.name] = dict(eopt[g.name])
             eopt[g.name][slot] = ec._scatter_all_replicas(
-                eopt[g.name][slot], g, dst, self._host_opt[slot][rows[ok]]
+                eopt[g.name][slot], g, dst, opt_vals[slot]
             )
         state["eopt"] = eopt
         self._mirror_touch(uniq)
-        return int(ok.sum())
+        return n_staged
 
     @property
     def host_size(self) -> int:

@@ -102,7 +102,7 @@ def test_spill_and_stage_back_roundtrip(mesh1):
     assert vec3 is not None and np.abs(vec3).sum() > 0
     assert acc3.sum() > 0  # AdaGrad accum advanced
 
-    tier.spill()
+    tier.spill(evict_frac=1.0)  # full flush: every live row to the master
     assert tier.host_size == 16
     assert _device_row(model, 3)[0] is None  # device set cleared
     np.testing.assert_allclose(tier.lookup_host(3), vec3, rtol=1e-6)

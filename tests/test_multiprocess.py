@@ -422,7 +422,7 @@ def test_two_process_flagship_hierarchical(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:
