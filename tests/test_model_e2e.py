@@ -684,3 +684,19 @@ def test_snapshot_rotation_layout_stamp(mesh8, tmp_path):
     _json.dump(meta, open(tmp_path / "snap_iter1" / "meta.json", "w"))
     with pytest.raises(ValueError, match="shard_rotation"):
         model.load_params_from_files(str(tmp_path / "snap_iter1"))
+
+
+def test_eval_scan_matches_per_batch(mesh1, monkeypatch):
+    """Scanned eval (K cached batches per lax.scan dispatch, bulk metric
+    writes) returns the SAME metrics as the per-batch path — single-device
+    mesh so the scan path engages on the CPU backend."""
+    model = _build_dcn_model(mesh1, use_ebc=True)
+    for _ in range(5):
+        model.train()
+    monkeypatch.setenv("HCTR_TPU_EVAL_SCAN", "0")
+    vals_loop = model.eval()
+    monkeypatch.setenv("HCTR_TPU_EVAL_SCAN", "1")
+    vals_scan = model.eval()
+    assert set(vals_scan) == set(vals_loop)
+    for k in vals_loop:
+        assert abs(vals_scan[k] - vals_loop[k]) < 1e-5, (k, vals_scan, vals_loop)
