@@ -1073,9 +1073,12 @@ class EmbeddingCollection:
         b_loc = keys_loc.shape[0]
 
         def compressed():
-            # src role: vectors for every block's list owned by MY shard
+            # src role: vectors for every block's list owned by MY shard.
+            # No indices_are_sorted flag: each block's cap-row list is
+            # ascending but the FLATTENED [n, C] sequence restarts per
+            # block, so the global-sort guarantee the flag asserts is false
             send = table_shard.at[jnp.take(lists, my, axis=1)].get(
-                mode="fill", fill_value=0, indices_are_sorted=True
+                mode="fill", fill_value=0
             )  # [n, C, ev]
             recv = jax.lax.all_to_all(
                 send, self.rm.data_axes, split_axis=0, concat_axis=0,
@@ -1155,11 +1158,19 @@ class EmbeddingCollection:
             idx = jnp.take(lists, my, axis=1).reshape(-1)  # [n*C] + sentinel
             dsrc = recv.reshape(-1, g.ev_size).astype(self.dtype)
             src = jnp.arange(n * cap, dtype=jnp.int32)
+            # init-captured knobs only (trace-time env reads would escape
+            # Solver.compile()'s apply-and-restore window); the ucap/vcap
+            # windows measured for the psum path don't transfer to the
+            # already-compact [n*cap] list, and the dense key-ratio rule is
+            # disabled for the same reason (no measured count for it)
             return sparse_optimizer.apply_sparse(
                 opt, table_shard, state, idx, src, dsrc, lr, step,
                 segsum=self.knob_segsum,
                 scatter_auto=self.knob_scatter_auto,
                 fold_budget=self.knob_segsum_fold_bytes,
+                dense_rows=self.knob_dense_update_rows,
+                dense_grad_dtype=self.knob_dense_grad_dtype,
+                dense_ratio=0.0,
             )
 
         def fallback():
@@ -2328,10 +2339,10 @@ class EmbeddingCollection:
             }
         return new_tables, new_state
 
-    def _collect_dynamic_entries(self, tables, opt_state, g, ti):
-        """Host-side (keys, rows, state-slots) of a dynamic table's resident
-        entries (replica-0 storage rows)."""
-        ks_host = self._host_key_store(tables, g)
+    def _live_slots(self, ks_host: np.ndarray, g, ti):
+        """(replica-0 storage slots, live keys) of a dynamic table from a
+        host key-store copy — shared by entry collection, growth, and the
+        host-spill tier (one copy of the shard/offset layout arithmetic)."""
         lo = int(g.local_offsets[ti])
         rows_t = int(g.rows_per_shard[ti])
         f = g.num_shards if g.is_model_parallel else 1
@@ -2344,6 +2355,13 @@ class EmbeddingCollection:
             live.append(seg[idx])
         slots = np.concatenate(slots) if slots else np.zeros(0, np.int64)
         live = np.concatenate(live) if live else np.zeros(0, np.int32)
+        return slots, live
+
+    def _collect_dynamic_entries(self, tables, opt_state, g, ti):
+        """Host-side (keys, rows, state-slots) of a dynamic table's resident
+        entries (replica-0 storage rows)."""
+        ks_host = self._host_key_store(tables, g)
+        slots, live = self._live_slots(ks_host, g, ti)
         rep = jax.jit(lambda x: x, out_shardings=self.rm.replicated_sharding())
         vals = np.asarray(rep(tables[g.name]))[slots]
         st = {

@@ -27,9 +27,12 @@ eviction):
   (splitmix probe, batched linear probing) — upserts/lookups are a few
   vector ops per batch, not per-key dict hits.
 - **Clock/LRU subset eviction**: every resident key carries a last-use
-  stamp; ``spill(evict_frac)`` flushes ALL live rows to the master (keeps
-  it fresh) but evicts only the least-recently-used fraction, so the hot
-  working set survives the spill (HKV evicts cold buckets the same way).
+  stamp; ``spill(evict_frac)`` flushes and evicts only the
+  least-recently-used fraction, so the hot working set survives the spill
+  (HKV evicts cold buckets the same way). The master therefore holds the
+  values keys had WHEN EVICTED — a still-resident key's master row is
+  stale by design (it keeps training on device and is re-flushed at its
+  next eviction); read live values through the model, not ``lookup_host``.
 """
 from __future__ import annotations
 
@@ -91,6 +94,12 @@ class _NpMap:
         self._insert(old_k[live], old_r[live])
 
     def _insert(self, keys: np.ndarray, rows: np.ndarray):
+        # grow BEFORE inserting: a batch larger than the free-slot count
+        # would otherwise spin forever in the probe loop (growth used to be
+        # checked only after the insert — found by review, live repro:
+        # upsert of 10k keys into a fresh 4096-slot map hung)
+        while (self.size + keys.size) > 0.7 * self._keys.size:
+            self._grow()
         slot = self._slots(keys)
         pending = np.arange(keys.size)
         cap = self._keys.size
@@ -111,8 +120,6 @@ class _NpMap:
             done |= same
             pending = pending[~done]
             slot[pending] = (slot[pending] + 1) % cap
-        if self.size > 0.7 * cap:
-            self._grow()
 
     def get(self, keys: np.ndarray) -> np.ndarray:
         """Rows for keys (-1 = absent); vectorized batched probe."""
@@ -197,15 +204,8 @@ class HostSpillTier:
         ec = self._ec()
         g, ti = self._g_ti()
         ks = ec._host_key_store(self.model.state["emb_tables"], g)
-        lo = int(g.local_offsets[ti])
-        rows_t = int(g.rows_per_shard[ti])
-        f = g.num_shards if g.is_model_parallel else 1
-        segs = []
-        for shard in range(f):
-            base = shard * g.total_local_rows if g.is_model_parallel else 0
-            seg = ks[base + lo : base + lo + rows_t]
-            segs.append(seg[seg != int(ec.EMPTY_KEY)])
-        return np.concatenate(segs) if segs else np.zeros(0, np.int32)
+        _slots, live = ec._live_slots(ks, g, ti)
+        return live
 
     def _mirror_resync(self):
         actual = np.unique(self._device_resident().astype(np.int64))
@@ -285,18 +285,7 @@ class HostSpillTier:
         # master copy of a still-resident row is stale until its eviction
         # anyway (it keeps training on device)
         ks_host = ec._host_key_store(state["emb_tables"], g)
-        lo = int(g.local_offsets[ti])
-        rows_t = int(g.rows_per_shard[ti])
-        f = g.num_shards if g.is_model_parallel else 1
-        slots_l, live_l = [], []
-        for shard in range(f):
-            base = shard * g.total_local_rows if g.is_model_parallel else 0
-            seg = ks_host[base + lo : base + lo + rows_t]
-            idx = np.where(seg != int(ec.EMPTY_KEY))[0]
-            slots_l.append(base + lo + idx)
-            live_l.append(seg[idx])
-        slots = np.concatenate(slots_l) if slots_l else np.zeros(0, np.int64)
-        live = np.concatenate(live_l) if live_l else np.zeros(0, np.int32)
+        slots, live = ec._live_slots(ks_host, g, ti)
         if not len(live):
             return 0
         # LRU pick: stamps via the mirror (unknown keys count as oldest)

@@ -1296,6 +1296,14 @@ class Model:
         if not cache_n and isinstance(self.eval_reader, SyntheticReader):
             cache_n = min(self.eval_reader.num_batches, self.solver.max_eval_batches)
         if cache_n:
+            stacked, k_built = getattr(self, "_eval_cache_stacked", (None, 0))
+            if not getattr(self, "_eval_cache", None) and stacked is not None:
+                # the scanned path freed the per-batch copies; reconstruct
+                # them from stacked slices for the per-batch fallback
+                self._eval_cache = [
+                    {name: stacked[name][i] for name in stacked}
+                    for i in range(k_built)
+                ]
             if getattr(self, "_eval_cache", None) is None:
                 it = iter(self.eval_reader)
                 self._eval_cache = [
@@ -1341,20 +1349,29 @@ class Model:
         (measured round-5: the per-batch path pays ~6 ms/batch of host
         dispatch + metric-update overhead on top of a 33.8 ms forward)."""
         total = self.solver.max_eval_batches
-        if not self.solver.repeat_dataset:
-            total = min(total, len(cache))
-        k = min(len(cache), total)
-        stacked, k_built = getattr(self, "_eval_cache_stacked", (None, 0))
-        if stacked is None or k_built != k:
+        stacked, k = getattr(self, "_eval_cache_stacked", (None, 0))
+        if stacked is None:
+            k = min(len(cache), total)
             stacked = {
                 name: jnp.stack([b[name] for b in cache[:k]])
                 for name in cache[0]
             }
             self._eval_cache_stacked = (stacked, k)
+            # free the per-batch device copies — keeping both doubled the
+            # standing eval-cache HBM; _eval_batches reconstructs them from
+            # stacked slices if the per-batch path is ever re-engaged
+            self._eval_cache = []
+        if not self.solver.repeat_dataset:
+            total = min(total, k)
         spec0 = self.network.loss_specs[0]
         n = 0
         while n < total:
             cnt = min(k, total - n)
+            # cycled chunks RECOMPUTE the same K forwards on purpose: the
+            # cached batches stand in for distinct eval data, so reusing
+            # one chunk's outputs would inflate the measured eval
+            # throughput ~total/k times (real eval sets never cycle — the
+            # reader-fed path has distinct batches throughout)
             losses, preds, labels = self._eval_scan_step(self.state, stacked)
             self.metrics.update_batches(
                 preds[spec0.label_name], labels[spec0.label_name], cnt,
@@ -1376,8 +1393,6 @@ class Model:
         for acc in self._task_metrics.values():
             acc.reset()
         self._eval_feed_started = True
-        source, feeder = self._eval_batches()
-        cache = getattr(self, "_eval_cache", None)
         # scanned eval only off the CPU multi-device emulation: a K-batch
         # scan packs K x (all_gather ...) into one dispatch, and the CPU
         # backend's 40 s per-collective thread rendezvous can straggle under
@@ -1386,13 +1401,12 @@ class Model:
         scan_ok = (
             self.rm.data_parallel_size == 1
             or jax.devices()[0].platform != "cpu"
-        )
-        if (
-            feeder is None
-            and cache
-            and scan_ok
-            and os.environ.get("HCTR_TPU_EVAL_SCAN", "1") != "0"
-        ):
+        ) and os.environ.get("HCTR_TPU_EVAL_SCAN", "1") != "0"
+        if scan_ok and getattr(self, "_eval_cache_stacked", (None, 0))[0] is not None:
+            return self._eval_scanned(None)  # stacked cache already owns eval
+        source, feeder = self._eval_batches()
+        cache = getattr(self, "_eval_cache", None)
+        if feeder is None and cache and scan_ok:
             return self._eval_scanned(cache)
         n = 0
         exhausted = True  # flipped off when max_eval_batches stops us first
