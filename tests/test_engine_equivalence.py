@@ -6,7 +6,9 @@ trained on the SAME batches must produce the same forward outputs and final
 tables under ANY engine configuration — one-hot MXU engine on/off, hot/cold/
 superhot tiers, unique-cap windows (fixed + auto-measured), segsum backend,
 scatter lowering, dense-update threshold, partial placement, 1-way vs 8-way
-mesh. Every knob is individually oracle-tested elsewhere; this sweep covers
+mesh, the unique-key (dense-compression) MP exchange with caps small enough
+to force its overflow cond-fallback, weighted (sp_weight) lookups. Every
+knob is individually oracle-tested elsewhere; this sweep covers
 their combinations (reference analog: utest embedding_collection configs
 sweep, test/utest/embedding_collection/test_embedding_collection_v2.cu).
 """
@@ -38,6 +40,8 @@ BASE_ENV = {
     "HCTR_TPU_DENSE_UPDATE_ROWS": "0",
     "HCTR_TPU_SPLIT_VOCAB": "0",
     "HCTR_TPU_GROUP_ROWS": "0",
+    "HCTR_TPU_DENSE_EXCHANGE": "0",
+    "HCTR_TPU_DENSE_EXCHANGE_CAP": "0",
 }
 
 
@@ -48,17 +52,28 @@ def _draw_model(rng):
         dynamic = bool(rng.random() < 0.2)
         vocab = int(rng.integers(50, 4000))
         ev = int(rng.choice([4, 8]))
+        # dynamic tables: zero init. A fresh key's value is the init at its
+        # claimed store slot, and slot assignment is layout-dependent
+        # (hash % per-shard rows) — random init would make mesh1 vs mesh8
+        # legitimately differ on fresh rows (the reference's on-demand
+        # curand initializer is layout-dependent too). Zero init keeps every
+        # engine comparison exact while exercising all training math.
         t = EmbeddingTableConfig(
             name=f"t{i}",
             max_vocabulary_size=-1 if dynamic else vocab,
             ev_size=ev,
             dynamic_capacity=4096,
+            init_scale=0.0 if dynamic else None,
         )
         tables.append((t, vocab))
         comb = Combiner_t(rng.choice(["sum", "mean", "concat"]))
         hot = int(rng.integers(1, 6))
+        weighted = bool(rng.random() < 0.35)
         lookups.append(
-            LookupConfig(i, t, f"f{i}", f"e{i}", comb, hot)
+            LookupConfig(
+                i, t, f"f{i}", f"e{i}", comb, hot,
+                sp_weight_name=f"w{i}" if weighted else "",
+            )
         )
     opt_kind = Optimizer_t(
         rng.choice(["sgd", "adagrad", "rowwise_adagrad", "adam", "ftrl"])
@@ -86,6 +101,11 @@ def _draw_env(rng):
     env["HCTR_TPU_SCATTER_AUTO"] = str(rng.choice(["0", "1"]))
     env["HCTR_TPU_DENSE_UPDATE_ROWS"] = str(int(rng.choice([0, 1 << 20])))
     env["HCTR_TPU_GROUP_ROWS"] = str(int(rng.choice([0, 1000])))
+    env["HCTR_TPU_DENSE_EXCHANGE"] = str(rng.choice(["0", "1"]))
+    if env["HCTR_TPU_DENSE_EXCHANGE"] == "1":
+        # 8 is small enough to overflow real batches -> exercises the
+        # psummed-overflow cond fallback to the dense psum path
+        env["HCTR_TPU_DENSE_EXCHANGE_CAP"] = str(int(rng.choice([0, 8, 4096])))
     return env
 
 
@@ -118,18 +138,22 @@ def _run(rm, tables, lookups, strategy, opt, env, batches, shard_counts=None):
     fwd_fn = jax.jit(ec.forward)
     bwd_fn = jax.jit(ec.backward_and_update)
     fwd_outs = []
-    for step, (keys, d_outs) in enumerate(batches, start=1):
+    for step, (keys, d_outs, weights) in enumerate(batches, start=1):
         kd = {
             k: jax.device_put(v, rm.batch_sharding()) for k, v in keys.items()
         }
         dd = {
             k: jax.device_put(v, rm.batch_sharding()) for k, v in d_outs.items()
         }
+        wd = {
+            k: jax.device_put(v, rm.batch_sharding()) for k, v in weights.items()
+        } or None
         fwd_outs.append(
-            {k: np.asarray(v) for k, v in fwd_fn(st, kd).items()}
+            {k: np.asarray(v) for k, v in fwd_fn(st, kd, wd).items()}
         )
         st, opt_state = bwd_fn(
-            st, opt_state, kd, dd, jnp.asarray(0.1), jnp.asarray(step)
+            st, opt_state, kd, dd, jnp.asarray(0.1), jnp.asarray(step),
+            feature_weights=wd,
         )
     exports = {}
     for t, vocab in tables:
@@ -142,7 +166,7 @@ def _batches(rng, lookups, tables, n_steps=3, batch=32):
     vocab_of = {t.name: v for t, v in tables}
     out = []
     for _ in range(n_steps):
-        keys, d_outs = {}, {}
+        keys, d_outs, weights = {}, {}, {}
         for lm in lookups:
             v = vocab_of[lm.table.name]
             k = rng.integers(0, v, (batch, lm.max_hotness)).astype(np.int32)
@@ -155,7 +179,13 @@ def _batches(rng, lookups, tables, n_steps=3, batch=32):
                 else lm.table.ev_size
             )
             d_outs[lm.top_name] = rng.normal(size=(batch, w)).astype(np.float32)
-        out.append((keys, d_outs))
+            if lm.sp_weight_name:
+                # positive weights: mean divides by raw sum(w) — signed
+                # cancellation has its own dedicated test
+                weights[lm.sp_weight_name] = rng.uniform(
+                    0.25, 2.0, size=k.shape
+                ).astype(np.float32)
+        out.append((keys, d_outs, weights))
     return out
 
 
