@@ -2457,6 +2457,41 @@ class EmbeddingCollection:
             jnp.asarray(all_vals, dtype=arr.dtype),
         )
 
+    def _scatter_all_replicas_multi(self, arrs, g, rows, vals_list):
+        """`_scatter_all_replicas` over several row-aligned arrays (table,
+        key store, optimizer slots) in ONE jitted dispatch — host-spill
+        staging used to pay 3+n_opt_slots serial dispatches per batch,
+        which dominates staging cost on dispatch-latency-bound hosts."""
+        reps = g.num_replicas if g.is_model_parallel else 1
+        stride = g.num_shards * g.total_local_rows
+        all_rows = np.concatenate([rows + r * stride for r in range(reps)])
+        cache = self._io_fn_cache()
+        key = ("scatter_reps_multi", tuple(a.sharding for a in arrs))
+        if key not in cache:
+            cache[key] = jax.jit(
+                lambda ts, i, vs: tuple(
+                    t.at[i].set(v) for t, v in zip(ts, vs)
+                ),
+                out_shardings=tuple(a.sharding for a in arrs),
+            )
+        idx = jnp.asarray(all_rows, jnp.int32)
+        vals = tuple(
+            jnp.asarray(np.concatenate([v] * reps, axis=0), dtype=a.dtype)
+            for v, a in zip(vals_list, arrs)
+        )
+        return cache[key](tuple(arrs), idx, vals)
+
+    def _gather_rows_multi(self, arrs, rows):
+        """Row-gather several aligned arrays in ONE jitted dispatch (the
+        host-spill flush path's counterpart of `_scatter_all_replicas_multi`)."""
+        cache = self._io_fn_cache()
+        key = ("gather_rows_multi", tuple(a.sharding for a in arrs))
+        if key not in cache:
+            cache[key] = jax.jit(
+                lambda ts, i: tuple(jnp.take(t, i, axis=0) for t in ts)
+            )
+        return cache[key](tuple(arrs), jnp.asarray(rows, jnp.int32))
+
     def grow_dynamic_capacity(
         self, tables, opt_state, table_name: str, new_capacity: int
     ):
